@@ -1,0 +1,127 @@
+"""Golden-fixture tests ported from the reference suite (test/Test.hs).
+
+Fixture bytes are read straight from /root/reference/test/*.mvt; expected
+structures mirror the hand-written assertions at test/Test.hs:112-154.
+"""
+
+import numpy as np
+import pytest
+
+from vectortiles_spark.mvt import codec
+from vectortiles_spark.mvt.geometry import GEOM_LINESTRING, GEOM_POINT, GEOM_POLYGON
+
+FIX = "/root/reference/test"
+
+
+def load(name: str) -> bytes:
+    with open(f"{FIX}/{name}.mvt", "rb") as f:
+        return f.read()
+
+
+@pytest.mark.parametrize("name", ["onepoint", "linestring", "polygon", "roads", "clearlake"])
+def test_decode_succeeds(name):
+    # Test.hs:36-41 — all five fixtures must decode
+    layers = codec.decode_tile(load(name))
+    assert layers
+
+
+def test_onepoint_structure():
+    # Test.hs:113-124
+    raw = codec.parse_raw_tile(load("onepoint"))
+    assert len(raw) == 1
+    l = raw[0]
+    assert l.version == 1
+    assert l.name == "OnePoint"
+    assert l.keys == [] and l.values == []
+    assert l.extent == 4096
+    assert len(l.features) == 1
+    f = l.features[0]
+    assert f.id == 0
+    assert f.tags.size == 0
+    assert f.type == GEOM_POINT
+    assert f.geometry.tolist() == [9, 10, 10]  # MoveTo(+5,+5)
+    # decoded geometry
+    layer = codec.layer_from_raw(l)
+    assert np.asarray(layer.features[0].geom).tolist() == [[5, 5]]
+
+
+def test_linestring_structure():
+    # Test.hs:127-139
+    raw = codec.parse_raw_tile(load("linestring"))[0]
+    assert raw.name == "OneLineString"
+    f = raw.features[0]
+    assert f.type == GEOM_LINESTRING
+    assert f.geometry.tolist() == [9, 10, 10, 10, 2390, 2390]
+    layer = codec.layer_from_raw(raw)
+    parts = layer.features[0].geom
+    assert len(parts) == 1
+    assert parts[0].tolist() == [[5, 5], [1200, 1200]]
+
+
+def test_polygon_structure():
+    # Test.hs:142-154
+    raw = codec.parse_raw_tile(load("polygon"))[0]
+    assert raw.name == "OnePolygon"
+    f = raw.features[0]
+    assert f.type == GEOM_POLYGON
+    assert f.geometry.tolist() == [9, 4, 4, 18, 6, 4, 5, 4, 15]
+    layer = codec.layer_from_raw(raw)
+    polys = layer.features[0].geom
+    assert len(polys) == 1 and len(polys[0]) == 1
+    ring = polys[0][0]
+    # MoveTo(2,2), LineTo(5,4),(2,6), re-closed
+    assert ring.tolist() == [[2, 2], [5, 4], [2, 6], [2, 2]]
+    # Polygon Validity (Test.hs:57): decoded rings are closed
+    assert ring[0].tolist() == ring[-1].tolist()
+
+
+def test_roads_structure():
+    # FIXTURES.md: 15 layers, 453 features, road layer mix
+    layers = codec.decode_tile(load("roads"))
+    assert len(layers) == 15
+    assert sum(len(l.features) for l in layers.values()) == 453
+    road = layers["road"]
+    by_type = {t: sum(1 for f in road.features if f.geom_type == t) for t in (1, 2, 3)}
+    assert by_type == {GEOM_POINT: 1, GEOM_LINESTRING: 190, GEOM_POLYGON: 3}
+    assert all(l.version == 2 for l in layers.values())
+
+
+def test_clearlake_structure():
+    layers = codec.decode_tile(load("clearlake"))
+    assert set(layers) == {"clear-lake-bsvhxk"}
+    l = layers["clear-lake-bsvhxk"]
+    by_type = {t: sum(1 for f in l.features if f.geom_type == t) for t in (1, 2, 3)}
+    assert by_type == {GEOM_POINT: 16, GEOM_LINESTRING: 169, GEOM_POLYGON: 98}
+
+
+@pytest.mark.parametrize("name", ["onepoint", "linestring", "polygon", "roads", "clearlake"])
+def test_encode_roundtrip_iso(name):
+    """encodeIso (Test.hs:42-49,93-96): decode -> encode -> decode yields
+    identical canonical features (message-level, not byte-level, equality —
+    same as the reference's own gate)."""
+    data = load(name)
+    before = codec.roundtrip_features(data)
+    re = codec.encode_tile(list(codec.decode_tile(data).values()))
+    after = codec.roundtrip_features(re)
+    assert before == after
+
+
+def test_roads_byte_stable():
+    """Our canonical encode is deterministic: encode(decode(x)) twice -> same bytes."""
+    data = load("roads")
+    layers = list(codec.decode_tile(data).values())
+    assert codec.encode_tile(layers) == codec.encode_tile(layers)
+
+
+def test_empty_feature_layer_errors():
+    # Internal.hs:296 — empty feature list is a decode error
+    raw = codec.RawLayer(name="empty", version=2)
+    with pytest.raises(ValueError, match="empty"):
+        codec.layer_from_raw(raw)
+
+
+def test_unknown_geomtype_errors():
+    # Internal.hs:308
+    raw = codec.RawLayer(name="bad", version=2, features=[codec.RawFeature(type=0)])
+    with pytest.raises(ValueError, match="UNKNOWN"):
+        codec.layer_from_raw(raw)

@@ -1,0 +1,134 @@
+"""Protobuf wire-format primitives, hand-rolled in NumPy.
+
+No protobuf library exists in this environment, so the Mapbox Vector Tile
+wire format is implemented directly from the field-number/wire-tag table
+documented in SURVEY.md §1.3 (derived from the reference's generated schema
+code, e.g. /root/reference/lib/Geography/VectorTile/Protobuf/Internal/
+Vector_tile/Tile/Layer.hs:71-79).
+
+All bulk paths (packed geometry command streams, packed tag lists) are
+vectorized over NumPy arrays; only message framing walks fields in Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# Wire types
+WT_VARINT = 0
+WT_FIXED64 = 1
+WT_LEN = 2
+WT_FIXED32 = 5
+
+_U7 = np.uint64(7)
+_U1 = np.uint64(1)
+
+
+def encode_varints(values: np.ndarray) -> bytes:
+    """Vectorized varint encoding of a uint64 array -> concatenated bytes."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    # bytes needed per value = ceil(bit_length/7), min 1
+    nbytes = np.ones(v.size, dtype=np.int64)
+    tmp = v >> _U7
+    while tmp.any():
+        nbytes += (tmp != 0)
+        tmp = tmp >> _U7
+    total = int(nbytes.sum())
+    ends = np.cumsum(nbytes)
+    starts = ends - nbytes
+    owner = np.repeat(np.arange(v.size), nbytes)
+    offset = (np.arange(total) - starts[owner]).astype(np.uint64)
+    chunks = (v[owner] >> (offset * _U7)) & np.uint64(0x7F)
+    cont = (offset < (nbytes[owner] - 1).astype(np.uint64)).astype(np.uint8)
+    out = chunks.astype(np.uint8) | (cont << 7)
+    return out.tobytes()
+
+
+def encode_varint(value: int) -> bytes:
+    """Single varint (uint64 two's-complement for negatives)."""
+    v = value & 0xFFFFFFFFFFFFFFFF
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def decode_varints(buf: bytes | np.ndarray) -> np.ndarray:
+    """Vectorized decode of a buffer of back-to-back varints -> uint64 array."""
+    b = np.frombuffer(buf, dtype=np.uint8) if isinstance(buf, (bytes, bytearray, memoryview)) else np.asarray(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.zeros(0, dtype=np.uint64)
+    is_end = (b & 0x80) == 0
+    if not is_end[-1]:
+        raise ValueError("truncated varint stream")
+    # value index per byte
+    vid = np.zeros(b.size, dtype=np.int64)
+    np.cumsum(is_end[:-1], out=vid[1:])
+    nvals = int(is_end.sum())
+    # position of each byte within its value
+    ends = np.flatnonzero(is_end)
+    starts = np.empty(nvals, dtype=np.int64)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    pos = (np.arange(b.size) - starts[vid]).astype(np.uint64)
+    if pos.max() > 9:
+        raise ValueError("varint longer than 10 bytes")
+    out = np.zeros(nvals, dtype=np.uint64)
+    np.bitwise_or.at(out, vid, (b & np.uint8(0x7F)).astype(np.uint64) << (pos * _U7))
+    return out
+
+
+def read_varint(buf: memoryview, pos: int) -> tuple[int, int]:
+    """Read one varint at pos; return (value, new_pos)."""
+    result = 0
+    shift = 0
+    while True:
+        byte = buf[pos]
+        pos += 1
+        result |= (byte & 0x7F) << shift
+        if not byte & 0x80:
+            return result, pos
+        shift += 7
+        if shift > 63:
+            raise ValueError("varint too long")
+
+
+def read_tag(buf: memoryview, pos: int) -> tuple[int, int, int]:
+    """Read a field tag; return (field_number, wire_type, new_pos)."""
+    key, pos = read_varint(buf, pos)
+    return key >> 3, key & 7, pos
+
+
+def skip_field(buf: memoryview, pos: int, wire_type: int) -> int:
+    """Skip an unknown field (forward compatibility)."""
+    if wire_type == WT_VARINT:
+        _, pos = read_varint(buf, pos)
+        return pos
+    if wire_type == WT_FIXED64:
+        return pos + 8
+    if wire_type == WT_LEN:
+        n, pos = read_varint(buf, pos)
+        return pos + n
+    if wire_type == WT_FIXED32:
+        return pos + 4
+    raise ValueError(f"unsupported wire type {wire_type}")
+
+
+def tag_bytes(field_number: int, wire_type: int) -> bytes:
+    return encode_varint((field_number << 3) | wire_type)
+
+
+def len_delimited(field_number: int, payload: bytes) -> bytes:
+    return tag_bytes(field_number, WT_LEN) + encode_varint(len(payload)) + payload
+
+
+def packed_uint32(field_number: int, values: np.ndarray) -> bytes:
+    """Packed repeated uint32 field (Feature.tags / Feature.geometry)."""
+    return len_delimited(field_number, encode_varints(values))
