@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship pipeline (point features -> groupBy(z,x,y) ->
+applyInArrow MVT encode) on sf0.001. ``queries``/``oracle_sql`` pair every
+implemented operator family from SURVEY.md §2 with a DuckDB-checkable oracle;
+genuinely non-SQL ops (MVT byte emission, minhash LSH) are rows-only.
 """
 
 from __future__ import annotations
@@ -12,27 +11,131 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: derive geo points from sf0.001 customers, build MVT point
+    features with metadata, encode one MVT blob per (z, x, y) tile."""
+    from vectortiles_spark.operators import tiling
+    from vectortiles_spark.plans.queries import lat_of, lon_of
+
+    cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    pts = cust.select(
+        "c_custkey", "c_mktsegment", "c_acctbal",
+        lon_of(F.col("c_custkey")), lat_of(F.col("c_custkey")),
+    )
+    feats = tiling.point_features(
+        pts, z=4, layer="customers",
+        feature_id=F.col("c_custkey"),
+        meta=[
+            tiling.meta_string("segment", F.col("c_mktsegment")),
+            tiling.meta_double("acctbal", F.col("c_acctbal")),
+        ],
+    )
+    return tiling.encode_tiles(feats, max_per_tile=100000).orderBy(
+        "tile_z", "tile_x", "tile_y"
+    )
+
+
+def _q_mvt_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: the flagship MVT sink over sf_dir customers (binary MVT
+    output is not SQL-expressible; per-tile counts ARE value-checked by
+    q_tile_assign against the same tile math)."""
+    from vectortiles_spark.operators import tiling
+    from vectortiles_spark.plans.queries import lat_of, lon_of
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    pts = cust.select("c_custkey", "c_mktsegment", lon_of(F.col("c_custkey")), lat_of(F.col("c_custkey")))
+    feats = tiling.point_features(
+        pts, z=6, layer="customers", feature_id=F.col("c_custkey"),
+        meta=[tiling.meta_string("segment", F.col("c_mktsegment"))],
+    )
+    return tiling.encode_tiles(feats).select(
+        "tile_z", "tile_x", "tile_y", "n_features", F.length("mvt").alias("mvt_bytes")
+    )
+
+
+def _q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: MinHash+LSH near-dup candidate pairs (verified against a
+    brute-force Jaccard oracle in tests/test_dedup.py)."""
+    from vectortiles_spark.operators.dedup import minhash_near_dups
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_near_dups(docs, threshold=0.5)
+
+
+def _q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: SimHash fingerprints + bucket sizes."""
+    from vectortiles_spark.operators.dedup import simhash_fingerprints
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fp = simhash_fingerprints(docs)
+    return (
+        fp.groupBy(F.shiftrightunsigned(F.col("simhash"), 48).alias("bucket"))
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("bucket")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from vectortiles_spark.plans import queries as Q
+    from vectortiles_spark.plans import queries_text as QT
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational core (SURVEY.md §2.D2, D9, D13)
+        "q01_pricing_summary": Q.q01_pricing_summary,
+        "q03_join_agg": Q.q03_join_agg,
+        "q05_region_revenue": Q.q05_region_revenue,
+        "q_topk_per_group": Q.q_topk_per_group,
+        "q_semi_join": Q.q_semi_join,
+        "q_anti_join_resume": Q.q_anti_join_resume,
+        "q_rollup_revenue": Q.q_rollup_revenue,
+        "q_events_hourly": Q.q_events_hourly,
+        "q_sessionize": Q.q_sessionize,
+        # geo (D3, D5, D6)
+        "q_tile_assign": Q.q_tile_assign,
+        "q_pip_rect": Q.q_pip_rect,
+        "q_knn_ring": Q.q_knn_ring,
+        "q_cell_colocate": Q.q_cell_colocate,
+        # dedup / text / similarity
+        "q_dedup_exact": QT.q_dedup_exact,
+        "q_token_count": QT.q_token_count,
+        "q_text_quality": QT.q_text_quality,
+        "q_langid": QT.q_langid,
+        "q_ngram_jaccard": QT.q_ngram_jaccard,
+        "q_cosine_topk": QT.q_cosine_topk,
+        "q_label_centroids": QT.q_label_centroids,
+        # non-SQL-expressible (rows-only checks)
+        "q_mvt_tiles": _q_mvt_tiles,
+        "q_minhash_near_dups": _q_minhash_near_dups,
+        "q_simhash_buckets": _q_simhash_buckets,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from vectortiles_spark.plans import queries as Q
+    from vectortiles_spark.plans import queries_text as QT
+
+    return {
+        "q01_pricing_summary": Q.Q01_SQL,
+        "q03_join_agg": Q.Q03_SQL,
+        "q05_region_revenue": Q.Q05_SQL,
+        "q_topk_per_group": Q.Q_TOPK_SQL,
+        "q_semi_join": Q.Q_SEMI_SQL,
+        "q_anti_join_resume": Q.Q_ANTI_SQL,
+        "q_rollup_revenue": Q.Q_ROLLUP_SQL,
+        "q_events_hourly": Q.Q_EVENTS_HOURLY_SQL,
+        "q_sessionize": Q.Q_SESSIONIZE_SQL,
+        "q_tile_assign": Q.Q_TILE_ASSIGN_SQL,
+        "q_pip_rect": Q.Q_PIP_RECT_SQL,
+        "q_knn_ring": Q.Q_KNN_SQL,
+        "q_cell_colocate": Q.Q_CELL_COLOCATE_SQL,
+        "q_dedup_exact": QT.Q_DEDUP_EXACT_SQL,
+        "q_token_count": QT.Q_TOKEN_COUNT_SQL,
+        "q_text_quality": QT.Q_TEXT_QUALITY_SQL,
+        "q_langid": QT.Q_LANGID_SQL,
+        "q_ngram_jaccard": QT.Q_NGRAM_JACCARD_SQL,
+        "q_cosine_topk": QT.Q_COSINE_TOPK_SQL,
+        "q_label_centroids": QT.Q_LABEL_CENTROIDS_SQL,
+    }

@@ -1,0 +1,128 @@
+"""Tile math + cell index invariants: Column expressions agree with their
+NumPy twins, hierarchy/adjacency laws hold (SURVEY.md build plan §7.4)."""
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from vectortiles_spark.functions import cells, tiles
+
+
+def _sample(n=500, seed=7):
+    rng = np.random.Generator(np.random.PCG64(seed))
+    lon = rng.uniform(-180, 179.999, n)
+    lat = rng.uniform(-85, 85, n)
+    return lon, lat
+
+
+def test_tile_xy_column_matches_numpy(spark):
+    lon, lat = _sample()
+    df = spark.createDataFrame(pd.DataFrame({"lon": lon, "lat": lat}))
+    for z in (0, 4, 12):
+        out = df.select(
+            tiles.tile_x(F.col("lon"), z).alias("tx"),
+            tiles.tile_y(F.col("lat"), z).alias("ty"),
+            tiles.tile_px(F.col("lon"), z).alias("px"),
+            tiles.tile_py(F.col("lat"), z).alias("py"),
+        ).toPandas()
+        tx, ty = tiles.tile_xy_np(lon, lat, z)
+        px, py = tiles.tile_pixel_np(lon, lat, z)
+        assert np.array_equal(out.tx.values, tx)
+        assert np.array_equal(out.ty.values, ty)
+        assert np.array_equal(out.px.values, px)
+        assert np.array_equal(out.py.values, py)
+
+
+def test_tile_bounds():
+    lon = np.array([-180.0, 0.0, 179.999999])
+    lat = np.array([85.05, 0.0, -85.05])
+    for z in (0, 1, 10):
+        tx, ty = tiles.tile_xy_np(lon, lat, z)
+        n = 2**z
+        assert ((0 <= tx) & (tx < n)).all()
+        assert ((0 <= ty) & (ty < n)).all()
+        px, py = tiles.tile_pixel_np(lon, lat, z)
+        assert ((0 <= px) & (px < 4096)).all()
+        assert ((0 <= py) & (py < 4096)).all()
+
+
+def test_top_left_origin():
+    """(0,0) is top-left (Geometry.hs:30-31): north lat -> small py."""
+    _, py_north = tiles.tile_pixel_np(np.array([0.0]), np.array([80.0]), 0)
+    _, py_south = tiles.tile_pixel_np(np.array([0.0]), np.array([-80.0]), 0)
+    assert py_north[0] < py_south[0]
+
+
+def test_zigzag_columns(spark):
+    vals = [0, -1, 1, -2, 2, 2147483647, -2147483648]
+    df = spark.createDataFrame(pd.DataFrame({"n": vals}))
+    out = df.select(tiles.unzigzag(tiles.zigzag(F.col("n"))).alias("r")).toPandas()
+    assert out.r.tolist() == vals
+
+
+def test_quad_cell_column_matches_numpy(spark):
+    lon, lat = _sample(300)
+    df = spark.createDataFrame(pd.DataFrame({"lon": lon, "lat": lat}))
+    for level in (1, 6, 12):
+        got = df.select(cells.quad_cell(F.col("lon"), F.col("lat"), level).alias("c")).toPandas()
+        want = cells.quad_cell_np(lon, lat, level)
+        assert np.array_equal(got.c.values, want)
+
+
+def test_cell_hierarchy():
+    """S2-style law: parent(cell) == cell >> 2, level from magnitude."""
+    lon, lat = _sample(200)
+    child = cells.quad_cell_np(lon, lat, 10)
+    parent = cells.quad_cell_np(lon, lat, 9)
+    assert np.array_equal(child >> 2, parent)
+    hc = cells.hilbert_cell_np(lon, lat, 10)
+    hp = cells.hilbert_cell_np(lon, lat, 9)
+    assert np.array_equal(hc >> 2, hp)
+
+
+def test_cell_level_roundtrip(spark):
+    df = spark.range(1)
+    for level in (3, 9):
+        got = df.select(
+            cells.cell_level(cells.quad_cell(F.lit(10.0), F.lit(20.0), level)).alias("l")
+        ).collect()[0].l
+        assert got == level
+
+
+def test_hilbert_bijective_small():
+    """Every (x, y) at level 5 maps to a distinct curve position covering 0..4^5-1."""
+    n = 1 << 5
+    xx, yy = np.meshgrid(np.arange(n), np.arange(n))
+    d = cells.hilbert_d_np(xx.ravel(), yy.ravel(), 5)
+    assert sorted(d.tolist()) == list(range(n * n))
+
+
+def test_hilbert_locality():
+    """Consecutive curve positions are grid neighbors (the property that
+    makes range-partitioning on the cell id spatially local)."""
+    n = 1 << 4
+    xx, yy = np.meshgrid(np.arange(n), np.arange(n))
+    d = cells.hilbert_d_np(xx.ravel(), yy.ravel(), 4)
+    order = np.argsort(d)
+    xs, ys = xx.ravel()[order], yy.ravel()[order]
+    steps = np.abs(np.diff(xs)) + np.abs(np.diff(ys))
+    assert (steps == 1).all()
+
+
+def test_neighbor_cells(spark):
+    df = spark.createDataFrame(pd.DataFrame({"lon": [0.0], "lat": [0.0]}))
+    out = df.select(cells.neighbor_cells(F.col("lon"), F.col("lat"), 6, ring=1).alias("nb")).collect()
+    nb = out[0].nb
+    assert len(nb) == 9  # interior point: full 3x3
+    assert len(set(nb)) == 9
+    own = cells.quad_cell_np(np.array([0.0]), np.array([0.0]), 6)[0]
+    assert own in nb
+
+
+def test_neighbor_cells_pole_clip(spark):
+    """Rows past the top of the world are dropped, x wraps."""
+    df = spark.createDataFrame(pd.DataFrame({"lon": [-180.0], "lat": [85.05]}))
+    out = df.select(cells.neighbor_cells(F.col("lon"), F.col("lat"), 6, ring=1).alias("nb")).collect()
+    nb = out[0].nb
+    assert len(nb) == 6  # ty-1 row clipped; x wrapped, not clipped
+    assert len(set(nb)) == 6

@@ -1,0 +1,125 @@
+"""End-to-end slice (SURVEY.md §7.3): synthetic image table -> tile
+assignment -> groupBy(z,x,y).applyInPandas MVT encode -> decode-verify
+against an independent single-process NumPy reference path."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vectortiles_spark.functions.tiles import tile_pixel_np, tile_xy_np
+from vectortiles_spark.mvt import codec
+from vectortiles_spark.operators import tiling
+from vectortiles_spark.sources.synth import images_df, images_pdf
+
+Z = 8
+N = 1200
+
+
+@pytest.fixture(scope="module")
+def tiles_and_truth(spark):
+    imgs = images_df(spark, N, seed=42)
+    feats = tiling.point_features(
+        imgs, z=Z, layer="images",
+        feature_id=F.xxhash64("image_id"),
+        meta=[
+            tiling.meta_string("caption", F.col("caption")),
+            tiling.meta_int("phash", F.col("phash")),
+        ],
+    )
+    rows = tiling.encode_tiles(feats).collect()
+    truth = images_pdf(N, seed=42)  # independent local generation
+    return rows, truth
+
+
+def test_feature_count_preserved(tiles_and_truth):
+    rows, truth = tiles_and_truth
+    assert sum(r.n_features for r in rows) == len(truth)
+
+
+def test_every_tile_decodes_to_reference_features(tiles_and_truth):
+    """The emitted MVT of EVERY tile decodes (with our reference-validated
+    codec) to exactly the (px, py, caption, phash) set the independent
+    NumPy path computes."""
+    rows, truth = tiles_and_truth
+    tx, ty = tile_xy_np(truth.lon.values, truth.lat.values, Z)
+    px, py = tile_pixel_np(truth.lon.values, truth.lat.values, Z)
+    by_tile = {}
+    for i in range(len(truth)):
+        by_tile.setdefault((tx[i], ty[i]), []).append(
+            (px[i], py[i], truth.caption.iloc[i], int(truth.phash.iloc[i]))
+        )
+    assert len(rows) == len(by_tile)
+    for r in rows:
+        layers = codec.decode_tile(bytes(r.mvt))
+        feats = layers["images"].features
+        got = sorted(
+            (int(f.geom[0][0]), int(f.geom[0][1]), f.metadata["caption"][1], f.metadata["phash"][1])
+            for f in feats
+        )
+        want = sorted(by_tile[(r.tile_x, r.tile_y)])
+        assert got == want
+
+
+def test_tiles_have_version2_extent4096(tiles_and_truth):
+    rows, _ = tiles_and_truth
+    layer = codec.decode_tile(bytes(rows[0].mvt))["images"]
+    assert layer.version == 2
+    assert layer.extent == 4096
+
+
+def test_deterministic_bytes_across_runs(spark, tiles_and_truth):
+    rows, _ = tiles_and_truth
+    imgs = images_df(spark, N, seed=42)
+    feats = tiling.point_features(
+        imgs, z=Z, layer="images",
+        feature_id=F.xxhash64("image_id"),
+        meta=[
+            tiling.meta_string("caption", F.col("caption")),
+            tiling.meta_int("phash", F.col("phash")),
+        ],
+    )
+    rows2 = tiling.encode_tiles(feats).collect()
+    assert {(r.tile_x, r.tile_y): bytes(r.mvt) for r in rows} == {
+        (r.tile_x, r.tile_y): bytes(r.mvt) for r in rows2
+    }
+
+
+def test_cap_features_per_tile(spark):
+    imgs = images_df(spark, N, seed=42)
+    feats = tiling.point_features(imgs, z=2, layer="images", feature_id=F.xxhash64("image_id"))
+    capped = tiling.encode_tiles(feats, max_per_tile=50).collect()
+    assert max(r.n_features for r in capped) <= 50
+    # determinism of the cap: same bytes on re-run
+    capped2 = tiling.encode_tiles(
+        tiling.point_features(imgs, z=2, layer="images", feature_id=F.xxhash64("image_id")),
+        max_per_tile=50,
+    ).collect()
+    assert {(r.tile_x, r.tile_y): bytes(r.mvt) for r in capped} == {
+        (r.tile_x, r.tile_y): bytes(r.mvt) for r in capped2
+    }
+
+
+def test_tile_stats_matches_plain_count(spark):
+    imgs = images_df(spark, N, seed=42)
+    feats = tiling.point_features(imgs, z=Z, layer="images").cache()
+    salted = {
+        (r.tile_x, r.tile_y): r.n_features
+        for r in tiling.tile_stats(feats, salt_buckets=8).collect()
+    }
+    plain = {
+        (r.tile_x, r.tile_y): r.n
+        for r in feats.groupBy("tile_x", "tile_y").agg(F.count("*").alias("n")).collect()
+    }
+    assert salted == plain
+
+
+def test_multi_layer_tile(spark):
+    """Two layers in one tile; layer order in bytes is name-sorted."""
+    imgs = images_df(spark, 200, seed=1)
+    a = tiling.point_features(imgs, z=0, layer="beta", feature_id=F.xxhash64("image_id"))
+    b = tiling.point_features(imgs, z=0, layer="alpha", feature_id=F.xxhash64("image_id"))
+    rows = tiling.encode_tiles(a.unionAll(b)).collect()
+    assert len(rows) == 1
+    layers = codec.decode_tile(bytes(rows[0].mvt))
+    assert list(layers) == ["alpha", "beta"]
+    assert rows[0].n_layers == 2

@@ -1,0 +1,110 @@
+"""WebMercator XYZ tile math as pure Column expressions (JVM-side, no UDF).
+
+Implements SURVEY.md §2.D3. The coordinate convention matches the reference
+contract: tile-local integer grid with (0,0) top-left (Geometry.hs:30-31,
+README.md:227) and extent 4096 by default (…/Tile/Layer.hs:31).
+
+Everything here stays inside whole-stage codegen — these are the functions
+Catalyst can push down, prune with, and partition on. NumPy twins (suffix
+``_np``) are provided for use inside pandas UDFs and the DuckDB oracle
+generator; both paths compute bit-identical results on float64.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+DEFAULT_EXTENT = 4096
+MAX_LAT = 85.05112878  # WebMercator clamp
+
+
+def _norm_x(lon: Column) -> Column:
+    """Fraction of the world width east of the antimeridian, in [0, 1)."""
+    return (lon + F.lit(180.0)) / F.lit(360.0)
+
+
+def _norm_y(lat: Column) -> Column:
+    """WebMercator y fraction, 0 at the north clamp (top-left origin)."""
+    rad = F.radians(lat)
+    return (F.lit(1.0) - F.asinh(F.tan(rad)) / F.lit(math.pi)) / F.lit(2.0)
+
+
+def tile_x(lon: Column, z: int | Column) -> Column:
+    n = F.pow(F.lit(2.0), z).cast("double")
+    return F.least(F.floor(_norm_x(lon) * n), n.cast("long") - 1).cast("int")
+
+
+def tile_y(lat: Column, z: int | Column) -> Column:
+    n = F.pow(F.lit(2.0), z).cast("double")
+    return F.greatest(
+        F.lit(0).cast("long"), F.least(F.floor(_norm_y(lat) * n), n.cast("long") - 1)
+    ).cast("int")
+
+
+def tile_px(lon: Column, z: int | Column, extent: int = DEFAULT_EXTENT) -> Column:
+    """Tile-local x pixel in [0, extent) on the reference's discrete grid."""
+    n = F.pow(F.lit(2.0), z).cast("double")
+    fx = _norm_x(lon) * n
+    return F.least(
+        F.floor((fx - F.floor(fx)) * F.lit(float(extent))), F.lit(extent - 1).cast("long")
+    ).cast("int")
+
+
+def tile_py(lat: Column, z: int | Column, extent: int = DEFAULT_EXTENT) -> Column:
+    n = F.pow(F.lit(2.0), z).cast("double")
+    fy = _norm_y(lat) * n
+    fy = F.greatest(F.lit(0.0), F.least(fy, n - F.lit(1e-9)))
+    return F.least(
+        F.floor((fy - F.floor(fy)) * F.lit(float(extent))), F.lit(extent - 1).cast("long")
+    ).cast("int")
+
+
+def with_tile(df, lon="lon", lat="lat", z: int = 12, extent: int = DEFAULT_EXTENT):
+    """Add (tile_z, tile_x, tile_y, px, py) columns — the engine's spatial key."""
+    lon_c, lat_c = F.col(lon), F.col(lat)
+    return (
+        df.withColumn("tile_z", F.lit(z))
+        .withColumn("tile_x", tile_x(lon_c, z))
+        .withColumn("tile_y", tile_y(lat_c, z))
+        .withColumn("px", tile_px(lon_c, z, extent))
+        .withColumn("py", tile_py(lat_c, z, extent))
+    )
+
+
+# zigzag as Column expressions (ref Internal.hs:221-229) — registered for SQL
+def zigzag(n: Column) -> Column:
+    return F.shiftleft(n.cast("long"), 1).bitwiseXOR(F.shiftright(n.cast("long"), 63))
+
+
+def unzigzag(u: Column) -> Column:
+    return F.shiftrightunsigned(u.cast("long"), 1).bitwiseXOR(-(u.cast("long").bitwiseAND(F.lit(1))))
+
+
+# ---- NumPy twins (same float64 math, for pandas UDFs / oracles) ----
+
+
+def tile_xy_np(lon: np.ndarray, lat: np.ndarray, z: int) -> tuple[np.ndarray, np.ndarray]:
+    n = float(2**z)
+    fx = (np.asarray(lon, np.float64) + 180.0) / 360.0 * n
+    rad = np.radians(np.asarray(lat, np.float64))
+    fy = (1.0 - np.arcsinh(np.tan(rad)) / math.pi) / 2.0 * n
+    tx = np.minimum(np.floor(fx), n - 1).astype(np.int32)
+    ty = np.clip(np.floor(fy), 0, n - 1).astype(np.int32)
+    return tx, ty
+
+
+def tile_pixel_np(
+    lon: np.ndarray, lat: np.ndarray, z: int, extent: int = DEFAULT_EXTENT
+) -> tuple[np.ndarray, np.ndarray]:
+    n = float(2**z)
+    fx = (np.asarray(lon, np.float64) + 180.0) / 360.0 * n
+    rad = np.radians(np.asarray(lat, np.float64))
+    fy = (1.0 - np.arcsinh(np.tan(rad)) / math.pi) / 2.0 * n
+    fy = np.clip(fy, 0.0, n - 1e-9)
+    px = np.minimum(np.floor((fx - np.floor(fx)) * extent), extent - 1).astype(np.int32)
+    py = np.minimum(np.floor((fy - np.floor(fy)) * extent), extent - 1).astype(np.int32)
+    return px, py

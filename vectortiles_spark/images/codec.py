@@ -1,0 +1,170 @@
+"""Pure-NumPy image codec for the image+caption pipeline.
+
+No PIL/imageio in this environment (SURVEY.md env facts), so the engine
+carries its own batch codec, used ONLY inside pandas/Arrow UDFs (the
+input_hint mandates no per-row Python in the Spark plan; these functions
+are called once per Arrow batch with array-level NumPy work inside).
+
+Formats:
+* ``ppm``  — binary PPM (P6), lossless, byte-exact roundtrip.
+* ``dct``  — 8x8 block DCT-II with light quantization, lossy; quantization
+  is tuned so decoded pixels satisfy the PSNR >= 40 dB invariant from
+  BASELINE.json's input_hint.
+
+Also provides PSNR and a 64-bit DCT perceptual hash (phash).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_DCT_MAGIC = b"DCT1"
+
+# Flat-ish quantization: DC fine, AC slightly coarser. Chosen so worst-case
+# block error keeps PSNR comfortably above 40 dB (validated in tests).
+_QUANT = np.full((8, 8), 6.0, dtype=np.float64)
+_QUANT[0, 0] = 2.0
+_QUANT[0, 1] = _QUANT[1, 0] = 3.0
+
+
+def _dct_matrix(n: int) -> np.ndarray:
+    k = np.arange(n)[:, None]
+    i = np.arange(n)[None, :]
+    m = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * i + 1) * k / (2 * n))
+    m[0, :] = np.sqrt(1.0 / n)
+    return m
+
+
+_D8 = _dct_matrix(8)
+_D32 = _dct_matrix(32)
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """img: (h, w, 3) uint8 -> binary PPM (P6)."""
+    h, w, c = img.shape
+    assert c == 3
+    return b"P6\n%d %d\n255\n" % (w, h) + img.tobytes()
+
+
+def decode_ppm(data: bytes) -> np.ndarray:
+    if not data.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    # header: magic, whitespace-separated w h maxval, single whitespace, raster
+    parts = []
+    pos = 2
+    while len(parts) < 3:
+        while data[pos:pos + 1].isspace():
+            pos += 1
+        if data[pos:pos + 1] == b"#":  # comment line
+            pos = data.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while not data[pos:pos + 1].isspace():
+            pos += 1
+        parts.append(int(data[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = parts
+    if maxval != 255:
+        raise ValueError("only 8-bit PPM supported")
+    return np.frombuffer(data, dtype=np.uint8, count=h * w * 3, offset=pos).reshape(h, w, 3)
+
+
+def _blockify(chan: np.ndarray) -> tuple[np.ndarray, int, int]:
+    """(h, w) -> (nblocks, 8, 8) with edge padding; returns padded dims."""
+    h, w = chan.shape
+    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    padded = np.pad(chan, ((0, ph - h), (0, pw - w)), mode="edge").astype(np.float64)
+    blocks = padded.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    return blocks, ph, pw
+
+
+def _unblockify(blocks: np.ndarray, ph: int, pw: int, h: int, w: int) -> np.ndarray:
+    grid = blocks.reshape(ph // 8, pw // 8, 8, 8).transpose(0, 2, 1, 3).reshape(ph, pw)
+    return grid[:h, :w]
+
+
+def encode_dct(img: np.ndarray) -> bytes:
+    """Lossy encode: per-channel 8x8 DCT + quantization -> int16 coeffs."""
+    h, w, c = img.shape
+    out = [_DCT_MAGIC, np.array([w, h, c], dtype=np.uint32).tobytes()]
+    for ch in range(c):
+        blocks, ph, pw = _blockify(img[:, :, ch])
+        coeff = np.einsum("ij,njk,lk->nil", _D8, blocks - 128.0, _D8)
+        q = np.round(coeff / _QUANT).astype(np.int16)
+        out.append(q.tobytes())
+    return b"".join(out)
+
+
+def decode_dct(data: bytes) -> np.ndarray:
+    if data[:4] != _DCT_MAGIC:
+        raise ValueError("not a DCT1 payload")
+    w, h, c = np.frombuffer(data, dtype=np.uint32, count=3, offset=4)
+    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    nb = (ph // 8) * (pw // 8)
+    pos = 16
+    chans = []
+    for _ in range(c):
+        q = np.frombuffer(data, dtype=np.int16, count=nb * 64, offset=pos).reshape(nb, 8, 8)
+        pos += nb * 128
+        coeff = q.astype(np.float64) * _QUANT
+        blocks = np.einsum("ji,njk,kl->nil", _D8, coeff, _D8) + 128.0
+        chans.append(_unblockify(blocks, ph, pw, int(h), int(w)))
+    img = np.stack(chans, axis=-1)
+    return np.clip(np.round(img), 0, 255).astype(np.uint8)
+
+
+def encode_image(img: np.ndarray, fmt: str) -> bytes:
+    if fmt == "ppm":
+        return encode_ppm(img)
+    if fmt == "dct":
+        return encode_dct(img)
+    raise ValueError(f"unknown image fmt {fmt!r}")
+
+
+def decode_image(data: bytes, fmt: str | None = None) -> np.ndarray:
+    """Decode by declared fmt or by sniffing the magic bytes."""
+    if fmt == "ppm" or (fmt is None and data[:2] == b"P6"):
+        return decode_ppm(data)
+    if fmt == "dct" or (fmt is None and data[:4] == _DCT_MAGIC):
+        return decode_dct(data)
+    raise ValueError(f"cannot decode image fmt {fmt!r}")
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio in dB between two uint8 images."""
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    if mse == 0:
+        return float("inf")
+    return float(10.0 * np.log10(255.0**2 / mse))
+
+
+def _resize_block_mean(gray: np.ndarray, size: int = 32) -> np.ndarray:
+    """Deterministic area-style resize via bucketed block means."""
+    h, w = gray.shape
+    ys = (np.arange(h) * size // h).astype(np.int64)
+    xs = (np.arange(w) * size // w).astype(np.int64)
+    sums = np.zeros((size, size), dtype=np.float64)
+    counts = np.zeros((size, size), dtype=np.float64)
+    np.add.at(sums, (ys[:, None].repeat(w, 1), xs[None, :].repeat(h, 0)), gray)
+    np.add.at(counts, (ys[:, None].repeat(w, 1), xs[None, :].repeat(h, 0)), 1.0)
+    return sums / np.maximum(counts, 1.0)
+
+
+def phash64(img: np.ndarray) -> int:
+    """64-bit DCT perceptual hash of an (h, w, 3) uint8 image."""
+    gray = img.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    small = _resize_block_mean(gray, 32)
+    coeff = _D32 @ small @ _D32.T
+    block = coeff[:8, :8].copy()
+    flat = block.ravel()[1:]  # drop DC
+    med = np.median(flat)
+    bits = (flat > med).astype(np.uint64)
+    h = np.uint64(0)
+    for i, b in enumerate(bits):
+        h |= b << np.uint64(i)
+    # int64 for Spark BIGINT
+    return int(h.astype(np.int64))
+
+
+def hamming64(a: int, b: int) -> int:
+    return int(bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1"))

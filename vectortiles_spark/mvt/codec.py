@@ -298,38 +298,56 @@ def _encode_feature(fid: int, tags: np.ndarray, geom_type: int, stream: np.ndarr
     return wire.len_delimited(2, body)  # Layer.features field 2
 
 
-def encode_layer(layer: Layer) -> bytes:
-    """toProtobuf @Layer + wire put, ref Internal.hs:114-125.
+def encode_layer_from_streams(
+    name: str,
+    feats: list[tuple[int, dict, int, np.ndarray]],
+    version: int = 2,
+    extent: int = DEFAULT_EXTENT,
+) -> bytes:
+    """Layer wire encode from (feature_id, metadata, geom_type, command_stream)
+    tuples whose geometry is ALREADY a uint32 command stream.
 
-    Builds layer-level key/value dictionaries (totalMeta, Internal.hs:321-329;
-    first-appearance order here where the reference's HashSet order is
-    unspecified), dictionary-encodes each feature's metadata into the packed
-    tag list (unfeats, Internal.hs:332-344), and serializes fields in the
-    order name, features, keys, values, extent, version-last, matching the
-    generated put'Fields order (…/Tile/Layer.hs:51-55).
+    This is the hot path called per tile inside the Spark applyInPandas sink
+    (SURVEY.md §2.D8): upstream stages produce command streams (points via
+    pure Column math, polygons/lines via the NumPy kernel), so the per-tile
+    work left here is dictionary building + wire framing.
+
+    Contract per the reference: dictionaries layer-level (totalMeta,
+    Internal.hs:321-329; first-appearance order where the reference's
+    HashSet order is unspecified), features sorted points-first then lines
+    then polygons (Internal.hs:123-125), field order name, features, keys,
+    values, extent, version-last (…/Tile/Layer.hs:51-55).
     """
     keys: dict[str, int] = {}
     values: dict[tuple, int] = {}
-    feats = sorted(layer.features, key=lambda f: f.geom_type)  # pts, lines, polys
+    feats = sorted(feats, key=lambda f: f[2])  # pts, lines, polys; stable
     encoded_feats: list[bytes] = []
-    for f in feats:
+    for fid, meta, geom_type, stream in feats:
         tag_list: list[int] = []
-        for k, v in f.metadata.items():
+        for k, v in meta.items():
             tag_list.append(keys.setdefault(k, len(keys)))
             tag_list.append(values.setdefault(v, len(values)))
-        stream = geom_to_stream(f.geom_type, f.geom)
         encoded_feats.append(
-            _encode_feature(f.feature_id, np.asarray(tag_list, dtype=np.uint32), f.geom_type, stream)
+            _encode_feature(fid, np.asarray(tag_list, dtype=np.uint32), geom_type, stream)
         )
-    body = wire.len_delimited(1, layer.name.encode("utf-8"))
+    body = wire.len_delimited(1, name.encode("utf-8"))
     body += b"".join(encoded_feats)
     for k in keys:
         body += wire.len_delimited(3, k.encode("utf-8"))
     for (tag, v) in values:
         body += wire.len_delimited(4, _encode_value(tag, v))
-    body += wire.tag_bytes(5, wire.WT_VARINT) + wire.encode_varint(int(layer.extent))
-    body += wire.tag_bytes(15, wire.WT_VARINT) + wire.encode_varint(int(layer.version))
+    body += wire.tag_bytes(5, wire.WT_VARINT) + wire.encode_varint(int(extent))
+    body += wire.tag_bytes(15, wire.WT_VARINT) + wire.encode_varint(int(version))
     return body
+
+
+def encode_layer(layer: Layer) -> bytes:
+    """toProtobuf @Layer + wire put, ref Internal.hs:114-125."""
+    feats = [
+        (f.feature_id, f.metadata, f.geom_type, geom_to_stream(f.geom_type, f.geom))
+        for f in layer.features
+    ]
+    return encode_layer_from_streams(layer.name, feats, layer.version, layer.extent)
 
 
 def encode_tile(layers: list[Layer]) -> bytes:

@@ -1,0 +1,187 @@
+"""Distributed deduplication operators: exact, MinHash+LSH, SimHash.
+
+Design for 100 TB: everything is Column algebra — shingling is
+split/transform, hashing is xxhash64, the H minhash "permutations" are H
+aggregate expressions over ONE exploded shingle relation (a single shuffle
+keyed by doc_id), and LSH banding turns the quadratic candidate search into
+an equi-join on (band_id, band_key). No Python executes per row.
+
+Exact dedup is in plans/queries_text.py (md5 groupBy). Embedding-cosine
+near-dup is in operators/similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# universal-hash family over 31-bit hashes: (a*h + b) mod P with P = 2^31-1
+# (Mersenne prime). 31-bit h and a < P keep a*h+b < 2^62 — no int64 overflow
+# under Spark's default ANSI arithmetic.
+_P = 2147483647
+_H = 64            # minhash signature length
+_BANDS = 16        # 16 bands x 4 rows: catches jaccard >~ 0.5
+_ROWS = _H // _BANDS
+
+
+def _hash_params(n: int, seed: int = 1234567):
+    """Deterministic (a, b) pairs via splitmix-style integer mixing."""
+    out = []
+    x = seed
+    for _ in range(n):
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = 1 + x % (_P - 1)
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = x % _P
+        out.append((a, b))
+    return out
+
+
+def shingle_docs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3) -> DataFrame:
+    """(doc_id, shingle_hash64) — distinct word-k-gram shingles, hashed JVM-side."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(shingles).alias("shingle"))
+        .filter(F.col("shingle") != "")
+        .select("doc_id", (F.xxhash64("shingle").bitwiseAND(F.lit(0x7FFFFFFF))).alias("h31"))
+        .distinct()
+    )
+
+
+def minhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3) -> DataFrame:
+    """MinHash signature as H columns mh0..mh{H-1}: one groupBy over the
+    exploded shingle relation, H min() aggregates (map-side combinable)."""
+    sh = shingle_docs(docs, id_col, text_col, k)
+    params = _hash_params(_H)
+    aggs = [
+        F.min(F.pmod(F.col("h31") * F.lit(a) + F.lit(b), F.lit(_P))).alias(f"mh{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_near_dups(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    k: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs via LSH banding + signature-similarity filter.
+
+    Pipeline: signatures -> explode into (doc_id, band_id, band_key) where
+    band_key hashes the band's rows -> self-equi-join on (band_id, band_key)
+    (the LSH candidate generator) -> estimate Jaccard as the fraction of
+    agreeing minhashes -> keep pairs >= threshold.
+
+    Output: (doc_a, doc_b, est_jaccard) with doc_a < doc_b.
+    """
+    sig = minhash_signatures(docs, id_col, text_col, k).cache()
+    band_rows = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.xxhash64(*[F.col(f"mh{b * _ROWS + r}") for r in range(_ROWS)]).alias("band_key"),
+        )
+        for b in range(_BANDS)
+    ]
+    banded = sig.select("doc_id", F.explode(F.array(*band_rows)).alias("band")).select(
+        "doc_id", "band.band_id", "band.band_key"
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(_H)])
+    sb = sig.select(F.col("doc_id").alias("doc_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(_H)])
+    agree = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(_H)
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("est_jaccard", F.round(agree / F.lit(float(_H)), 6))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("doc_a", "doc_b", "est_jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def simhash_fingerprints(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash per doc: explode tokens, hash once, then 64
+    sign-sum aggregates recombined into one BIGINT — single shuffle,
+    map-side partial aggregation on every bit column."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    tok = docs.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("t")).filter(
+        F.col("t") != ""
+    )
+    hashed = tok.select("doc_id", F.xxhash64("t").alias("h"))
+    bit_aggs = [
+        F.sum(
+            F.when(F.shiftrightunsigned(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{i}")
+        for i in range(64)
+    ]
+    sums = hashed.groupBy("doc_id").agg(*bit_aggs)
+    fp = sum(
+        F.when(F.col(f"s{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+        for i in range(63)  # bit 63 kept clear: fingerprint stays non-negative
+    )
+    return sums.select("doc_id", fp.alias("simhash"))
+
+
+def simhash_near_dups(docs: DataFrame, max_hamming: int = 6, n_blocks: int = 8) -> DataFrame:
+    """SimHash near-dups via block-permutation LSH: split the 64-bit
+    fingerprint into n_blocks 8-bit blocks; by pigeonhole, any pair within
+    max_hamming <= n_blocks - 1 bits shares at least one exact block —
+    equi-join per block, then exact popcount filter."""
+    fp = simhash_fingerprints(docs).cache()
+    blocks = fp.select(
+        "doc_id", "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("block_id"),
+                    F.shiftrightunsigned(F.col("simhash"), i * 8).bitwiseAND(F.lit(255)).alias("block_val"),
+                )
+                for i in range(n_blocks)
+            ])
+        ).alias("blk"),
+    ).select("doc_id", "simhash", "blk.block_id", "blk.block_val")
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.block_id") == F.col("b.block_id"))
+            & (F.col("a.block_val") == F.col("b.block_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )

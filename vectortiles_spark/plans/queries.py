@@ -1,0 +1,506 @@
+"""The engine's query battery: Spark implementation + DuckDB oracle pairs.
+
+Each entry exercises one operator family from SURVEY.md §2 over the driver's
+parquet tables. Spark results must match the oracle SQL value-for-value, so:
+
+* every computed column is aliased identically on both sides;
+* floating aggregates are rounded on both sides;
+* geo derivations use PURE ARITHMETIC (equirectangular tiles, integer-key
+  derived lon/lat) so float64 results are bit-identical across engines —
+  the WebMercator/trig path is validated separately in pytest against the
+  NumPy twins (tests/test_tiles_cells.py) and used by the non-oracle MVT
+  queries.
+
+Spark DataFrame code is the primary implementation; the oracle is ANSI SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def load(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    return [spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names]
+
+
+# Deterministic lon/lat from an integer key: two-decimal grid, exact in f64.
+# Same formula emitted to SQL by _LON/_LAT below.
+def lon_of(key):  # [-180, 180)
+    return (F.pmod(key * 9973, F.lit(36000)) / 100.0 - 180.0).alias("lon")
+
+
+def lat_of(key):  # [-85, 85)
+    return (F.pmod(key * 7919, F.lit(17000)) / 100.0 - 85.0).alias("lat")
+
+
+def _sql_lon(key: str) -> str:
+    return f"(({key} * 9973) % 36000) / 100.0 - 180.0"
+
+
+def _sql_lat(key: str) -> str:
+    return f"(({key} * 7919) % 17000) / 100.0 - 85.0"
+
+
+# Equirectangular tile ids: pure +-*/ floor, bit-identical across engines.
+def eq_tile_x(lon, z: int):
+    n = float(1 << z)
+    return F.least(F.floor((lon + 180.0) / 360.0 * n), F.lit((1 << z) - 1)).cast("int")
+
+
+def eq_tile_y(lat, z: int):
+    n = float(1 << z)
+    return F.least(F.floor((85.0 - lat) / 170.0 * n), F.lit((1 << z) - 1)).cast("int")
+
+
+def _sql_eq_tile_x(lon: str, z: int) -> str:
+    return f"cast(least(floor(({lon} + 180.0) / 360.0 * {float(1 << z)}), {(1 << z) - 1}) as int)"
+
+
+def _sql_eq_tile_y(lat: str, z: int) -> str:
+    return f"cast(least(floor((85.0 - ({lat})) / 170.0 * {float(1 << z)}), {(1 << z) - 1}) as int)"
+
+
+# ---------------- relational core (SURVEY.md §2.D2, D9) ----------------
+
+
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: the canonical groupBy aggregate (map-side partial agg,
+    single shuffle on the group keys)."""
+    (li,) = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q01_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                   AS sum_qty,
+       round(sum(l_extendedprice), 2)                              AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+       count(*)                                                    AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q03_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join + aggregate: customer (broadcast) ⋈ orders ⋈ lineitem."""
+    cust, orders, li = load(spark, sf_dir, "customer", "orders", "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+Q03_SQL = """
+SELECT c_mktsegment,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(DISTINCT o_orderkey)                        AS n_orders
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+def q05_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join through two broadcast dims (region -> nation -> customer)."""
+    region, nation, cust, orders, li = load(
+        spark, sf_dir, "region", "nation", "customer", "orders", "lineitem"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy("r_name")
+    )
+
+
+Q05_SQL = """
+SELECT r_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name
+ORDER BY r_name
+"""
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per key via window row_number (the kNN/top-k primitive)."""
+    (events,) = load(spark, sf_dir, "events")
+    per_user = events.groupBy("event_type", "user_id").agg(
+        F.round(F.sum("value"), 4).alias("total_value")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("total_value").desc(), F.col("user_id").asc()
+    )
+    return (
+        per_user.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("event_type", "user_id", "total_value", "rank")
+        .orderBy("event_type", "rank")
+    )
+
+
+Q_TOPK_SQL = """
+WITH per_user AS (
+  SELECT event_type, user_id, round(sum(value), 4) AS total_value
+  FROM events GROUP BY event_type, user_id
+)
+SELECT event_type, user_id, total_value, rank FROM (
+  SELECT event_type, user_id, total_value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY total_value DESC, user_id ASC) AS rank
+  FROM per_user
+) WHERE rank <= 3
+ORDER BY event_type, rank
+"""
+
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS as left_semi: customers that placed a high-value order."""
+    cust, orders = load(spark, sf_dir, "customer", "orders")
+    big = orders.filter(F.col("o_totalprice") > 200000).select("o_custkey")
+    return (
+        cust.join(big, cust.c_custkey == big.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+Q_SEMI_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 200000)
+ORDER BY c_custkey
+"""
+
+
+def q_anti_join_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS as left_anti — the checkpoint/resume primitive (SURVEY.md
+    §2.D11): work units minus the completed-manifest set."""
+    orders, li = load(spark, sf_dir, "orders", "lineitem")
+    done = orders.filter(F.pmod(F.col("o_orderkey"), F.lit(10)) < 3).select("o_orderkey")
+    return (
+        li.join(done, li.l_orderkey == done.o_orderkey, "left_anti")
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("remaining_items"))
+        .orderBy("l_returnflag")
+    )
+
+
+Q_ANTI_SQL = """
+SELECT l_returnflag, count(*) AS remaining_items
+FROM lineitem
+WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderkey % 10 < 3)
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregate (grouping-sets family)."""
+    nation, cust, orders = load(spark, sf_dir, "nation", "customer", "orders")
+    joined = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    )
+    return (
+        joined.rollup("n_name", "o_orderstatus")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total"), F.count("*").alias("n"))
+        .orderBy(F.col("n_name").asc_nulls_first(), F.col("o_orderstatus").asc_nulls_first())
+    )
+
+
+Q_ROLLUP_SQL = """
+SELECT n_name, o_orderstatus, round(sum(o_totalprice), 2) AS total, count(*) AS n
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY ROLLUP (n_name, o_orderstatus)
+ORDER BY n_name ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST
+"""
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling time-window aggregate (batch twin of the streaming op)."""
+    (events,) = load(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type")
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .orderBy("hour", "event_type")
+    )
+
+
+Q_EVENTS_HOURLY_SQL = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n, round(sum(value), 4) AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY hour, event_type
+"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: lag + gap>30min cumsum — the stateful-streaming
+    semantics expressed as batch windows."""
+    (events,) = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))) > 1800
+    sess = events.withColumn("new_sess", F.when(gap, 1).otherwise(0)).withColumn(
+        "session_id", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("n_events"))
+        .groupBy("n_events")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy("n_events")
+    )
+
+
+Q_SESSIONIZE_SQL = """
+WITH lagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), sessions AS (
+  SELECT user_id,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM lagged
+), per_session AS (
+  SELECT user_id, session_id, count(*) AS n_events FROM sessions GROUP BY 1, 2
+)
+SELECT n_events, count(*) AS n_sessions FROM per_session GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------- geo operators (SURVEY.md §2.D3, D5, D6) ----------------
+
+_Z = 6
+
+
+def q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile assignment + per-tile counts (D3's oracle-checkable twin)."""
+    (cust,) = load(spark, sf_dir, "customer")
+    pts = cust.select(
+        "c_custkey", lon_of(F.col("c_custkey")), lat_of(F.col("c_custkey"))
+    )
+    return (
+        pts.select(
+            eq_tile_x(F.col("lon"), _Z).alias("tile_x"),
+            eq_tile_y(F.col("lat"), _Z).alias("tile_y"),
+        )
+        .groupBy("tile_x", "tile_y")
+        .agg(F.count("*").alias("n_points"))
+        .orderBy("tile_x", "tile_y")
+    )
+
+
+Q_TILE_ASSIGN_SQL = f"""
+WITH pts AS (
+  SELECT c_custkey, {_sql_lon('c_custkey')} AS lon, {_sql_lat('c_custkey')} AS lat
+  FROM customer
+)
+SELECT {_sql_eq_tile_x('lon', _Z)} AS tile_x,
+       {_sql_eq_tile_y('lat', _Z)} AS tile_y,
+       count(*) AS n_points
+FROM pts
+GROUP BY 1, 2
+ORDER BY tile_x, tile_y
+"""
+
+
+def q_pip_rect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-polygon join against a broadcast set of axis-aligned boxes
+    (the coarse stage of the spatial hash join; exact ray-cast refinement
+    for arbitrary rings is exercised in pytest + the MVT pipeline)."""
+    (cust,) = load(spark, sf_dir, "customer")
+    boxes = spark.createDataFrame(
+        [
+            ("nyc", -75.0, -73.0, 39.5, 41.5),
+            ("europe", -10.0, 30.0, 35.0, 60.0),
+            ("andes", -80.0, -60.0, -40.0, 0.0),
+        ],
+        "region_name string, lon_min double, lon_max double, lat_min double, lat_max double",
+    )
+    pts = cust.select("c_custkey", lon_of(F.col("c_custkey")), lat_of(F.col("c_custkey")))
+    return (
+        pts.join(
+            F.broadcast(boxes),
+            (F.col("lon") >= F.col("lon_min")) & (F.col("lon") < F.col("lon_max"))
+            & (F.col("lat") >= F.col("lat_min")) & (F.col("lat") < F.col("lat_max")),
+        )
+        .groupBy("region_name")
+        .agg(F.count("*").alias("n_inside"))
+        .orderBy("region_name")
+    )
+
+
+Q_PIP_RECT_SQL = f"""
+WITH pts AS (
+  SELECT c_custkey, {_sql_lon('c_custkey')} AS lon, {_sql_lat('c_custkey')} AS lat
+  FROM customer
+), boxes(region_name, lon_min, lon_max, lat_min, lat_max) AS (
+  VALUES ('nyc', -75.0, -73.0, 39.5, 41.5),
+         ('europe', -10.0, 30.0, 35.0, 60.0),
+         ('andes', -80.0, -60.0, -40.0, 0.0)
+)
+SELECT region_name, count(*) AS n_inside
+FROM pts JOIN boxes
+  ON lon >= lon_min AND lon < lon_max AND lat >= lat_min AND lat < lat_max
+GROUP BY region_name
+ORDER BY region_name
+"""
+
+
+def q_knn_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN over cell-ring neighborhoods (D6): suppliers are queries,
+    customers are candidates; candidate generation = explode of the 3x3
+    neighbor tiles at z, refinement = squared equirect distance, top-k per
+    query via window. Semantics: k nearest WITHIN the ring-1 neighborhood
+    (bounded-radius kNN), identical on both sides by construction."""
+    z = 4
+    k = 5
+    cust, supp = load(spark, sf_dir, "customer", "supplier")
+    cand = cust.select(
+        F.col("c_custkey"),
+        lon_of(F.col("c_custkey")),
+        lat_of(F.col("c_custkey")),
+    ).withColumns(
+        {
+            "cand_tx": eq_tile_x(F.col("lon"), z),
+            "cand_ty": eq_tile_y(F.col("lat"), z),
+        }
+    )
+    queries = supp.select(
+        F.col("s_suppkey"),
+        lon_of(F.col("s_suppkey")).alias("q_lon"),
+        lat_of(F.col("s_suppkey")).alias("q_lat"),
+    ).withColumns(
+        {
+            "q_tx": eq_tile_x(F.col("q_lon"), z),
+            "q_ty": eq_tile_y(F.col("q_lat"), z),
+        }
+    )
+    offsets = spark.createDataFrame(
+        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)], "dx int, dy int"
+    )
+    probes = queries.crossJoin(F.broadcast(offsets)).select(
+        "s_suppkey", "q_lon", "q_lat",
+        (F.col("q_tx") + F.col("dx")).alias("cand_tx"),
+        (F.col("q_ty") + F.col("dy")).alias("cand_ty"),
+    )
+    joined = probes.join(cand, ["cand_tx", "cand_ty"]).withColumn(
+        "dist2",
+        F.round(
+            (F.col("lon") - F.col("q_lon")) ** 2 + (F.col("lat") - F.col("q_lat")) ** 2, 8
+        ),
+    )
+    w = Window.partitionBy("s_suppkey").orderBy(F.col("dist2").asc(), F.col("c_custkey").asc())
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("s_suppkey", "c_custkey", "dist2", "rank")
+        .orderBy("s_suppkey", "rank")
+    )
+
+
+Q_KNN_SQL = f"""
+WITH cand AS (
+  SELECT c_custkey, {_sql_lon('c_custkey')} AS lon, {_sql_lat('c_custkey')} AS lat
+  FROM customer
+), cand_t AS (
+  SELECT c_custkey, lon, lat,
+         {_sql_eq_tile_x('lon', 4)} AS cand_tx, {_sql_eq_tile_y('lat', 4)} AS cand_ty
+  FROM cand
+), queries AS (
+  SELECT s_suppkey, {_sql_lon('s_suppkey')} AS q_lon, {_sql_lat('s_suppkey')} AS q_lat
+  FROM supplier
+), queries_t AS (
+  SELECT s_suppkey, q_lon, q_lat,
+         {_sql_eq_tile_x('q_lon', 4)} AS q_tx, {_sql_eq_tile_y('q_lat', 4)} AS q_ty
+  FROM queries
+), offsets(dx, dy) AS (
+  VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)
+), probes AS (
+  SELECT s_suppkey, q_lon, q_lat, q_tx + dx AS cand_tx, q_ty + dy AS cand_ty
+  FROM queries_t CROSS JOIN offsets
+), joined AS (
+  SELECT s_suppkey, c_custkey,
+         round((lon - q_lon) * (lon - q_lon) + (lat - q_lat) * (lat - q_lat), 8) AS dist2
+  FROM probes JOIN cand_t USING (cand_tx, cand_ty)
+)
+SELECT s_suppkey, c_custkey, dist2, rank FROM (
+  SELECT s_suppkey, c_custkey, dist2,
+         row_number() OVER (PARTITION BY s_suppkey ORDER BY dist2 ASC, c_custkey ASC) AS rank
+  FROM joined
+) WHERE rank <= 5
+ORDER BY s_suppkey, rank
+"""
+
+
+def q_cell_colocate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial equi-join on cell id: customer/supplier pairs per tile —
+    the 'spatial predicate as hash join' pattern (SURVEY.md §4.1)."""
+    z = 5
+    cust, supp = load(spark, sf_dir, "customer", "supplier")
+    c = cust.select(
+        eq_tile_x(lon_of(F.col("c_custkey")), z).alias("tx"),
+        eq_tile_y(lat_of(F.col("c_custkey")), z).alias("ty"),
+    ).groupBy("tx", "ty").agg(F.count("*").alias("n_cust"))
+    s = supp.select(
+        eq_tile_x(lon_of(F.col("s_suppkey")), z).alias("tx"),
+        eq_tile_y(lat_of(F.col("s_suppkey")), z).alias("ty"),
+    ).groupBy("tx", "ty").agg(F.count("*").alias("n_supp"))
+    return c.join(s, ["tx", "ty"]).orderBy("tx", "ty")
+
+
+Q_CELL_COLOCATE_SQL = f"""
+WITH c AS (
+  SELECT {_sql_eq_tile_x(_sql_lon('c_custkey'), 5)} AS tx,
+         {_sql_eq_tile_y(_sql_lat('c_custkey'), 5)} AS ty,
+         count(*) AS n_cust
+  FROM customer GROUP BY 1, 2
+), s AS (
+  SELECT {_sql_eq_tile_x(_sql_lon('s_suppkey'), 5)} AS tx,
+         {_sql_eq_tile_y(_sql_lat('s_suppkey'), 5)} AS ty,
+         count(*) AS n_supp
+  FROM supplier GROUP BY 1, 2
+)
+SELECT tx, ty, n_cust, n_supp FROM c JOIN s USING (tx, ty)
+ORDER BY tx, ty
+"""

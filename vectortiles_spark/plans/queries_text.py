@@ -1,0 +1,333 @@
+"""Training-data pipeline operators over documents/embeddings: dedup,
+text analysis, similarity search — each as a Spark implementation + DuckDB
+oracle pair (value-checked), per the engine's data-pipeline charter.
+
+Scale notes are in each docstring; the common theme: everything is
+expressed as JVM-side Column algebra (split/filter/explode/groupBy), no
+Python in the hot path, and every self-join is bucketed by a candidate key
+(shingle, band, cell) so the quadratic blow-up never materializes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .queries import load
+
+_STOP_EN = ("the", "a", "of", "and", "to", "in")
+_STOP_DE = ("der", "die", "das", "und", "zu", "ein")
+_STOP_FR = ("le", "la", "et", "les", "de", "un")
+
+
+def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents plus a deterministic duplicated shard (ids offset by 10^6) —
+    gives exact-dedup something real to find; the oracle builds the same."""
+    (docs,) = load(spark, sf_dir, "documents")
+    clone = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    return docs.unionAll(clone)
+
+
+_DUP_CORPUS_SQL = """
+  SELECT doc_id, text, lang, source, n_chars FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars FROM documents
+"""
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content fingerprint, keep min doc_id.
+
+    At 100 TB this is the one-shuffle dedup: md5 is computed map-side,
+    the groupBy shuffles only (fingerprint, doc_id) pairs — never text."""
+    corpus = _dup_corpus(spark, sf_dir)
+    return (
+        corpus.select(F.md5(F.col("text")).alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+        .orderBy("keep_id")
+    )
+
+
+Q_DEDUP_EXACT_SQL = f"""
+WITH corpus AS ({_DUP_CORPUS_SQL})
+SELECT md5(text) AS fingerprint, min(doc_id) AS keep_id, count(*) AS n_copies
+FROM corpus
+GROUP BY md5(text)
+ORDER BY keep_id
+"""
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokenization + per-source token stats."""
+    (docs,) = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens")
+    )
+    return (
+        toks.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+Q_TOKEN_COUNT_SQL = r"""
+WITH toks AS (
+  SELECT source, len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+  FROM documents
+)
+SELECT source, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+       max(n_tokens) AS max_tokens
+FROM toks GROUP BY source ORDER BY source
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length + stopword-ratio heuristics, bucketed.
+
+    score = 100 * stopword_tokens / tokens, floored to buckets of 5."""
+    (docs,) = load(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    stop_arr = F.array(*[F.lit(w) for w in _STOP_EN])
+    n_stop = F.size(F.array_intersect(F.array_distinct(toks), stop_arr))
+    scored = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        n_stop.alias("n_stop_kinds"),
+        (F.floor(F.col("n_chars") / 100) * 100).alias("len_bucket"),
+    )
+    return (
+        scored.groupBy("len_bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+            F.round(F.avg("n_stop_kinds"), 4).alias("avg_stop_kinds"),
+        )
+        .orderBy("len_bucket")
+    )
+
+
+Q_TEXT_QUALITY_SQL = rf"""
+WITH scored AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(lower(trim(text)), '\s+')) AS n_tokens,
+         len(list_intersect(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')),
+                            {list(_STOP_EN)!r})) AS n_stop_kinds,
+         floor(n_chars / 100) * 100 AS len_bucket
+  FROM documents
+)
+SELECT len_bucket, count(*) AS n_docs,
+       round(avg(n_tokens), 4) AS avg_tokens,
+       round(avg(n_stop_kinds), 4) AS avg_stop_kinds
+FROM scored GROUP BY len_bucket ORDER BY len_bucket
+"""
+
+
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID by stopword-family hits (n-gram heuristic family):
+    argmax over per-language distinct-stopword counts, deterministic
+    tiebreak en > de > fr."""
+    (docs,) = load(spark, sf_dir, "documents")
+    toks = F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+
+    def hits(words):
+        return F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
+
+    scored = docs.select(
+        "doc_id", "lang",
+        hits(_STOP_EN).alias("s_en"), hits(_STOP_DE).alias("s_de"), hits(_STOP_FR).alias("s_fr"),
+    )
+    pred = F.when(
+        (F.col("s_en") >= F.col("s_de")) & (F.col("s_en") >= F.col("s_fr")), F.lit("en")
+    ).when(F.col("s_de") >= F.col("s_fr"), F.lit("de")).otherwise(F.lit("fr"))
+    return (
+        scored.withColumn("lang_pred", pred)
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang", "lang_pred")
+    )
+
+
+Q_LANGID_SQL = rf"""
+WITH scored AS (
+  SELECT doc_id, lang,
+    len(list_intersect(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')), {list(_STOP_EN)!r})) AS s_en,
+    len(list_intersect(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')), {list(_STOP_DE)!r})) AS s_de,
+    len(list_intersect(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')), {list(_STOP_FR)!r})) AS s_fr
+  FROM documents
+), pred AS (
+  SELECT lang,
+         CASE WHEN s_en >= s_de AND s_en >= s_fr THEN 'en'
+              WHEN s_de >= s_fr THEN 'de'
+              ELSE 'fr' END AS lang_pred
+  FROM scored
+)
+SELECT lang, lang_pred, count(*) AS n FROM pred GROUP BY 1, 2 ORDER BY lang, lang_pred
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection by word-3-gram Jaccard over a shingle-bucketed
+    self-join: explode distinct shingles, equi-join on shingle (the
+    candidate generator — only docs sharing a shingle ever meet), then
+    exact Jaccard = |∩| / (|A| + |B| - |∩|) >= 0.5.
+
+    This is the scalable exact-Jaccard plan: the join key is the shingle,
+    so the shuffle is linear in total shingles, not quadratic in docs."""
+    (docs,) = load(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    sh = docs.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - 3),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
+            )
+        ).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
+    exploded = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6),
+        )
+        .filter(F.col("jaccard") >= 0.2)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+Q_NGRAM_JACCARD_SQL = r"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, len(regexp_split_to_array(lower(trim(text)), '\s+')) - 2),
+           i -> regexp_split_to_array(lower(trim(text)), '\s+')[i] || ' ' ||
+                regexp_split_to_array(lower(trim(text)), '\s+')[i+1] || ' ' ||
+                regexp_split_to_array(lower(trim(text)), '\s+')[i+2]
+         )) AS shingles
+  FROM documents
+), sh2 AS (
+  SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0
+), exploded AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh2
+), common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM exploded a JOIN exploded b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), sizes AS (
+  SELECT doc_id, len(shingles) AS n_sh FROM sh2
+)
+SELECT doc_a, doc_b, n_common,
+       round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.2
+ORDER BY doc_a, doc_b
+"""
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k ANN baseline (SURVEY-charter similarity
+    search): 8 query vectors broadcast against all embeddings, dot/norm via
+    JVM-side higher-order functions (zip_with + aggregate — no Python),
+    top-10 per query via window.
+
+    At scale: the broadcast side is the queries (small); candidates stream;
+    the only shuffle is the per-query top-k, which AQE keeps tiny."""
+    (emb,) = load(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    cand = emb.select("vec_id", "embedding")
+    dot = F.aggregate(
+        F.zip_with("q_emb", "embedding", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    joined = (
+        cand.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(dot / (norm(F.col("q_emb")) * norm(F.col("embedding"))), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "vec_id", "cosine", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+Q_COSINE_TOPK_SQL = """
+WITH qs AS (
+  SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8
+), scored AS (
+  SELECT query_id, vec_id,
+         round(
+           list_dot_product(q_emb::DOUBLE[], embedding::DOUBLE[]) /
+           (sqrt(list_dot_product(q_emb::DOUBLE[], q_emb::DOUBLE[])) *
+            sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))),
+           6) AS cosine
+  FROM embeddings CROSS JOIN qs
+  WHERE vec_id != query_id
+)
+SELECT query_id, vec_id, cosine, rank FROM (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 10
+ORDER BY query_id, rank
+"""
+
+
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector aggregate: per-label centroid norms — posexplode + groupBy
+    (the embedding-stats shape: unnest once, aggregate columnar)."""
+    (emb,) = load(spark, sf_dir, "embeddings")
+    pos = emb.select("label", F.posexplode("embedding").alias("dim", "v"))
+    cent = pos.groupBy("label", "dim").agg(F.avg(F.col("v").cast("double")).alias("c"))
+    return (
+        cent.groupBy("label")
+        .agg(F.round(F.sqrt(F.sum(F.col("c") * F.col("c"))), 6).alias("centroid_norm"))
+        .orderBy("label")
+    )
+
+
+Q_LABEL_CENTROIDS_SQL = """
+WITH pos AS (
+  SELECT label, unnest(embedding) AS v,
+         generate_subscripts(embedding, 1) - 1 AS dim
+  FROM embeddings
+), cent AS (
+  SELECT label, dim, avg(v) AS c FROM pos GROUP BY 1, 2
+)
+SELECT label, round(sqrt(sum(c * c)), 6) AS centroid_norm
+FROM cent GROUP BY label ORDER BY label
+"""
