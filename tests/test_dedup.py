@@ -1,0 +1,97 @@
+"""Dedup operators vs brute-force oracles on a corpus with planted near-dups."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from vectortiles_spark.operators import dedup
+
+_WORDS = "alpha beta gamma delta epsilon zeta eta theta iota kappa mu nu xi pi rho".split()
+
+
+def _corpus(n=60, seed=5):
+    """Docs in dissimilar random families + planted near-dup pairs."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    texts = []
+    for i in range(n):
+        words = [_WORDS[j] for j in rng.integers(0, len(_WORDS), 40)]
+        texts.append(" ".join(words))
+    # planted near-dups: copy with small perturbations
+    pairs = []
+    for i in range(0, 10, 2):
+        words = texts[i].split()
+        words[3] = "OMEGA"  # one-word change -> very high jaccard
+        texts[i + 1] = " ".join(words)
+        pairs.append((i, i + 1))
+    return pd.DataFrame({"doc_id": range(n), "text": texts}), pairs
+
+
+def _shingles(text, k=3):
+    toks = text.lower().split()
+    return {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
+
+
+def _brute_jaccard_pairs(pdf, thresh):
+    sh = {r.doc_id: _shingles(r.text) for r in pdf.itertuples()}
+    out = set()
+    ids = sorted(sh)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sh[a] & sh[b])
+            if inter == 0:
+                continue
+            j = inter / (len(sh[a]) + len(sh[b]) - inter)
+            if j >= thresh:
+                out.add((a, b))
+    return out
+
+
+def test_minhash_finds_planted_dups(spark):
+    pdf, planted = _corpus()
+    docs = spark.createDataFrame(pdf)
+    got = {(r.doc_a, r.doc_b) for r in dedup.minhash_near_dups(docs, threshold=0.5).collect()}
+    for pair in planted:
+        assert pair in got, f"planted near-dup {pair} missed"
+    # no false positives below true jaccard ~0.35
+    truth = _brute_jaccard_pairs(pdf, 0.35)
+    assert got <= truth, f"false positives: {got - truth}"
+
+
+def test_minhash_estimate_close_to_true_jaccard(spark):
+    pdf, planted = _corpus()
+    docs = spark.createDataFrame(pdf)
+    rows = dedup.minhash_near_dups(docs, threshold=0.5).collect()
+    sh = {r.doc_id: _shingles(r.text) for r in pdf.itertuples()}
+    for r in rows:
+        inter = len(sh[r.doc_a] & sh[r.doc_b])
+        true_j = inter / (len(sh[r.doc_a]) + len(sh[r.doc_b]) - inter)
+        assert abs(r.est_jaccard - true_j) < 0.25  # 64-hash estimator noise
+
+
+def test_simhash_exact_dup_distance_zero(spark):
+    pdf, _ = _corpus(20)
+    clone = pdf.copy()
+    clone["doc_id"] += 1000
+    docs = spark.createDataFrame(pd.concat([pdf, clone]))
+    fp = {r.doc_id: r.simhash for r in dedup.simhash_fingerprints(docs).collect()}
+    for i in range(20):
+        assert fp[i] == fp[i + 1000]
+    assert all(v >= 0 for v in fp.values())
+
+
+def test_simhash_near_dups_catch_exact_clones(spark):
+    pdf, _ = _corpus(20)
+    clone = pdf.copy()
+    clone["doc_id"] += 1000
+    docs = spark.createDataFrame(pd.concat([pdf, clone]))
+    got = {(r.doc_a, r.doc_b) for r in dedup.simhash_near_dups(docs, max_hamming=3).collect()}
+    for i in range(20):
+        assert (i, i + 1000) in got
+
+
+def test_minhash_signature_stable_across_partitioning(spark):
+    pdf, _ = _corpus(30)
+    one = dedup.minhash_signatures(spark.createDataFrame(pdf).repartition(1))
+    many = dedup.minhash_signatures(spark.createDataFrame(pdf).repartition(7))
+    assert sorted(map(tuple, one.collect())) == sorted(map(tuple, many.collect()))

@@ -1,0 +1,92 @@
+"""Iceberg-lite manifests + checkpoint/resume (kill-resume semantics)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from vectortiles_spark.operators import resume, tiling
+from vectortiles_spark.sources.iceberg_lite import IcebergLiteTable
+from vectortiles_spark.sources.synth import images_df
+
+
+def test_iceberg_lite_snapshots_and_manifest(spark, tmp_path):
+    t = IcebergLiteTable(spark, str(tmp_path / "tbl"))
+    df1 = spark.range(0, 100).withColumn("part", F.pmod("id", F.lit(4)))
+    s1 = t.append(df1, partition_by="part")
+    assert s1 == 1
+    assert t.read().count() == 100
+    df2 = spark.range(100, 150).withColumn("part", F.pmod("id", F.lit(4)))
+    s2 = t.append(df2, partition_by="part")
+    assert s2 == 2
+    assert t.read().count() == 150
+    # time travel: snapshot 1 view unchanged
+    assert t.read(snapshot_id=1).count() == 100
+    # manifest metadata: per-file row counts sum to the data
+    m = t.manifest()
+    assert m.row_count.sum() == 150
+    assert set(m.partition_key) == {"0", "1", "2", "3"}
+    snaps = t.snapshots()
+    assert snaps.total_rows.tolist() == [100, 150]
+    assert snaps.parent_id.tolist() == [-1, 1]
+
+
+def test_iceberg_lite_partition_pruned_read(spark, tmp_path):
+    t = IcebergLiteTable(spark, str(tmp_path / "tbl2"))
+    df = spark.range(0, 80).withColumn("part", F.pmod("id", F.lit(4)))
+    t.append(df, partition_by="part")
+    files_all = t.files()
+    files_one = t.files(partition_values=["2"])
+    assert len(files_one) < len(files_all)
+    got = t.read(partition_values=["2"])
+    assert got.count() == 20
+
+
+def test_kill_resume_no_recompute(spark, tmp_path):
+    """Encode half the tiles, 'crash', resume: the second run must skip
+    every completed tile and the union must equal a clean full run."""
+    imgs = images_df(spark, 600, seed=42)
+    feats = tiling.point_features(
+        imgs, z=6, layer="images", feature_id=F.xxhash64("image_id")
+    ).cache()
+    ckpt = IcebergLiteTable(spark, str(tmp_path / "ckpt"))
+
+    # simulate partial completion: encode only tiles with even tile_x
+    partial = feats.filter(F.pmod("tile_x", F.lit(2)) == 0)
+    tiles1 = tiling.encode_tiles(partial)
+    s1 = resume.checkpoint_tiles(tiles1, ckpt, source_snapshot=0)
+    n_done = ckpt.read(s1).count()
+    assert n_done > 0
+
+    # resume over the FULL feature set: only odd-x tiles remain
+    todo = resume.resume_filter(feats, ckpt)
+    remaining_tiles = todo.select("tile_x").distinct().collect()
+    assert all(r.tile_x % 2 == 1 for r in remaining_tiles)
+    s2 = resume.run_with_resume(feats, ckpt, tiling.encode_tiles)
+    assert s2 == s1 + 1
+
+    # the checkpoint table now equals a clean full run (same keys + features)
+    full = {
+        (r.tile_x, r.tile_y): r.n_features
+        for r in tiling.encode_tiles(feats).collect()
+    }
+    ck = {
+        (r.tile_x, r.tile_y): r.n_features
+        for r in ckpt.read().select("tile_x", "tile_y", "n_features").collect()
+    }
+    assert ck == full
+
+    # lineage columns recorded
+    row = ckpt.read().select("lineage_stage").first()
+    assert row.lineage_stage == "mvt_encode"
+
+    # idempotent: a third resume adds nothing
+    s3 = resume.run_with_resume(feats, ckpt, tiling.encode_tiles)
+    assert s3 == s2
+    assert ckpt.read().count() == len(full)
+
+
+def test_resume_filter_on_empty_checkpoint(spark, tmp_path):
+    imgs = images_df(spark, 50, seed=1)
+    feats = tiling.point_features(imgs, z=4, layer="x")
+    ckpt = IcebergLiteTable(spark, str(tmp_path / "empty"))
+    assert resume.resume_filter(feats, ckpt).count() == feats.count()

@@ -1,0 +1,86 @@
+"""Similarity search: exact top-k vs NumPy, LSH recall vs exact."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from vectortiles_spark.operators import similarity
+
+DIM = 16
+
+
+def _vecs(n=200, seed=9):
+    rng = np.random.Generator(np.random.PCG64(seed))
+    m = rng.normal(size=(n, DIM)).astype(np.float32)
+    return pd.DataFrame({"vec_id": range(n), "embedding": [v.tolist() for v in m]})
+
+
+def _brute_topk(cand: pd.DataFrame, qs: pd.DataFrame, k: int):
+    cm = np.array(cand.embedding.tolist(), dtype=np.float64)
+    qm = np.array(qs.embedding.tolist(), dtype=np.float64)
+    cn = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    sims = qn @ cn.T
+    out = {}
+    for qi in range(len(qs)):
+        order = sorted(zip(-sims[qi], cand.vec_id))[:k]
+        out[int(qs.vec_id.iloc[qi])] = [int(v) for _, v in order]
+    return out
+
+
+def test_cosine_topk_matches_numpy(spark):
+    pdf = _vecs()
+    cand = spark.createDataFrame(pdf)
+    qs = spark.createDataFrame(
+        pdf.head(5).rename(columns={"vec_id": "query_id", "embedding": "q_emb"})
+    )
+    rows = similarity.cosine_topk(qs, cand, k=8).collect()
+    got = {}
+    for r in sorted(rows, key=lambda r: (r.query_id, r.rank)):
+        got.setdefault(r.query_id, []).append(r.vec_id)
+    assert got == _brute_topk(pdf, pdf.head(5).rename(columns={"vec_id": "vec_id"}), 8)
+
+
+def test_lsh_topk_recall(spark):
+    """LSH ANN must recover >= 60% of the true top-10 on random data
+    (and its hits must be real candidates with correct cosines)."""
+    pdf = _vecs(300)
+    cand = spark.createDataFrame(pdf)
+    q_pdf = pdf.head(8).rename(columns={"vec_id": "query_id", "embedding": "q_emb"})
+    qs = spark.createDataFrame(q_pdf)
+    exact = _brute_topk(pdf, pdf.head(8), 10)
+    # uniform-random vectors are LSH's worst case (no cluster structure):
+    # use coarse buckets (fewer bits) + more tables for candidate volume
+    approx_rows = similarity.lsh_topk(qs, cand, k=10, dim=DIM, n_bits=5, n_tables=12).collect()
+    approx = {}
+    for r in approx_rows:
+        approx.setdefault(r.query_id, set()).add(r.vec_id)
+    recalls = [
+        len(approx.get(q, set()) & set(t)) / len(t) for q, t in exact.items()
+    ]
+    assert np.mean(recalls) >= 0.6, recalls
+
+
+def test_embedding_near_dups_finds_planted(spark):
+    pdf = _vecs(100)
+    # plant 5 near-identical pairs
+    emb = pdf.embedding.tolist()
+    for i in range(5):
+        v = np.array(emb[i], dtype=np.float32)
+        v += np.float32(0.01) * np.sign(v)  # tiny perturbation, cosine ~ 0.999
+        row = {"vec_id": 1000 + i, "embedding": v.tolist()}
+        pdf = pd.concat([pdf, pd.DataFrame([row])], ignore_index=True)
+    df = spark.createDataFrame(pdf)
+    got = {(r.id_a, r.id_b) for r in similarity.embedding_near_dups(
+        df, threshold=0.98, dim=DIM, n_bits=8, n_tables=10
+    ).collect()}
+    for i in range(5):
+        assert (i, 1000 + i) in got
+    # verify no low-cosine false positives
+    cm = np.array(pdf.embedding.tolist(), dtype=np.float64)
+    ids = pdf.vec_id.tolist()
+    idx = {v: i for i, v in enumerate(ids)}
+    cn = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+    for a, b in got:
+        assert cn[idx[a]] @ cn[idx[b]] >= 0.98 - 1e-9

@@ -1,0 +1,125 @@
+"""Spatial join operators vs brute-force NumPy oracles."""
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from vectortiles_spark.mvt.geometry import points_in_ring
+from vectortiles_spark.operators.spatial_join import knn_join, pip_join
+
+
+def _points(n=400, seed=11):
+    rng = np.random.Generator(np.random.PCG64(seed))
+    return pd.DataFrame(
+        {
+            "pt_id": np.arange(n),
+            "lon": rng.uniform(-20, 20, n),
+            "lat": rng.uniform(-20, 20, n),
+        }
+    )
+
+
+_POLYS = [
+    # triangle
+    ("tri", [[[0.0, 0.0], [10.0, 0.0], [5.0, 12.0], [0.0, 0.0]]]),
+    # square with a square hole
+    (
+        "holed",
+        [
+            [[-15.0, -15.0], [-5.0, -15.0], [-5.0, -5.0], [-15.0, -5.0], [-15.0, -15.0]],
+            [[-12.0, -12.0], [-8.0, -12.0], [-8.0, -8.0], [-12.0, -8.0], [-12.0, -12.0]],
+        ],
+    ),
+    # concave L-shape
+    (
+        "ell",
+        [[[5.0, -18.0], [18.0, -18.0], [18.0, -5.0], [12.0, -5.0],
+          [12.0, -12.0], [5.0, -12.0], [5.0, -18.0]]],
+    ),
+]
+
+
+def _brute_pip(pts: pd.DataFrame):
+    out = set()
+    for pid, rings in _POLYS:
+        inside = np.zeros(len(pts), dtype=bool)
+        for ring in rings:
+            inside ^= points_in_ring(pts.lon.values, pts.lat.values, np.asarray(ring))
+        for i in np.flatnonzero(inside):
+            out.add((int(pts.pt_id.iloc[i]), pid))
+    return out
+
+
+def test_pip_join_matches_bruteforce(spark):
+    pts = _points()
+    points = spark.createDataFrame(pts)
+    polys = spark.createDataFrame(
+        [(pid, rings) for pid, rings in _POLYS],
+        "polygon_id string, rings array<array<array<double>>>",
+    )
+    got = {
+        (r.pt_id, r.polygon_id)
+        for r in pip_join(points, polys, z=5).select("pt_id", "polygon_id").collect()
+    }
+    assert got == _brute_pip(pts)
+
+
+def test_pip_join_hole_excluded(spark):
+    pts = pd.DataFrame({"pt_id": [0, 1], "lon": [-10.0, -14.0], "lat": [-10.0, -14.0]})
+    points = spark.createDataFrame(pts)
+    polys = spark.createDataFrame(
+        [p for p in _POLYS if p[0] == "holed"],
+        "polygon_id string, rings array<array<array<double>>>",
+    )
+    got = {(r.pt_id, r.polygon_id) for r in pip_join(points, polys, z=5).collect()}
+    assert got == {(1, "holed")}  # pt 0 sits in the hole
+
+
+def test_knn_join_matches_bruteforce_within_ring(spark):
+    cand_pdf = _points(300, seed=3).rename(columns={"pt_id": "cand_id"})
+    q_pdf = _points(10, seed=4).rename(columns={"pt_id": "query_id"})
+    candidates = spark.createDataFrame(cand_pdf)
+    queries = spark.createDataFrame(q_pdf)
+    z, ring, k = 4, 1, 5
+    got = knn_join(queries, candidates, k=k, z=z, ring=ring).collect()
+
+    # brute-force within the same tile neighborhood
+    n = 1 << z
+    def txy(lon, lat):
+        tx = np.minimum(np.floor((lon + 180) / 360 * n), n - 1).astype(int)
+        rad = np.radians(lat)
+        fy = (1 - np.arcsinh(np.tan(rad)) / np.pi) / 2 * n
+        ty = np.clip(np.floor(fy), 0, n - 1).astype(int)
+        return tx, ty
+
+    ctx, cty = txy(cand_pdf.lon.values, cand_pdf.lat.values)
+    qtx, qty = txy(q_pdf.lon.values, q_pdf.lat.values)
+    expected = {}
+    for qi in range(len(q_pdf)):
+        mask = (np.abs(ctx - qtx[qi]) <= ring) & (np.abs(cty - qty[qi]) <= ring)
+        d2 = (cand_pdf.lon.values - q_pdf.lon.values[qi]) ** 2 + (
+            cand_pdf.lat.values - q_pdf.lat.values[qi]
+        ) ** 2
+        order = sorted(
+            (float(d2[j]), int(cand_pdf.cand_id.iloc[j])) for j in np.flatnonzero(mask)
+        )[:k]
+        expected[int(q_pdf.query_id.iloc[qi])] = [c for _, c in order]
+    got_by_q = {}
+    for r in got:
+        got_by_q.setdefault(r.query_id, []).append((r.rank, r.cand_id))
+    got_by_q = {q: [c for _, c in sorted(v)] for q, v in got_by_q.items()}
+    assert got_by_q == {q: v for q, v in expected.items() if v}
+
+
+def test_knn_results_sorted_and_capped(spark):
+    candidates = spark.createDataFrame(_points(200, seed=5).rename(columns={"pt_id": "cand_id"}))
+    queries = spark.createDataFrame(_points(5, seed=6).rename(columns={"pt_id": "query_id"}))
+    rows = knn_join(queries, candidates, k=3, z=3).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert len(rs) <= 3
+        dists = [r.dist2 for r in rs]
+        assert dists == sorted(dists)

@@ -1,0 +1,71 @@
+"""Structured Streaming: stream output must equal the batch twin (which is
+itself DuckDB-oracle-checked in the driver battery)."""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from vectortiles_spark.plans.queries import q_events_hourly
+from vectortiles_spark.streaming import events as ev
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def events_dir(spark, tmp_path):
+    """Events split into several files so the stream sees multiple batches."""
+    out = str(tmp_path / "events_stream")
+    spark.read.parquet(f"{SF}/events.parquet").repartition(4).write.parquet(out)
+    return out
+
+
+def test_windowed_counts_stream_equals_batch(spark, events_dir):
+    stream = ev.read_events_stream(spark, events_dir, files_per_trigger=2)
+    agg = ev.windowed_counts(stream)
+    ev.run_stream_to_memory(agg, "win_out", output_mode="append")
+    got = {
+        (r.hour, r.event_type): (r.n, r.total_value)
+        for r in spark.sql("SELECT * FROM win_out").collect()
+    }
+    want = {
+        (r.hour, r.event_type): (r.n, r.total_value)
+        for r in q_events_hourly(spark, SF).collect()
+    }
+    # append mode only emits windows finalized by the watermark; the last
+    # (max_ts - watermark) windows stay open when the stream drains. Every
+    # emitted window must match the batch twin exactly, and the only
+    # missing ones must be in that open tail.
+    assert got, "stream emitted nothing"
+    for k, v in got.items():
+        assert want[k] == v
+    max_hour = max(h for h, _ in want)
+    import datetime
+
+    # a window [h, h+1h) is finalized only once watermark (max_ts - 2h)
+    # passes h+1h; with max_ts < max_hour+1h, windows from max_hour-3h on
+    # may legitimately still be open
+    cutoff = max_hour - datetime.timedelta(hours=3)
+    missing = set(want) - set(got)
+    assert all(h >= cutoff for h, _ in missing), missing
+
+
+def test_sessionize_stream_closes_sessions(spark, events_dir):
+    stream = ev.read_events_stream(spark, events_dir, files_per_trigger=4)
+    sess = ev.sessionize_stream(stream)
+    ev.run_stream_to_memory(sess, "sess_out", output_mode="append")
+    rows = spark.sql("SELECT * FROM sess_out").collect()
+    # closed sessions only (open tails are still in state) — each closed
+    # session must respect the 30-min gap rule vs the next one
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert rows, "no sessions closed — gap rule never triggered?"
+    for user, sessions in by_user.items():
+        sessions.sort(key=lambda r: r.session_id)
+        for a, b in zip(sessions, sessions[1:]):
+            assert b.session_id > a.session_id
+            assert (b.first_ts - a.last_ts).total_seconds() > ev.SESSION_GAP_S
+        for s in sessions:
+            assert s.n_events >= 1
+            assert s.first_ts <= s.last_ts

@@ -1,0 +1,185 @@
+"""Raster-tile -> vector-feature conversion (SURVEY.md §2.D7).
+
+A raster tile (single-band uint8 grid) is thresholded to a mask; the mask's
+region boundaries are traced into closed integer rings whose winding obeys
+the reference contract (exterior shoelace POSITIVE, holes NEGATIVE, under
+the top-left origin — Geometry.hs:58-74); rings are grouped into polygons
+(exterior + its holes); polygons become MVT command streams ready for the
+tile sink.
+
+Tracing walks directed boundary edges (interior on the left), which makes
+orientation automatic: outer boundaries come out positive, hole boundaries
+negative — the exact sign convention surveyor (C15) classifies by. Edge
+extraction is vectorized NumPy; only the loop-chaining walks a dict (linear
+in boundary length, not grid area).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame
+
+from ..mvt.geometry import GEOM_POLYGON, geom_to_stream, points_in_ring, surveyor
+from .tiling import FEATURE_SCHEMA
+
+# direction vectors: 0=right 1=down 2=left 3=up (x right, y down)
+_DXY = {0: (1, 0), 1: (0, 1), 2: (-1, 0), 3: (0, -1)}
+
+
+def _boundary_edges(mask: np.ndarray) -> dict:
+    """Directed boundary edges with interior on the LEFT, as {start: [end]}.
+
+    For a single filled pixel at (row 0, col 0) this produces the loop
+    (0,0)->(1,0)->(1,1)->(0,1)->(0,0), whose surveyor value is +1 — the
+    reference's exterior winding (tested against Test.hs:52-54 semantics).
+    """
+    padded = np.pad(mask.astype(bool), 1)
+    rr, cc = np.nonzero(mask)
+    rr = rr + 1
+    cc = cc + 1
+    edges: dict[tuple, list] = {}
+
+    def add(sx, sy, ex, ey):
+        edges.setdefault((sx, sy), []).append((ex, ey))
+
+    top = ~padded[rr - 1, cc]
+    right = ~padded[rr, cc + 1]
+    bottom = ~padded[rr + 1, cc]
+    left = ~padded[rr, cc - 1]
+    # convert back to unpadded pixel coords
+    r0 = rr - 1
+    c0 = cc - 1
+    for i in range(len(rr)):
+        r, c = int(r0[i]), int(c0[i])
+        if top[i]:
+            add(c, r, c + 1, r)          # along the top, rightward
+        if right[i]:
+            add(c + 1, r, c + 1, r + 1)  # down the right side
+        if bottom[i]:
+            add(c + 1, r + 1, c, r + 1)  # along the bottom, leftward
+        if left[i]:
+            add(c, r + 1, c, r)          # up the left side
+    return edges
+
+
+def _chain_rings(edges: dict) -> list[np.ndarray]:
+    """Chain directed edges into closed rings. At checkerboard junctions
+    (two outgoing edges) prefer the tightest left turn so diagonally
+    touching regions stay separate loops."""
+    rings = []
+    while edges:
+        start = next(iter(edges))
+        ring = [start]
+        cur = start
+        prev_dir = None
+        while True:
+            outs = edges.get(cur)
+            if not outs:
+                break
+            if len(outs) == 1 or prev_dir is None:
+                nxt = outs.pop(0)
+            else:
+                # tightest RIGHT turn keeps hugging the current region, so
+                # diagonally touching regions stay separate loops
+                def turn_rank(nx):
+                    d = (nx[0] - cur[0], nx[1] - cur[1])
+                    dirs = [(1, 0), (0, 1), (-1, 0), (0, -1)]
+                    di = dirs.index(d)
+                    pi = dirs.index(prev_dir)
+                    return (pi - di + 1) % 4  # 0 = right turn, 1 = straight, ...
+                outs.sort(key=turn_rank)
+                nxt = outs.pop(0)
+            if not edges[cur]:
+                del edges[cur]
+            prev_dir = (nxt[0] - cur[0], nxt[1] - cur[1])
+            cur = nxt
+            ring.append(cur)
+            if cur == start:
+                break
+        if len(ring) >= 4 and ring[0] == ring[-1]:
+            rings.append(np.asarray(ring, dtype=np.int64))
+    return rings
+
+
+def mask_to_polygons(mask: np.ndarray, scale: int = 1) -> list[list[np.ndarray]]:
+    """Binary mask -> polygons (exterior ring + holes, reference winding).
+
+    Holes are attached to the smallest-area exterior that contains them."""
+    rings = _chain_rings(_boundary_edges(mask))
+    if scale != 1:
+        rings = [r * scale for r in rings]
+    exts = [(r, surveyor(r)) for r in rings if surveyor(r) > 0]
+    holes = [r for r in rings if surveyor(r) < 0]
+    exts.sort(key=lambda t: t[1])  # smallest first -> innermost wins
+    polys = [[r] for r, _ in exts]
+    for h in holes:
+        # representative point just right of the first edge (inside the cavity)
+        a, b = h[0].astype(np.float64), h[1].astype(np.float64)
+        mid = (a + b) / 2.0
+        d = b - a
+        rep = mid + np.array([-d[1], d[0]]) * 0.25  # right normal (y down)
+        for i, (ext, _) in enumerate(exts):
+            if points_in_ring(np.array([rep[0]]), np.array([rep[1]]), ext)[0]:
+                polys[i].append(h)
+                break
+    return polys
+
+
+def raster_to_features(
+    rasters: DataFrame,
+    layer: str = "contours",
+    threshold: int = 128,
+    extent: int = 4096,
+) -> DataFrame:
+    """(tile_z, tile_x, tile_y, w, h, px BINARY) -> canonical polygon
+    feature rows for the MVT sink. Pixel coords scale by extent // w.
+
+    mapInArrow: each Arrow batch is decoded/traced with NumPy; output
+    plugs straight into operators.tiling.encode_tiles.
+    """
+
+    def trace(batches):
+        for batch in batches:
+            tz = batch["tile_z"].to_pylist()
+            txs = batch["tile_x"].to_pylist()
+            tys = batch["tile_y"].to_pylist()
+            ws = batch["w"].to_pylist()
+            hs = batch["h"].to_pylist()
+            pxs = batch["px"].to_pylist()
+            rows = {k: [] for k in (
+                "tile_z", "tile_x", "tile_y", "layer", "geom_type",
+                "feature_id", "meta", "geom_cmds",
+            )}
+            for z, x, y, w, h, raw in zip(tz, txs, tys, ws, hs, pxs):
+                grid = np.frombuffer(raw, dtype=np.uint8, count=w * h).reshape(h, w)
+                mask = grid >= threshold
+                if not mask.any():
+                    continue
+                scale = max(extent // w, 1)
+                for fid, poly in enumerate(mask_to_polygons(mask, scale)):
+                    stream = geom_to_stream(GEOM_POLYGON, [poly])
+                    area = sum(surveyor(r) for r in poly)
+                    rows["tile_z"].append(z)
+                    rows["tile_x"].append(x)
+                    rows["tile_y"].append(y)
+                    rows["layer"].append(layer)
+                    rows["geom_type"].append(GEOM_POLYGON)
+                    rows["feature_id"].append(fid)
+                    rows["meta"].append([
+                        {"key": "area", "tag": 3, "s": None, "d": float(area), "i": None, "b": None}
+                    ])
+                    rows["geom_cmds"].append(stream.astype(np.int64).tolist())
+            yield pa.record_batch(rows, schema=pa.schema([
+                pa.field("tile_z", pa.int32()), pa.field("tile_x", pa.int32()),
+                pa.field("tile_y", pa.int32()), pa.field("layer", pa.string()),
+                pa.field("geom_type", pa.int32()), pa.field("feature_id", pa.int64()),
+                pa.field("meta", pa.list_(pa.struct([
+                    pa.field("key", pa.string()), pa.field("tag", pa.int32()),
+                    pa.field("s", pa.string()), pa.field("d", pa.float64()),
+                    pa.field("i", pa.int64()), pa.field("b", pa.bool_()),
+                ]))),
+                pa.field("geom_cmds", pa.list_(pa.int64())),
+            ]))
+
+    return rasters.mapInArrow(trace, schema=FEATURE_SCHEMA)

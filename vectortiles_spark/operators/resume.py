@@ -1,0 +1,63 @@
+"""Checkpoint/resume for the tiling pipeline (SURVEY.md §2.D11, north_rule).
+
+Completed tiles are committed per batch to an IcebergLiteTable manifest with
+lineage (source snapshot, stage) and row-count metrics; resuming a killed
+job is a ``left_anti`` join of the work units against the completed set —
+no recomputation of finished tiles, no driver-side bookkeeping.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..sources.iceberg_lite import IcebergLiteTable
+
+TILE_KEY = ["tile_z", "tile_x", "tile_y"]
+
+
+def checkpoint_tiles(
+    tiles: DataFrame,
+    table: IcebergLiteTable,
+    source_snapshot: int | None = None,
+    stage: str = "mvt_encode",
+) -> int:
+    """Commit encoded tiles + progress metrics as a new snapshot.
+
+    Stored per tile: key, mvt payload, n_features (row-count metric), and
+    lineage columns (stage, source snapshot id)."""
+    out = tiles.withColumns(
+        {
+            "lineage_stage": F.lit(stage),
+            "lineage_source_snapshot": F.lit(source_snapshot).cast("int"),
+        }
+    )
+    return table.append(out, partition_by="tile_z", operation=stage)
+
+
+def completed_tiles(table: IcebergLiteTable, snapshot_id: int | None = None) -> DataFrame:
+    return table.read(snapshot_id).select(*TILE_KEY).distinct()
+
+
+def resume_filter(features: DataFrame, table: IcebergLiteTable) -> DataFrame:
+    """Drop feature rows belonging to already-completed tiles (anti-join).
+
+    The completed-tile set is small relative to features (one row per tile)
+    so Spark broadcasts it; the anti-join happens before the encode shuffle,
+    so resumed runs never shuffle finished tiles at all."""
+    try:
+        done = completed_tiles(table)
+    except ValueError:  # empty checkpoint table -> nothing to skip
+        return features
+    return features.join(F.broadcast(done), TILE_KEY, "left_anti")
+
+
+def run_with_resume(features: DataFrame, table: IcebergLiteTable, encode_fn, **encode_kw) -> int:
+    """One resumable unit of work: filter done tiles, encode the rest,
+    checkpoint. Returns the new snapshot id (or the current one if there
+    was nothing left to do)."""
+    todo = resume_filter(features, table)
+    tiles = encode_fn(todo, **encode_kw)
+    if tiles.isEmpty():
+        return table.current_snapshot() or 0
+    return checkpoint_tiles(tiles, table)

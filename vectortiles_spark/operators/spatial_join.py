@@ -1,0 +1,150 @@
+"""Spatial joins: point-in-polygon (broadcast spatial hash join) and kNN
+over cell-ring neighborhoods (SURVEY.md §2.D5, D6).
+
+The pattern (SedonaDB/GeoMesa-style, done with plain DataFrame ops §4.1):
+spatial predicate -> coarse CELL EQUI-JOIN (hash-partitionable, AQE-aware)
+-> exact refinement. The only Python is the exact ray-cast, batched per
+Arrow batch and vectorized per polygon inside (NumPy over all points x
+edges at once) — never per row.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.tiles import tile_x, tile_y
+from ..mvt.geometry import points_in_ring
+
+RINGS_T = "array<array<array<double>>>"
+
+
+def polygons_with_tiles(polygons: DataFrame, z: int) -> DataFrame:
+    """Explode each polygon to the z-level tiles its bbox covers.
+
+    Pure Column math: bbox from the exterior ring via array aggregates,
+    tile range via sequence+explode. Polygons are a small dim table; the
+    result is the broadcastable right side of the coarse equi-join.
+    """
+    ext = F.col("rings")[0]
+    lon_min = F.array_min(F.transform(ext, lambda p: p[0]))
+    lon_max = F.array_max(F.transform(ext, lambda p: p[0]))
+    lat_min = F.array_min(F.transform(ext, lambda p: p[1]))
+    lat_max = F.array_max(F.transform(ext, lambda p: p[1]))
+    with_bbox = polygons.withColumns(
+        {
+            "tx_min": tile_x(lon_min, z), "tx_max": tile_x(lon_max, z),
+            # top-left origin: lat_max -> ty_min
+            "ty_min": tile_y(lat_max, z), "ty_max": tile_y(lat_min, z),
+        }
+    )
+    return (
+        with_bbox.withColumn("tile_x", F.explode(F.sequence("tx_min", "tx_max")))
+        .withColumn("tile_y", F.explode(F.sequence("ty_min", "ty_max")))
+        .drop("tx_min", "tx_max", "ty_min", "ty_max")
+    )
+
+
+def _refine_pip(it):
+    """Exact even-odd ray-cast refinement, vectorized per polygon per batch."""
+    for pdf in it:
+        if len(pdf) == 0:
+            continue
+        keep = np.zeros(len(pdf), dtype=bool)
+        for pid, grp in pdf.groupby("__pid", sort=False):
+            rings = grp["rings"].iloc[0]
+            px = grp["lon"].to_numpy(dtype=np.float64)
+            py = grp["lat"].to_numpy(dtype=np.float64)
+            inside = np.zeros(len(grp), dtype=bool)
+            for ring in rings:  # even-odd across all rings handles holes
+                # Arrow hands nested lists as object arrays; stack to (m, 2)
+                ring_arr = np.stack([np.asarray(p, dtype=np.float64) for p in ring])
+                inside ^= points_in_ring(px, py, ring_arr)
+            keep[pdf.index.get_indexer(grp.index)] = inside
+        yield pdf[keep].drop(columns=["rings"])
+
+
+def pip_join(
+    points: DataFrame,
+    polygons: DataFrame,
+    z: int = 7,
+    lon: str = "lon",
+    lat: str = "lat",
+    polygon_id: str = "polygon_id",
+) -> DataFrame:
+    """Points ⋈ polygons: coarse tile equi-join (polygon side broadcast) then
+    exact ray-cast refinement. Returns point rows + matched polygon_id.
+
+    polygons schema: (polygon_id string, rings ARRAY<ARRAY<ARRAY<DOUBLE>>>)
+    — rings in lon/lat, ring 0 exterior, later rings holes (even-odd).
+    """
+    tiled_polys = polygons_with_tiles(
+        polygons.select(F.col(polygon_id).alias("__pid"), "rings"), z
+    )
+    pts = points.withColumns(
+        {"tile_x": tile_x(F.col(lon), z), "tile_y": tile_y(F.col(lat), z)}
+    )
+    coarse = pts.join(F.broadcast(tiled_polys), ["tile_x", "tile_y"]).drop(
+        "tile_x", "tile_y"
+    )
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in coarse.schema.fields
+        if f.name != "rings"
+    )
+    refined = coarse.mapInPandas(_refine_pip, schema=out_schema)
+    return refined.withColumnRenamed("__pid", polygon_id)
+
+
+def knn_join(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    z: int = 6,
+    ring: int = 1,
+    query_id: str = "query_id",
+    cand_id: str = "cand_id",
+) -> DataFrame:
+    """Bounded-radius kNN: k nearest candidates within the (2*ring+1)^2
+    tile neighborhood of each query (SURVEY.md §2.D6).
+
+    Both inputs need (lon, lat). Candidate generation is an equi-join on
+    the candidate's tile against the query's exploded neighbor tiles;
+    refinement is a squared-equirect distance + per-query top-k window.
+    Candidates are shuffled ONCE on (tile_x, tile_y); queries are usually
+    the small side and broadcast."""
+    n = 1 << z
+    cand = candidates.select(
+        F.col(cand_id),
+        F.col("lon").alias("c_lon"), F.col("lat").alias("c_lat"),
+        tile_x(F.col("lon"), z).alias("tile_x"), tile_y(F.col("lat"), z).alias("tile_y"),
+    )
+    offsets = [(dx, dy) for dx in range(-ring, ring + 1) for dy in range(-ring, ring + 1)]
+    probe = (
+        queries.select(
+            F.col(query_id),
+            F.col("lon").alias("q_lon"), F.col("lat").alias("q_lat"),
+            tile_x(F.col("lon"), z).alias("q_tx"), tile_y(F.col("lat"), z).alias("q_ty"),
+        )
+        .withColumn("__off", F.explode(F.array(*[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy")) for dx, dy in offsets
+        ])))
+        .select(
+            query_id, "q_lon", "q_lat",
+            F.pmod(F.col("q_tx") + F.col("__off.dx"), F.lit(n)).alias("tile_x"),
+            (F.col("q_ty") + F.col("__off.dy")).alias("tile_y"),
+        )
+        .filter((F.col("tile_y") >= 0) & (F.col("tile_y") < n))
+    )
+    joined = F.broadcast(probe).join(cand, ["tile_x", "tile_y"]).withColumn(
+        "dist2",
+        (F.col("c_lon") - F.col("q_lon")) ** 2 + (F.col("c_lat") - F.col("q_lat")) ** 2,
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("dist2").asc(), F.col(cand_id).asc())
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, cand_id, "dist2", "rank")
+    )

@@ -1,0 +1,101 @@
+"""Structured Streaming operators over the events stream.
+
+The engine's streaming surface (the reference is batch-only; this is
+engine-side capability per the charter): watermarked windowed aggregation
+and a custom stateful sessionizer via applyInPandasWithState. Batch twins
+of both live in plans/queries.py (q_events_hourly, q_sessionize) and are
+value-checked against DuckDB; the streaming tests assert stream output ==
+batch twin output on the same data.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENTS_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str, files_per_trigger: int = 1) -> DataFrame:
+    """Parquet directory as a stream (one file per micro-batch by default)."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(sf_dir)
+    )
+
+
+def windowed_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window aggregate: late rows beyond the watermark
+    are dropped; state is bounded by (watermark / window) windows per key."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), F.col("event_type"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(F.col("win.start").alias("hour"), "event_type", "n", "total_value")
+    )
+
+
+SESSION_OUT_SCHEMA = "user_id bigint, session_id int, n_events int, first_ts timestamp, last_ts timestamp"
+SESSION_STATE_SCHEMA = "session_id int, n_events int, first_ts timestamp, last_ts timestamp"
+SESSION_GAP_S = 1800
+
+
+def _sessionize_fn(key, pdfs, state: GroupState):
+    """Custom stateful operator: per-user session accumulation with a
+    30-minute inactivity gap, emitting every CLOSED session (append mode).
+
+    State per user: (current session id, count, first/last ts). The open
+    tail session stays in state — at-least-once emission of closed sessions
+    is the contract; a timeout-based flush would make ``processAllAvailable``
+    spin forever on idle timers in test harnesses."""
+    (user_id,) = key
+    rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+    closed = []
+    if state.exists:
+        sid, n, first_ts, last_ts = state.get
+    else:
+        sid, n, first_ts, last_ts = 0, 0, None, None
+    for ts in rows["ts"]:
+        if last_ts is not None and (ts - last_ts).total_seconds() > SESSION_GAP_S:
+            closed.append({"user_id": user_id, "session_id": sid, "n_events": n,
+                           "first_ts": first_ts, "last_ts": last_ts})
+            sid, n, first_ts = sid + 1, 0, None
+        if first_ts is None:
+            first_ts = ts
+        n += 1
+        last_ts = ts
+    state.update((sid, n, first_ts, last_ts))
+    if closed:
+        yield pd.DataFrame(closed)
+
+
+def sessionize_stream(events: DataFrame) -> DataFrame:
+    """groupBy(user).applyInPandasWithState sessionizer (SURVEY-charter
+    custom stateful streaming operator)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _sessionize_fn,
+        outputStructType=SESSION_OUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_stream_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
+    """Drive a streaming query to completion over the available files
+    (memory sink; synchronous via processAllAvailable — test harness)."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return q
