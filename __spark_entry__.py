@@ -28,10 +28,7 @@ def entry(spark: SparkSession) -> DataFrame:
     feats = tiling.point_features(
         pts, z=4, layer="customers",
         feature_id=F.col("c_custkey"),
-        meta=[
-            tiling.meta_string("segment", F.col("c_mktsegment")),
-            tiling.meta_double("acctbal", F.col("c_acctbal")),
-        ],
+        meta={"segment": F.col("c_mktsegment"), "acctbal": F.col("c_acctbal")},
     )
     return tiling.encode_tiles(feats, max_per_tile=100000).orderBy(
         "tile_z", "tile_x", "tile_y"
@@ -49,7 +46,7 @@ def _q_mvt_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = cust.select("c_custkey", "c_mktsegment", lon_of(F.col("c_custkey")), lat_of(F.col("c_custkey")))
     feats = tiling.point_features(
         pts, z=6, layer="customers", feature_id=F.col("c_custkey"),
-        meta=[tiling.meta_string("segment", F.col("c_mktsegment"))],
+        meta={"segment": F.col("c_mktsegment")},
     )
     return tiling.encode_tiles(feats).select(
         "tile_z", "tile_x", "tile_y", "n_features", F.length("mvt").alias("mvt_bytes")

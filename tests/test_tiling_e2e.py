@@ -21,10 +21,7 @@ def tiles_and_truth(spark):
     feats = tiling.point_features(
         imgs, z=Z, layer="images",
         feature_id=F.xxhash64("image_id"),
-        meta=[
-            tiling.meta_string("caption", F.col("caption")),
-            tiling.meta_int("phash", F.col("phash")),
-        ],
+        meta={"caption": F.col("caption"), "phash": F.col("phash")},
     )
     rows = tiling.encode_tiles(feats).collect()
     truth = images_pdf(N, seed=42)  # independent local generation
@@ -73,10 +70,7 @@ def test_deterministic_bytes_across_runs(spark, tiles_and_truth):
     feats = tiling.point_features(
         imgs, z=Z, layer="images",
         feature_id=F.xxhash64("image_id"),
-        meta=[
-            tiling.meta_string("caption", F.col("caption")),
-            tiling.meta_int("phash", F.col("phash")),
-        ],
+        meta={"caption": F.col("caption"), "phash": F.col("phash")},
     )
     rows2 = tiling.encode_tiles(feats).collect()
     assert {(r.tile_x, r.tile_y): bytes(r.mvt) for r in rows} == {

@@ -341,6 +341,408 @@ def encode_layer_from_streams(
     return body
 
 
+def encode_layer_columnar(
+    name: str,
+    fids,
+    gts,
+    streams,
+    meta_cols: list[tuple[str, np.ndarray, np.ndarray, np.ndarray]],
+    version: int = 2,
+    extent: int = DEFAULT_EXTENT,
+) -> bytes:
+    """Columnar layer encode: metadata arrives as per-column dictionary
+    CODES (dictionary-encoded once per Arrow batch upstream) plus fully
+    FRAMED value wire bytes (frame_values_vec) — the per-tile work is
+    np.unique over small int arrays and byte slicing, no per-feature dict
+    churn and no Python per value.
+
+    meta_cols: [(key, codes_int64_for_this_tile, framed_buf, framed_off)]
+    with code -1 meaning NULL (feature lacks the key). Keys dictionary =
+    column order; values dictionary = first-appearance of local uniques.
+    Features are emitted points-first/lines/polys (Internal.hs:123-125) via
+    a stable sort on geom_type.
+    """
+    n = len(fids)
+    order = np.argsort(np.asarray(gts), kind="stable")
+    tag_lists: list[list[int]] = [[] for _ in range(n)]
+    val_parts: list[bytes] = []
+    n_vals = 0
+    for k_idx, (key, codes, fbuf, foff) in enumerate(meta_cols):
+        uniq = np.unique(codes)
+        base_of: dict[int, int] = {}
+        for u in uniq.tolist():
+            if u >= 0:
+                base_of[u] = n_vals
+                n_vals += 1
+                val_parts.append(fbuf[foff[u]:foff[u + 1]].tobytes())
+        codes_list = codes.tolist()
+        for i in range(n):
+            c = codes_list[i]
+            if c >= 0:
+                tag_lists[i].append(k_idx)
+                tag_lists[i].append(base_of[c])
+    body = wire.len_delimited(1, name.encode("utf-8"))
+    parts = [body]
+    for i in order.tolist():
+        parts.append(
+            _encode_feature(
+                int(fids[i]),
+                np.asarray(tag_lists[i], dtype=np.uint32),
+                int(gts[i]),
+                np.asarray(streams[i], dtype=np.uint32),
+            )
+        )
+    for key, _, _, _ in meta_cols:
+        parts.append(wire.len_delimited(3, key.encode("utf-8")))
+    parts.extend(val_parts)
+    parts.append(wire.tag_bytes(5, wire.WT_VARINT) + wire.encode_varint(int(extent)))
+    parts.append(wire.tag_bytes(15, wire.WT_VARINT) + wire.encode_varint(int(version)))
+    return b"".join(parts)
+
+
+def encode_layer_columnar_vec(
+    name: str,
+    fids: np.ndarray,
+    gts: np.ndarray,
+    geom_values: np.ndarray,
+    geom_offsets: np.ndarray,
+    meta_cols: list[tuple[str, np.ndarray, np.ndarray, np.ndarray]],
+    version: int = 2,
+    extent: int = DEFAULT_EXTENT,
+) -> bytes:
+    """Fully vectorized layer encode — zero Python work per feature.
+
+    The hot-tile path: a metro tile with 10^5+ features encodes via ~30
+    NumPy array passes (varint-encode all values at once, then ragged
+    scatter/gather to interleave the per-feature wire segments) instead of
+    a 10^5-iteration Python loop. Wire layout identical to
+    encode_layer_from_streams / the reference contract.
+
+    geom_values/geom_offsets: Arrow-style flattened command streams —
+    feature i's stream is geom_values[geom_offsets[i]:geom_offsets[i+1]].
+    meta_cols codes must be all >= 0 (no nulls) — caller falls back to the
+    scalar path otherwise.
+    """
+    n = len(fids)
+    fids = np.asarray(fids, dtype=np.int64)
+    gts = np.asarray(gts, dtype=np.int64)
+    geom_offsets = np.asarray(geom_offsets, dtype=np.int64)
+    glens = geom_offsets[1:] - geom_offsets[:-1]
+
+    # order: points first, then linestrings, then polygons (stable);
+    # single-geom-type runs (the hot-tile norm) skip reordering entirely
+    already_sorted = bool((gts[1:] >= gts[:-1]).all()) if n > 1 else True
+    order = None if already_sorted else np.argsort(gts, kind="stable")
+    if order is not None:
+        fids = fids[order]
+        gts_o = gts[order]
+    else:
+        gts_o = gts
+
+    # geometry: varint-encode the whole flat stream once, slice per feature
+    gbuf_all, gvlens = wire.encode_varints_with_lens(
+        np.asarray(geom_values, dtype=np.uint32).astype(np.uint64)
+    )
+    # per-feature geometry BYTE lengths in original order
+    byte_cum = np.concatenate([[0], np.cumsum(gvlens)])
+    gb_byte_start = byte_cum[geom_offsets[:-1]]
+    gb_byte_len = byte_cum[geom_offsets[1:]] - gb_byte_start
+    if order is not None:
+        gb_byte_start = gb_byte_start[order]
+        gb_byte_len = gb_byte_len[order]
+    gb_byte_len_o = gb_byte_len
+    geom_bytes = wire.ragged_gather(gbuf_all, gb_byte_start, gb_byte_len)
+
+    # metadata tags: (n, 2C) interleaved [key_idx, value_idx] matrix
+    val_chunks: list[np.ndarray] = []
+    n_vals = 0
+    C = len(meta_cols)
+    if C:
+        tag_mat = np.empty((n, 2 * C), dtype=np.uint64)
+        for k_idx, (key, codes, fbuf, foff) in enumerate(meta_cols):
+            codes = np.asarray(codes) if order is None else np.asarray(codes)[order]
+            n_dict = len(foff) - 1
+            if codes.size >= n_dict:
+                # dictionary likely fully used (per-tile dictionary_encode):
+                # skip the sort — codes ARE the local indices
+                uniq = wire._arange(n_dict)
+                inv = codes
+                full = True
+            else:
+                uniq, inv = np.unique(codes, return_inverse=True)
+                full = False
+            base = n_vals
+            n_vals += len(uniq)
+            # ragged-gather the framed value bytes of the local uniques
+            # (identity slice when the whole dictionary is used)
+            if full:
+                val_chunks.append(fbuf[: foff[n_dict]])
+            else:
+                val_chunks.append(wire.ragged_gather(fbuf, foff[uniq], foff[uniq + 1] - foff[uniq]))
+            tag_mat[:, 2 * k_idx] = k_idx
+            tag_mat[:, 2 * k_idx + 1] = base + inv
+        tbuf, tvlens = wire.encode_varints_with_lens(tag_mat.ravel())
+        tag_byte_lens = tvlens.reshape(n, 2 * C).sum(axis=1)
+    else:
+        tbuf = np.zeros(0, dtype=np.uint8)
+        tag_byte_lens = np.zeros(n, dtype=np.int64)
+
+    ones = np.ones(n, dtype=np.int64)
+
+    def const_slot(byte):
+        return np.full(n, byte, dtype=np.uint8), ones
+
+    fid_buf, fid_lens = wire.encode_varints_with_lens(fids.astype(np.uint64))
+    tlen_buf, tlen_lens = wire.encode_varints_with_lens(tag_byte_lens.astype(np.uint64))
+    glen_buf, glen_lens = wire.encode_varints_with_lens(gb_byte_len_o.astype(np.uint64))
+    gt_buf = gts_o.astype(np.uint8)  # 1..3, single byte
+
+    slots = [
+        (const_slot(0x08)), (fid_buf, fid_lens),                    # id
+    ]
+    if C:
+        slots += [(const_slot(0x12)), (tlen_buf, tlen_lens), (tbuf, tag_byte_lens)]  # tags packed
+    slots += [
+        (const_slot(0x18)), (gt_buf, ones),                         # type
+        (const_slot(0x22)), (glen_buf, glen_lens), (geom_bytes, gb_byte_len_o),  # geometry packed
+    ]
+    body_buf, body_lens = wire.ragged_stitch(slots)
+    blen_buf, blen_lens = wire.encode_varints_with_lens(body_lens.astype(np.uint64))
+    feat_buf, _ = wire.ragged_stitch(
+        [(const_slot(0x12)), (blen_buf, blen_lens), (body_buf, body_lens)]
+    )
+
+    parts = [wire.len_delimited(1, name.encode("utf-8")), feat_buf.tobytes()]
+    for key, _, _, _ in meta_cols:
+        parts.append(wire.len_delimited(3, key.encode("utf-8")))
+    for chunk in val_chunks:
+        parts.append(chunk.tobytes())
+    parts.append(wire.tag_bytes(5, wire.WT_VARINT) + wire.encode_varint(int(extent)))
+    parts.append(wire.tag_bytes(15, wire.WT_VARINT) + wire.encode_varint(int(version)))
+    return b"".join(parts)
+
+
+def encode_multi_tile_batch(
+    tz: np.ndarray,
+    tx: np.ndarray,
+    ty: np.ndarray,
+    lcodes: np.ndarray,
+    lnames: list[str],
+    fids: np.ndarray,
+    gts: np.ndarray,
+    geom_values: np.ndarray,
+    geom_offsets: np.ndarray,
+    meta_cols: list[tuple[str, np.ndarray, np.ndarray, np.ndarray]],
+    version: int = 2,
+    extent: int = DEFAULT_EXTENT,
+):
+    """Encode EVERY tile in a sorted batch in one vectorized pass.
+
+    This is the scatter-tile answer: a batch with 50k one-feature ocean
+    tiles costs ~20 NumPy array passes total, not 50k per-tile calls. Rows
+    must arrive sorted by (tile, layer, geom_type, feature_id), all
+    geometries non-empty, all metadata codes non-null.
+
+    Per-run (tile, layer) value dictionaries are built vectorized with the
+    run-keyed-unique trick: unique(run_id * K + code) yields every run's
+    ascending-code dictionary and searchsorted recovers each row's local
+    index — the same ascending order np.unique gives the per-tile paths,
+    so outputs stay decode-identical.
+
+    Returns (list_of_mvt_bytes_per_tile, tile_starts_rows, n_runs_per_tile)
+    aligned with the unique tiles in row order.
+    """
+    n = len(fids)
+    # ---- run (tile+layer) and tile boundaries ----
+    chg_tile = (tz[1:] != tz[:-1]) | (tx[1:] != tx[:-1]) | (ty[1:] != ty[:-1])
+    chg_run = chg_tile | (lcodes[1:] != lcodes[:-1])
+    rid = np.concatenate([[0], np.cumsum(chg_run)]).astype(np.int64)
+    run_starts = np.concatenate([[0], np.flatnonzero(chg_run) + 1])
+    n_runs = len(run_starts)
+    tile_starts = np.concatenate([[0], np.flatnonzero(chg_tile) + 1])  # row idx
+    run_is_tile_start = np.concatenate([[True], chg_tile[run_starts[1:] - 1]])
+
+    # ---- geometry bytes (already in row order -> no gather) ----
+    gbuf, gvlens = wire.encode_varints_with_lens(
+        np.asarray(geom_values, dtype=np.uint32).astype(np.uint64)
+    )
+    byte_cum = np.concatenate([[0], np.cumsum(gvlens)])
+    gb_len = byte_cum[geom_offsets[1:]] - byte_cum[geom_offsets[:-1]]
+
+    # ---- metadata: per-run dictionaries, vectorized ----
+    C = len(meta_cols)
+    run_val_bytes: list[np.ndarray] = []   # per column: concatenated per-run dicts
+    run_val_lens = np.zeros(n_runs, dtype=np.int64)
+    cnt_prev = np.zeros(n_runs, dtype=np.int64)  # per-run value-dict base
+    if C:
+        tag_mat = np.empty((n, 2 * C), dtype=np.uint64)
+        for k_idx, (key, codes, fbuf, foff) in enumerate(meta_cols):
+            K = np.int64(len(foff) - 1)
+            rkey = rid * (K + 1) + codes
+            u = np.unique(rkey)
+            # first position of each run inside u
+            run_first = np.searchsorted(u, run_starts_key := rid[run_starts] * (K + 1))
+            local = np.searchsorted(u, rkey) - run_first[rid]
+            tag_mat[:, 2 * k_idx] = k_idx
+            tag_mat[:, 2 * k_idx + 1] = (cnt_prev[rid] + local).astype(np.uint64)
+            # per-run unique counts
+            run_cnt = np.concatenate([run_first[1:], [len(u)]]) - run_first
+            cnt_prev = cnt_prev + run_cnt
+            # gather framed value bytes of u's codes (per-run dict blocks)
+            ucodes = (u % (K + 1)).astype(np.int64)
+            vb = wire.ragged_gather(fbuf, foff[ucodes], foff[ucodes + 1] - foff[ucodes])
+            run_val_bytes.append((vb, ucodes, run_first))
+        tbuf, tvlens = wire.encode_varints_with_lens(tag_mat.ravel())
+        tag_lens = tvlens.reshape(n, 2 * C).sum(axis=1)
+    else:
+        tbuf = np.zeros(0, dtype=np.uint8)
+        tag_lens = np.zeros(n, dtype=np.int64)
+
+    # ---- feature framing (whole batch) ----
+    ones = np.ones(n, dtype=np.int64)
+    fid_buf, fid_lens = wire.encode_varints_with_lens(np.asarray(fids, np.int64).astype(np.uint64))
+    tlen_buf, tlen_lens = wire.encode_varints_with_lens(tag_lens.astype(np.uint64))
+    glen_buf, glen_lens = wire.encode_varints_with_lens(gb_len.astype(np.uint64))
+    slots = [(np.full(n, 0x08, np.uint8), ones), (fid_buf, fid_lens)]
+    if C:
+        slots += [(np.full(n, 0x12, np.uint8), ones), (tlen_buf, tlen_lens), (tbuf, tag_lens)]
+    slots += [
+        (np.full(n, 0x18, np.uint8), ones), (np.asarray(gts, np.int64).astype(np.uint8), ones),
+        (np.full(n, 0x22, np.uint8), ones), (glen_buf, glen_lens), (gbuf, gb_len),
+    ]
+    body_buf, body_lens = wire.ragged_stitch(slots)
+    blen_buf, blen_lens = wire.encode_varints_with_lens(body_lens.astype(np.uint64))
+    feat_buf, feat_lens = wire.ragged_stitch(
+        [(np.full(n, 0x12, np.uint8), ones), (blen_buf, blen_lens), (body_buf, body_lens)]
+    )
+
+    # ---- per-run layer messages, stitched across ALL runs ----
+    # constant-per-layer-name blocks: name field + keys block + tail
+    name_blocks = []
+    for nm in lnames:
+        head = wire.len_delimited(1, nm.encode("utf-8"))
+        keys_block = b"".join(
+            wire.len_delimited(3, key.encode("utf-8")) for key, _, _, _ in meta_cols
+        )
+        tail = (
+            wire.tag_bytes(5, wire.WT_VARINT) + wire.encode_varint(int(extent))
+            + wire.tag_bytes(15, wire.WT_VARINT) + wire.encode_varint(int(version))
+        )
+        name_blocks.append((np.frombuffer(head, np.uint8), np.frombuffer(keys_block + tail, np.uint8)))
+    run_lcode = lcodes[run_starts]
+    head_lens = np.array([len(b[0]) for b in name_blocks], dtype=np.int64)[run_lcode]
+    tail_lens = np.array([len(b[1]) for b in name_blocks], dtype=np.int64)[run_lcode]
+    head_cat = (
+        np.concatenate([name_blocks[c][0] for c in run_lcode.tolist()])
+        if n_runs else np.zeros(0, np.uint8)
+    )
+    tail_cat = (
+        np.concatenate([name_blocks[c][1] for c in run_lcode.tolist()])
+        if n_runs else np.zeros(0, np.uint8)
+    )
+    # per-run feature-bytes length
+    run_feat_lens = np.add.reduceat(feat_lens, run_starts)
+    # per-run value-dict bytes: interleave each column's per-run blocks
+    if C:
+        val_slots = []
+        for vb, ucodes, run_first in run_val_bytes:
+            # per-run byte length of this column's dict block
+            _, _, fbuf_, foff_ = meta_cols[len(val_slots)]
+            entry_lens = foff_[ucodes + 1] - foff_[ucodes]
+            ecum = np.concatenate([[0], np.cumsum(entry_lens)])
+            col_run_lens = ecum[np.concatenate([run_first[1:], [len(ucodes)]])] - ecum[run_first]
+            val_slots.append((vb, col_run_lens))
+        vals_cat, run_val_lens = wire.ragged_stitch(val_slots)
+    else:
+        vals_cat = np.zeros(0, np.uint8)
+
+    layer_body_lens = head_lens + run_feat_lens + run_val_lens + tail_lens
+    llen_buf, llen_lens = wire.encode_varints_with_lens(layer_body_lens.astype(np.uint64))
+    run_ones = np.ones(n_runs, dtype=np.int64)
+    layer_buf, layer_lens = wire.ragged_stitch(
+        [
+            (np.full(n_runs, 0x1A, np.uint8), run_ones),  # Tile.layers field 3
+            (llen_buf, llen_lens),
+            (head_cat, head_lens),
+            (feat_buf, run_feat_lens),
+            (vals_cat, run_val_lens),
+            (tail_cat, tail_lens),
+        ]
+    )
+
+    # ---- slice per tile ----
+    layer_cum = np.concatenate([[0], np.cumsum(layer_lens)])
+    tile_run_starts = np.flatnonzero(run_is_tile_start)
+    tile_byte_starts = layer_cum[tile_run_starts]
+    tile_byte_ends = np.concatenate([tile_byte_starts[1:], [layer_cum[-1]]])
+    out_buf = layer_buf.tobytes()
+    mvts = [out_buf[a:b] for a, b in zip(tile_byte_starts.tolist(), tile_byte_ends.tolist())]
+    n_runs_per_tile = np.diff(np.concatenate([tile_run_starts, [n_runs]]))
+    return mvts, tile_starts, n_runs_per_tile
+
+
+def encode_value_bytes(tag: int, v) -> bytes:
+    """Wire bytes of one Value message body (used to pre-encode dictionary
+    uniques once per Arrow batch in the columnar path)."""
+    return _encode_value(tag, v)
+
+
+def frame_values_vec(tag: int, arr) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized framing of a pyarrow array of dictionary uniques into
+    Layer.values entries: for each element, the FULLY FRAMED bytes
+    ``0x22 + varint(len(msg)) + msg`` where msg is the Value message body.
+
+    Returns (uint8 buffer, int64 offsets) — entry i is buf[off[i]:off[i+1]].
+    This is what lets a hot tile with 10^5 near-unique captions build its
+    value dictionary without a Python call per value: the utf-8 bytes come
+    straight out of the Arrow string buffer via one ragged stitch.
+    """
+    import pyarrow as pa
+
+    n = len(arr)
+    ones = np.ones(n, dtype=np.int64)
+    if tag == VAL_STRING:
+        if pa.types.is_large_string(arr.type):
+            arr = arr.cast(pa.string())
+        # StringArray layout: buffers = [validity, int32 offsets, utf8 data]
+        off = np.frombuffer(
+            arr.buffers()[1], dtype=np.int32, count=n + 1, offset=arr.offset * 4
+        ).astype(np.int64)
+        lens = off[1:] - off[:-1]
+        data_buf = np.frombuffer(arr.buffers()[2], dtype=np.uint8) if arr.buffers()[2] else np.zeros(0, np.uint8)
+        # dictionary uniques are stored contiguously -> identity slice path
+        sbytes = wire.ragged_gather(data_buf, off[:-1], lens)
+        lbuf, llens = wire.encode_varints_with_lens(lens.astype(np.uint64))
+        msg, msg_lens = wire.ragged_stitch(
+            [(np.full(n, 0x0A, np.uint8), ones), (lbuf, llens), (sbytes, lens)]
+        )
+    elif tag == VAL_INT:
+        vals = arr.to_numpy(zero_copy_only=False).astype(np.int64)
+        vbuf, vlens = wire.encode_varints_with_lens(vals.astype(np.uint64))
+        msg, msg_lens = wire.ragged_stitch(
+            [(np.full(n, 0x20, np.uint8), ones), (vbuf, vlens)]
+        )
+    elif tag == VAL_DOUBLE:
+        vals = arr.to_numpy(zero_copy_only=False).astype(np.float64)
+        raw = vals.view(np.uint8).reshape(n, 8).ravel() if n else np.zeros(0, np.uint8)
+        msg, msg_lens = wire.ragged_stitch(
+            [(np.full(n, 0x19, np.uint8), ones), (raw, np.full(n, 8, np.int64))]
+        )
+    elif tag == VAL_BOOL:
+        vals = arr.to_numpy(zero_copy_only=False).astype(np.uint8)
+        msg, msg_lens = wire.ragged_stitch(
+            [(np.full(n, 0x38, np.uint8), ones), (vals, ones)]
+        )
+    else:
+        raise ValueError(f"unsupported vectorized value tag {tag}")
+    # outer framing: 0x22 + varint(msg_len) + msg
+    mlbuf, mllens = wire.encode_varints_with_lens(msg_lens.astype(np.uint64))
+    framed, framed_lens = wire.ragged_stitch(
+        [(np.full(n, 0x22, np.uint8), ones), (mlbuf, mllens), (msg, msg_lens)]
+    )
+    return framed, np.concatenate([[0], np.cumsum(framed_lens)])
+
+
 def encode_layer(layer: Layer) -> bytes:
     """toProtobuf @Layer + wire put, ref Internal.hs:114-125."""
     feats = [

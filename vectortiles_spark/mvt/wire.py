@@ -24,11 +24,29 @@ _U7 = np.uint64(7)
 _U1 = np.uint64(1)
 
 
+_SMALL_VARINT = [bytes([i]) for i in range(128)]
+
+
 def encode_varints(values: np.ndarray) -> bytes:
-    """Vectorized varint encoding of a uint64 array -> concatenated bytes."""
-    v = np.asarray(values, dtype=np.uint64)
-    if v.size == 0:
+    """Varint encoding of a uint64 array -> concatenated bytes.
+
+    Small arrays (the common per-feature case: 3-element point command
+    streams, short tag lists) take a pure-Python fast path — NumPy's fixed
+    setup cost dominates under ~64 elements; large arrays (multi-ring
+    polygons, packed layers) go through the fully vectorized path."""
+    n = len(values)
+    if n == 0:
         return b""
+    if n < 64:
+        out = bytearray()
+        for x in (values.tolist() if isinstance(values, np.ndarray) else values):
+            v = int(x) & 0xFFFFFFFFFFFFFFFF
+            while v >= 128:
+                out.append((v & 0x7F) | 0x80)
+                v >>= 7
+            out.append(v)
+        return bytes(out)
+    v = np.asarray(values, dtype=np.uint64)
     # bytes needed per value = ceil(bit_length/7), min 1
     nbytes = np.ones(v.size, dtype=np.int64)
     tmp = v >> _U7
@@ -46,9 +64,87 @@ def encode_varints(values: np.ndarray) -> bytes:
     return out.tobytes()
 
 
+def encode_varints_with_lens(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized varint encode returning (uint8 buffer, per-value byte
+    lengths). The building block of the ragged-stitch feature framer: the
+    caller interleaves these buffers by offset arithmetic, so per-value
+    lengths must come out alongside the bytes."""
+    v = np.asarray(values, dtype=np.uint64)
+    n = v.size
+    if n == 0:
+        return np.zeros(0, dtype=np.uint8), np.zeros(0, dtype=np.int64)
+    nbytes = np.ones(n, dtype=np.int64)
+    tmp = v >> _U7
+    while tmp.any():
+        nbytes += (tmp != 0)
+        tmp = tmp >> _U7
+    total = int(nbytes.sum())
+    ends = np.cumsum(nbytes)
+    starts = ends - nbytes
+    owner = np.repeat(np.arange(n), nbytes)
+    offset = (np.arange(total) - starts[owner]).astype(np.uint64)
+    chunks = (v[owner] >> (offset * _U7)) & np.uint64(0x7F)
+    cont = (offset < (nbytes[owner] - 1).astype(np.uint64)).astype(np.uint8)
+    return chunks.astype(np.uint8) | (cont << 7), nbytes
+
+
+_ARANGE = np.zeros(0, dtype=np.int64)
+
+
+def _arange(n: int) -> np.ndarray:
+    """Cached arange view — avoids re-materializing multi-MB index ramps
+    (fresh page allocation is the dominant cost on this host)."""
+    global _ARANGE
+    if _ARANGE.size < n:
+        _ARANGE = np.arange(max(n, 2 * _ARANGE.size, 1 << 16), dtype=np.int64)
+    return _ARANGE[:n]
+
+
+def ragged_gather(buf: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Concatenate buf[starts[i]:starts[i]+lens[i]] for all i, vectorized."""
+    total = int(lens.sum())
+    if total == 0:
+        return np.zeros(0, dtype=buf.dtype)
+    # identity shortcut: contiguous, in-order ranges are just a slice
+    if starts.size and int(starts[-1]) + int(lens[-1]) - int(starts[0]) == total:
+        ends = starts + lens
+        if starts.size == 1 or bool((starts[1:] == ends[:-1]).all()):
+            return buf[int(starts[0]):int(starts[0]) + total]
+    out_start = np.cumsum(lens) - lens
+    idx = np.repeat(starts - out_start, lens) + _arange(total)
+    return buf[idx]
+
+
+def ragged_stitch(slots: list[tuple[np.ndarray, np.ndarray]]) -> tuple[np.ndarray, np.ndarray]:
+    """Interleave K ragged byte buffers feature-wise, fully vectorized.
+
+    slots: [(buf_uint8, lens_int64)] — slot s contributes buf[s] split into
+    per-feature chunks of lens[s][i] bytes; output feature i is the
+    concatenation of slot 0..K-1's i-th chunks. Returns (out_uint8,
+    per_feature_total_lens). O(total bytes) with no Python per-feature loop
+    (the classic repeat/cumsum ragged scatter)."""
+    n = len(slots[0][1])
+    lens = np.stack([l for _, l in slots])  # (K, n)
+    feat_total = lens.sum(axis=0)
+    feat_start = np.cumsum(feat_total) - feat_total
+    within = np.vstack([np.zeros(n, dtype=np.int64), np.cumsum(lens, axis=0)[:-1]])
+    out = np.empty(int(feat_total.sum()), dtype=np.uint8)
+    for s, (buf, L) in enumerate(slots):
+        total = int(L.sum())
+        if total == 0:
+            continue
+        src_start = np.cumsum(L) - L
+        # scatter: dest = repeat(dest_start - src_start, L) + arange(total)
+        idx = np.repeat(feat_start + within[s] - src_start, L) + _arange(total)
+        out[idx] = buf[:total]
+    return out, feat_total
+
+
 def encode_varint(value: int) -> bytes:
     """Single varint (uint64 two's-complement for negatives)."""
     v = value & 0xFFFFFFFFFFFFFFFF
+    if v < 128:
+        return _SMALL_VARINT[v]
     out = bytearray()
     while True:
         b = v & 0x7F

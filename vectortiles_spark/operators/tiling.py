@@ -93,21 +93,30 @@ def point_features(
     """
     lon_c, lat_c = F.col(lon), F.col(lat)
     fid = feature_id if feature_id is not None else F.monotonically_increasing_id()
-    header = F.lit((1 << 3) | 1).cast("bigint")  # MoveTo, count 1 -> 9
-    return df.select(
+    cols = [
         F.lit(z).cast("int").alias("tile_z"),
         tile_x(lon_c, z).alias("tile_x"),
         tile_y(lat_c, z).alias("tile_y"),
         F.lit(layer).alias("layer"),
         F.lit(1).alias("geom_type"),
         fid.cast("bigint").alias("feature_id"),
-        (F.array(*meta) if meta else F.array().cast(META_FIELD)).alias("meta"),
-        F.array(
-            header,
-            zigzag(tile_px(lon_c, z, extent)).cast("bigint"),
-            zigzag(tile_py(lat_c, z, extent)).cast("bigint"),
-        ).alias("geom_cmds"),
-    )
+        # single-point stream [9, zig(px), zig(py)] packed into ONE BIGINT:
+        # Spark's row->Arrow writer serializes array columns per element, so
+        # a packed scalar roughly halves the feed cost of the encode stage.
+        # zig values < 2^13 for extent 4096 (13 bits each).
+        (
+            F.shiftleft(zigzag(tile_px(lon_c, z, extent)), 13)
+            .bitwiseOR(zigzag(tile_py(lat_c, z, extent)))
+            .cast("bigint")
+        ).alias("geom_pt"),
+    ]
+    if isinstance(meta, dict):
+        # plain typed columns -> columnar fast path in the encoder (the
+        # metadata stays Arrow-columnar through shuffle + dictionary build)
+        cols += [col.alias(key) for key, col in meta.items()]
+    elif meta:
+        cols.append(F.array(*meta).alias("meta"))
+    return df.select(*cols)
 
 
 def cap_features_per_tile(features: DataFrame, max_per_tile: int, order_by: str = "feature_id") -> DataFrame:
@@ -186,13 +195,285 @@ def _encode_tile_group_arrow(tbl):
     )
 
 
-def encode_tiles(features: DataFrame, max_per_tile: int | None = None) -> DataFrame:
-    """The flagship sink: canonical feature rows -> one MVT row per tile."""
+def encode_tiles_grouped(features: DataFrame, max_per_tile: int | None = None) -> DataFrame:
+    """groupBy + applyInArrow variant: one Python call per tile. Simple and
+    correct, but per-group overhead (~ms) dominates when tiles are small —
+    kept for comparison; ``encode_tiles`` is the production path."""
     if max_per_tile is not None:
         features = cap_features_per_tile(features, max_per_tile)
     return features.groupBy("tile_z", "tile_x", "tile_y").applyInArrow(
         _encode_tile_group_arrow, schema=TILE_SCHEMA
     )
+
+
+_CORE_COLS = {
+    "tile_z", "tile_x", "tile_y", "layer", "geom_type", "feature_id",
+    "meta", "geom_cmds", "geom_pt",
+}
+
+
+def _tag_for_arrow_type(t) -> int:
+    import pyarrow as pa
+
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return codec.VAL_STRING
+    if pa.types.is_floating(t):
+        return codec.VAL_DOUBLE
+    if pa.types.is_integer(t):
+        return codec.VAL_INT
+    if pa.types.is_boolean(t):
+        return codec.VAL_BOOL
+    raise ValueError(f"unsupported metadata column type {t}")
+
+
+def _encode_stream(batches):
+    """Stream encoder: consumes (tile-key-sorted) Arrow batches, slices tile
+    runs with NumPy boundary detection, carries the (possibly incomplete)
+    tail tile across batch boundaries. ONE Python crossing per ~64k rows
+    instead of one per tile.
+
+    Metadata columns (any column beyond the core feature schema) are
+    FACTORIZED ONCE PER BATCH (pandas) and their dictionary uniques
+    pre-encoded to wire bytes; per tile the codec only slices the code
+    arrays (codec.encode_layer_columnar). A legacy per-feature
+    ARRAY<STRUCT> 'meta' column is also honored (slow path) for operators
+    with heterogeneous metadata."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..mvt import wire
+
+    def flush(tbl: pa.Table, is_last: bool = True):
+        """Encode every (complete) tile run in tbl."""
+        z = tbl["tile_z"].to_numpy(zero_copy_only=False)
+        x = tbl["tile_x"].to_numpy(zero_copy_only=False)
+        y = tbl["tile_y"].to_numpy(zero_copy_only=False)
+        change = (z[1:] != z[:-1]) | (x[1:] != x[:-1]) | (y[1:] != y[:-1])
+        starts = np.concatenate([[0], np.flatnonzero(change) + 1])
+        n = tbl.num_rows
+        lcodes, lnames = pd.factorize(tbl["layer"].to_pandas())
+        lnames = list(lnames)
+        fids = tbl["feature_id"].to_numpy(zero_copy_only=False)
+        gts = tbl["geom_type"].to_numpy(zero_copy_only=False)
+        if "geom_pt" in tbl.column_names:
+            # packed single-point geometry -> synthesize the command stream
+            pt = tbl["geom_pt"].to_numpy(zero_copy_only=False).astype(np.int64)
+            gvals = np.empty(3 * n, dtype=np.int64)
+            gvals[0::3] = 9  # MoveTo, count 1
+            gvals[1::3] = pt >> 13
+            gvals[2::3] = pt & 0x1FFF
+            goff = np.arange(0, 3 * n + 3, 3, dtype=np.int64)[: n + 1]
+            glens = np.full(n, 3, dtype=np.int64)
+        else:
+            # zero-copy ragged view of the command streams (no pylist)
+            cmds_arr = tbl["geom_cmds"].combine_chunks()
+            if hasattr(cmds_arr, "chunk"):  # ChunkedArray -> single ListArray
+                cmds_arr = cmds_arr.chunk(0)
+            goff = cmds_arr.offsets.to_numpy().astype(np.int64)
+            gvals = cmds_arr.values.to_numpy(zero_copy_only=False)
+            glens = goff[1:] - goff[:-1]
+        metas = tbl["meta"].to_pylist() if "meta" in tbl.column_names else None
+
+        # dictionary-encode metadata columns once per batch (Arrow C++, no
+        # PyObject churn) and frame their uniques' value bytes vectorized
+        import pyarrow.compute as pc
+
+        meta_specs: list[tuple[str, np.ndarray, np.ndarray, np.ndarray]] = []
+        for field in tbl.schema:
+            if field.name in _CORE_COLS:
+                continue
+            tag = _tag_for_arrow_type(field.type)
+            col = tbl[field.name].combine_chunks()
+            if hasattr(col, "chunk"):  # older pyarrow returns ChunkedArray
+                col = col.chunk(0)
+            d = col.dictionary_encode()
+            codes = pc.fill_null(d.indices, -1).to_numpy(zero_copy_only=False).astype(np.int64)
+            fbuf, foff = codec.frame_values_vec(tag, d.dictionary)
+            meta_specs.append((field.name, codes, fbuf, foff))
+
+        # ---- whole-batch vectorized path: every tile in ~20 array passes ----
+        all_nonempty_batch = bool(glens.min(initial=1) > 0)
+        codes_ok_batch = all(codes.min(initial=0) >= 0 for _, codes, _, _ in meta_specs)
+        metas_empty = metas is None or not any(metas)
+        if metas_empty and all_nonempty_batch and codes_ok_batch and n:
+            mvts, tile_starts, n_runs_per_tile = codec.encode_multi_tile_batch(
+                z, x, y, lcodes, lnames, fids, gts, gvals, goff, meta_specs
+            )
+            ts = tile_starts
+            nf = np.diff(np.concatenate([ts, [n]]))
+            return pa.record_batch(
+                {
+                    "tile_z": pa.array(z[ts].astype(np.int32), pa.int32()),
+                    "tile_x": pa.array(x[ts].astype(np.int32), pa.int32()),
+                    "tile_y": pa.array(y[ts].astype(np.int32), pa.int32()),
+                    "mvt": pa.array(mvts, pa.binary()),
+                    "n_features": pa.array(nf.astype(np.int64), pa.int64()),
+                    "n_layers": pa.array(n_runs_per_tile.astype(np.int32), pa.int32()),
+                }
+            )
+
+        ends = np.concatenate([starts[1:], [n]])
+        out_z, out_x, out_y, out_mvt, out_nf, out_nl = [], [], [], [], [], []
+        for lo, hi in zip(starts.tolist(), ends.tolist()):
+            body = bytearray()
+            n_feats = 0
+            n_layers = 0
+            # split the run by layer (runs are layer-sorted within tile)
+            lchange = np.flatnonzero(lcodes[lo + 1:hi] != lcodes[lo:hi - 1]) + lo + 1
+            lstarts = [lo] + lchange.tolist()
+            lends = lstarts[1:] + [hi]
+            for ls, le in zip(lstarts, lends):
+                run_glens = glens[ls:le]
+                has_meta_structs = metas is not None and any(metas[i] for i in range(ls, le))
+                all_nonempty = bool(run_glens.min(initial=1) > 0)
+                codes_ok = all(
+                    codes[ls:le].min(initial=0) >= 0 for _, codes, _, _ in meta_specs
+                )
+                if not has_meta_structs and all_nonempty and codes_ok and (le - ls) >= 64:
+                    # vectorized hot-tile path: no per-feature Python at all
+                    layer_bytes = codec.encode_layer_columnar_vec(
+                        lnames[lcodes[ls]],
+                        fids[ls:le],
+                        gts[ls:le],
+                        gvals[goff[ls]:goff[le]],
+                        goff[ls:le + 1] - goff[ls],
+                        [(key, codes[ls:le], fbuf, foff) for key, codes, fbuf, foff in meta_specs],
+                    )
+                    n_feats += le - ls
+                elif has_meta_structs:
+                    idx = [i for i in range(ls, le) if glens[i] > 0]
+                    if not idx:
+                        continue
+                    feats = [
+                        (int(fids[i]), _meta_to_dict(metas[i]), int(gts[i]),
+                         gvals[goff[i]:goff[i + 1]].astype(np.uint32))
+                        for i in idx
+                    ]
+                    layer_bytes = codec.encode_layer_from_streams(lnames[lcodes[ls]], feats)
+                    n_feats += len(idx)
+                else:
+                    idx = [i for i in range(ls, le) if glens[i] > 0]
+                    if not idx:
+                        continue
+                    layer_bytes = codec.encode_layer_columnar(
+                        lnames[lcodes[ls]],
+                        fids[idx],
+                        gts[idx],
+                        [gvals[goff[i]:goff[i + 1]] for i in idx],
+                        [(key, codes[idx], fbuf, foff) for key, codes, fbuf, foff in meta_specs],
+                    )
+                    n_feats += len(idx)
+                body += wire.len_delimited(3, layer_bytes)
+                n_layers += 1
+            out_z.append(int(z[lo]))
+            out_x.append(int(x[lo]))
+            out_y.append(int(y[lo]))
+            out_mvt.append(bytes(body))
+            out_nf.append(n_feats)
+            out_nl.append(n_layers)
+        return pa.record_batch(
+            {
+                "tile_z": pa.array(out_z, pa.int32()),
+                "tile_x": pa.array(out_x, pa.int32()),
+                "tile_y": pa.array(out_y, pa.int32()),
+                "mvt": pa.array(out_mvt, pa.binary()),
+                "n_features": pa.array(out_nf, pa.int64()),
+                "n_layers": pa.array(out_nl, pa.int32()),
+            }
+        )
+
+    # The carry is a LIST of table slices, concatenated only when the tail
+    # tile completes — a hot metro tile spanning dozens of batches costs one
+    # concat, not a quadratic re-concat per batch.
+    carry_parts: list[pa.Table] = []
+    carry_key: tuple | None = None
+
+    def key_at(tbl: pa.Table, i: int) -> tuple:
+        return (
+            tbl["tile_z"][i].as_py(), tbl["tile_x"][i].as_py(), tbl["tile_y"][i].as_py()
+        )
+
+    def drain_carry():
+        nonlocal carry_parts, carry_key
+        if not carry_parts:
+            return None
+        whole = (
+            carry_parts[0]
+            if len(carry_parts) == 1
+            else pa.concat_tables(carry_parts)
+        ).combine_chunks()
+        carry_parts, carry_key = [], None
+        return flush(whole, is_last=True)
+
+    for batch in batches:
+        tbl = pa.Table.from_batches([batch])
+        if tbl.num_rows == 0:
+            continue
+        if carry_key is not None and key_at(tbl, 0) != carry_key:
+            rb = drain_carry()
+            if rb is not None and rb.num_rows:
+                yield rb
+        if carry_key is not None and key_at(tbl, -1) == carry_key:
+            carry_parts.append(tbl)  # whole batch continues the tail tile
+            continue
+        if carry_key is not None:
+            # split off the head rows that finish the carried tile
+            z0 = tbl["tile_z"].to_numpy(zero_copy_only=False)
+            x0 = tbl["tile_x"].to_numpy(zero_copy_only=False)
+            y0 = tbl["tile_y"].to_numpy(zero_copy_only=False)
+            same = (z0 == carry_key[0]) & (x0 == carry_key[1]) & (y0 == carry_key[2])
+            head_end = int(np.flatnonzero(~same)[0]) if (~same).any() else tbl.num_rows
+            carry_parts.append(tbl.slice(0, head_end))
+            rb = drain_carry()
+            if rb is not None and rb.num_rows:
+                yield rb
+            tbl = tbl.slice(head_end)
+            if tbl.num_rows == 0:
+                continue
+        # process complete tiles of this batch; keep its tail as new carry
+        z1 = tbl["tile_z"].to_numpy(zero_copy_only=False)
+        x1 = tbl["tile_x"].to_numpy(zero_copy_only=False)
+        y1 = tbl["tile_y"].to_numpy(zero_copy_only=False)
+        change = (z1[1:] != z1[:-1]) | (x1[1:] != x1[:-1]) | (y1[1:] != y1[:-1])
+        starts = np.flatnonzero(change) + 1
+        last_start = int(starts[-1]) if starts.size else 0
+        if last_start > 0:
+            rb = flush(tbl.slice(0, last_start).combine_chunks(), is_last=True)
+            if rb is not None and rb.num_rows:
+                yield rb
+        carry_parts.append(tbl.slice(last_start))
+        carry_key = key_at(tbl, -1)
+    rb = drain_carry()
+    if rb is not None and rb.num_rows:
+        yield rb
+
+
+def encode_tiles(
+    features: DataFrame, max_per_tile: int | None = None, partitions: int | None = None
+) -> DataFrame:
+    """The flagship sink: canonical feature rows -> one MVT row per tile.
+
+    Scale shape: hash-repartition on the tile key (each tile lives in
+    exactly one partition), sort within partitions so a tile's features are
+    contiguous and layers come out name-sorted deterministically, then
+    stream-encode whole partitions via mapInArrow. Per-tile cost is pure
+    codec work (~50 us), not per-group UDF dispatch (~ms): at 10^12 rows
+    the shuffle is the same one groupBy would pay, but the Python boundary
+    is crossed once per Arrow batch instead of once per tile."""
+    if max_per_tile is not None:
+        features = cap_features_per_tile(features, max_per_tile)
+    key = [F.col("tile_z"), F.col("tile_x"), F.col("tile_y")]
+    if not partitions:
+        # pin an explicit partition count: the encode stage is Python-CPU
+        # bound, and AQE's size-based coalescing (64MB advisory) would fold
+        # a few hundred MB of shuffle into a handful of partitions and
+        # serialize the workers
+        partitions = features.sparkSession.sparkContext.defaultParallelism
+    features = features.repartition(partitions, *key)
+    ordered = features.sortWithinPartitions(
+        *key, F.col("layer"), F.col("geom_type"), F.col("feature_id")
+    )
+    return ordered.mapInArrow(_encode_stream, schema=TILE_SCHEMA)
 
 
 def tile_stats(features: DataFrame, salt_buckets: int = 16) -> DataFrame:

@@ -13,12 +13,34 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _tune_malloc():
+    """Keep glibc from returning freed pages to the kernel.
+
+    On this sandbox (and many virtualized hosts) first-touch of fresh
+    mmap'd pages is pathologically slow (~36 MB/s kernel zeroing) while
+    warm heap pages run at ~10 GB/s — a 100x+ difference measured here.
+    NumPy's large allocations otherwise mmap/munmap per call, so every
+    Arrow batch and codec buffer pays the cold-page cost and, worse,
+    page-fault contention serializes parallel Python workers. Must be set
+    before the JVM (and therefore the python workers it forks) starts;
+    harmless where memory is normal."""
+    os.environ.setdefault("MALLOC_MMAP_MAX_", "0")
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "1000000000")
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1000000000")
+    # PyArrow's default (jemalloc/mimalloc) pool madvises pages back to the
+    # kernel aggressively, re-paying the (serialized) fault cost per Arrow
+    # batch; the system pool routes through glibc, which the settings above
+    # keep warm
+    os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "system")
+
+
 def get_spark(
     app_name: str = "vectortiles_spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict | None = None,
 ) -> SparkSession:
+    _tune_malloc()
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:
@@ -37,6 +59,19 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # propagate the malloc tuning to executor-forked python workers on
+        # real clusters (local mode inherits the driver env directly)
+        .config("spark.executorEnv.MALLOC_MMAP_MAX_", "0")
+        .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", "1000000000")
+        .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_", "1000000000")
+        .config("spark.executorEnv.ARROW_DEFAULT_MEMORY_POOL", "system")
+        # pre-touch the heap once and keep it (ParallelGC never uncommits):
+        # G1's periodic uncommit re-pays this sandbox's serialized
+        # page-fault path on every growth cycle
+        .config(
+            "spark.driver.extraJavaOptions",
+            f"-XX:+AlwaysPreTouch -Xms{os.environ.get('SPARK_DRIVER_MEMORY', '16g')} -XX:+UseParallelGC",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -68,7 +68,10 @@ def images_pdf(n: int, seed: int = 42, start_id: int = 0) -> pd.DataFrame:
     return images_pdf_for_ids(np.arange(start_id, start_id + n, dtype=np.int64), seed)
 
 
-def images_pdf_for_ids(ids: np.ndarray, seed: int = 42) -> pd.DataFrame:
+def images_pdf_for_ids(ids: np.ndarray, seed: int = 42, light: bool = False) -> pd.DataFrame:
+    """light=True skips the image payload synthesis (bytes=b'', phash from
+    the counter hash) — for scale benchmarks of stages that never read the
+    pruned `bytes` column. Schema is identical either way."""
     n = len(ids)
 
     # geo mixture: 80% metro gaussians, 20% uniform
@@ -102,7 +105,10 @@ def images_pdf_for_ids(ids: np.ndarray, seed: int = 42) -> pd.DataFrame:
 
     payloads: list[bytes] = []
     hashes = np.zeros(n, dtype=np.int64)
-    for i in range(n):
+    if light:
+        payloads = [b""] * n
+        hashes = (_splitmix64(ids.astype(_U64)) >> _U64(1)).astype(np.int64)
+    for i in range(0 if light else n):
         w, h = int(sizes_w[i]), int(sizes_h[i])
         yy, xx = np.mgrid[0:h, 0:w]
         grad = (xx * 255 // max(w - 1, 1)).astype(np.float64)
@@ -136,7 +142,7 @@ IMAGES_SCHEMA = (
 )
 
 
-def images_df(spark, n: int, seed: int = 42, partitions: int | None = None):
+def images_df(spark, n: int, seed: int = 42, partitions: int | None = None, light: bool = False):
     """Distributed deterministic generation: range -> mapInPandas synth."""
     partitions = partitions or spark.sparkContext.defaultParallelism
     rows = spark.range(0, n, 1, partitions)
@@ -144,11 +150,13 @@ def images_df(spark, n: int, seed: int = 42, partitions: int | None = None):
     def gen(batches):
         for pdf in batches:
             if len(pdf):
-                yield images_pdf_for_ids(pdf["id"].to_numpy(), seed=seed)
+                yield images_pdf_for_ids(pdf["id"].to_numpy(), seed=seed, light=light)
 
     return rows.mapInPandas(gen, schema=IMAGES_SCHEMA)
 
 
-def write_images_table(spark, path: str, n: int, seed: int = 42, partitions: int | None = None):
-    images_df(spark, n, seed, partitions).write.mode("overwrite").parquet(path)
+def write_images_table(
+    spark, path: str, n: int, seed: int = 42, partitions: int | None = None, light: bool = False
+):
+    images_df(spark, n, seed, partitions, light).write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
