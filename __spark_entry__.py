@@ -62,6 +62,22 @@ def _q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_dups(docs, threshold=0.5)
 
 
+def _q_image_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: per-row image invariant gate (decode/re-encode PSNR>=40,
+    phash match, caption preserved) over a deterministic synthetic image
+    table sized by sf (the driver tables carry no image payloads)."""
+    from vectortiles_spark.operators.images import verify_invariants
+    from vectortiles_spark.sources.synth import images_df
+
+    n = 2000 if "0.001" in sf_dir else 5000
+    imgs = images_df(spark, n, seed=42)
+    inv = verify_invariants(imgs)
+    return inv.groupBy("decode_ok", "psnr_ok", "caption_preserved").agg(
+        F.count("*").alias("n"),
+        F.max("phash_hamming").alias("max_phash_hamming"),
+    ).orderBy("decode_ok", "psnr_ok", "caption_preserved")
+
+
 def _q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: SimHash fingerprints + bucket sizes."""
     from vectortiles_spark.operators.dedup import simhash_fingerprints
@@ -90,6 +106,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rollup_revenue": Q.q_rollup_revenue,
         "q_events_hourly": Q.q_events_hourly,
         "q_sessionize": Q.q_sessionize,
+        "q_window_suite": Q.q_window_suite,
+        "q_case_pivot": Q.q_case_pivot,
         # geo (D3, D5, D6)
         "q_tile_assign": Q.q_tile_assign,
         "q_pip_rect": Q.q_pip_rect,
@@ -103,8 +121,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ngram_jaccard": QT.q_ngram_jaccard,
         "q_cosine_topk": QT.q_cosine_topk,
         "q_label_centroids": QT.q_label_centroids,
+        "q_mvt_roundtrip": Q.q_mvt_roundtrip,
         # non-SQL-expressible (rows-only checks)
         "q_mvt_tiles": _q_mvt_tiles,
+        "q_image_invariants": _q_image_invariants,
         "q_minhash_near_dups": _q_minhash_near_dups,
         "q_simhash_buckets": _q_simhash_buckets,
     }
@@ -124,6 +144,9 @@ def oracle_sql() -> dict[str, str]:
         "q_rollup_revenue": Q.Q_ROLLUP_SQL,
         "q_events_hourly": Q.Q_EVENTS_HOURLY_SQL,
         "q_sessionize": Q.Q_SESSIONIZE_SQL,
+        "q_window_suite": Q.Q_WINDOW_SUITE_SQL,
+        "q_case_pivot": Q.Q_CASE_PIVOT_SQL,
+        "q_mvt_roundtrip": Q.Q_MVT_ROUNDTRIP_SQL,
         "q_tile_assign": Q.Q_TILE_ASSIGN_SQL,
         "q_pip_rect": Q.Q_PIP_RECT_SQL,
         "q_knn_ring": Q.Q_KNN_SQL,

@@ -1,0 +1,62 @@
+"""Physical-plan audits (SURVEY.md §4): the scale-critical plan properties
+are pinned as tests — pushdown, pruning, broadcast, no cartesian blowup."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from vectortiles_spark.operators import spatial_join, tiling
+from vectortiles_spark.plans import audit
+from vectortiles_spark.plans.queries import lat_of, lon_of, q03_join_agg, q05_region_revenue
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_filter_pushdown_to_parquet(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    df = li.filter(F.col("l_orderkey") == 42).select("l_orderkey", "l_quantity")
+    audit.assert_pushed_filter(df, "l_orderkey")
+
+
+def test_column_pruning_tile_pipeline(spark):
+    """The MVT encode pipeline must never read the heavy `bytes` column."""
+    cust = spark.read.parquet(f"{SF}/customer.parquet")
+    pts = cust.select("c_custkey", lon_of(F.col("c_custkey")), lat_of(F.col("c_custkey")))
+    feats = tiling.point_features(pts, z=6, layer="c", feature_id=F.col("c_custkey"))
+    audit.assert_read_schema_only(tiling.encode_tiles(feats), {"c_custkey"})
+
+
+def test_dim_joins_broadcast(spark):
+    audit.assert_broadcast_join(q03_join_agg(spark, SF))
+    audit.assert_broadcast_join(q05_region_revenue(spark, SF))
+
+
+def test_pip_join_broadcasts_polygons_no_cartesian(spark):
+    points = spark.createDataFrame([(1, 0.0, 0.0)], "pt_id long, lon double, lat double")
+    polys = spark.createDataFrame(
+        [("p", [[[-1.0, -1.0], [1.0, -1.0], [1.0, 1.0], [-1.0, 1.0], [-1.0, -1.0]]])],
+        "polygon_id string, rings array<array<array<double>>>",
+    )
+    joined = spatial_join.pip_join(points, polys, z=4)
+    audit.assert_broadcast_join(joined)
+    audit.assert_no_cartesian(joined)
+
+
+def test_knn_join_no_cartesian(spark):
+    q = spark.createDataFrame([(1, 0.0, 0.0)], "query_id long, lon double, lat double")
+    c = spark.createDataFrame([(2, 0.5, 0.5)], "cand_id long, lon double, lat double")
+    audit.assert_no_cartesian(spatial_join.knn_join(q, c, k=1, z=4))
+
+
+def test_whole_stage_codegen_on_tile_math(spark):
+    cust = spark.read.parquet(f"{SF}/customer.parquet")
+    pts = cust.select("c_custkey", lon_of(F.col("c_custkey")), lat_of(F.col("c_custkey")))
+    feats = tiling.point_features(pts, z=6, layer="c")
+    assert audit.has_whole_stage_codegen(feats)
+
+
+def test_encode_shuffle_count(spark):
+    """The flagship sink needs exactly ONE shuffle (the tile repartition)."""
+    cust = spark.read.parquet(f"{SF}/customer.parquet")
+    pts = cust.select("c_custkey", lon_of(F.col("c_custkey")), lat_of(F.col("c_custkey")))
+    feats = tiling.point_features(pts, z=6, layer="c")
+    assert audit.count_shuffles(tiling.encode_tiles(feats)) == 1

@@ -1,0 +1,97 @@
+"""Multimodal image operators (SURVEY.md §2.D12): decode stats, invariant
+gate, resize, stubbed modalities."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from vectortiles_spark.images import codec as ic
+from vectortiles_spark.operators import images as iops
+from vectortiles_spark.operators import tiling
+from vectortiles_spark.sources.synth import images_df
+
+
+@pytest.fixture(scope="module")
+def imgs(spark):
+    return images_df(spark, 300, seed=42).cache()
+
+
+def test_decode_stats(spark, imgs):
+    stats = iops.decode_stats(imgs).collect()
+    assert len(stats) == 300
+    assert all(r.ok for r in stats)
+    by_id = {r.image_id: r for r in stats}
+    src = {r.image_id: r for r in imgs.collect()}
+    for iid, r in by_id.items():
+        assert r.width == src[iid].w and r.height == src[iid].h
+        assert 0.0 <= r.mean_r <= 255.0
+
+
+def test_invariants_hold_on_clean_table(spark, imgs):
+    inv = iops.verify_invariants(imgs).collect()
+    assert all(r.decode_ok for r in inv)
+    assert all(r.psnr_ok for r in inv)          # PSNR >= 40 dB incl. lossy dct
+    assert all(r.caption_preserved for r in inv)
+    # phash recomputed from decoded pixels: exact for ppm, near for dct
+    src_fmt = {r.image_id: r.fmt for r in imgs.collect()}
+    for r in inv:
+        limit = 0 if src_fmt[r.image_id] == "ppm" else 10
+        assert r.phash_hamming <= limit, (r.image_id, src_fmt[r.image_id], r.phash_hamming)
+
+
+def test_invariants_catch_corruption(spark, imgs):
+    corrupted = imgs.withColumn(
+        "bytes",
+        F.when(F.col("fmt") == "ppm", F.lit(b"\x00garbage")).otherwise(F.col("bytes")),
+    )
+    inv = iops.verify_invariants(corrupted).collect()
+    bad = [r for r in inv if not r.decode_ok]
+    assert bad, "corrupted ppm rows must fail decode"
+    assert all(not r.psnr_ok for r in bad)
+
+
+def test_resize(spark, imgs):
+    small = iops.resize_images(imgs.limit(20), size=8).collect()
+    assert len(small) == 20
+    for r in small:
+        img = ic.decode_image(bytes(r.bytes), r.fmt)
+        assert img.shape == (8, 8, 3)
+
+
+def test_video_stub_raises(spark):
+    df = spark.createDataFrame(pd.DataFrame({"media_id": ["v1"], "bytes": [b"\x00\x01"]}))
+    with pytest.raises(Exception, match="NotImplementedError|ffmpeg"):
+        iops.sample_video_frames(df).collect()
+
+
+def test_audio_pcm_features(spark):
+    t = np.arange(16000)
+    wave = (np.sin(2 * np.pi * 440 * t / 16000) * 10000).astype(np.int16)
+    df = spark.createDataFrame(
+        pd.DataFrame({"media_id": ["a1"], "bytes": [wave.tobytes()]})
+    )
+    row = iops.extract_audio_features(df).collect()[0]
+    assert row.duration_s == pytest.approx(1.0)
+    assert row.rms == pytest.approx(10000 / np.sqrt(2), rel=0.01)
+    assert row.zero_crossings == pytest.approx(880, abs=4)
+
+
+def test_decode_tiles_roundtrip(spark, imgs):
+    """decode_tiles(encode_tiles(f)) preserves every feature + metadata."""
+    feats = tiling.point_features(
+        imgs, z=6, layer="images", feature_id=F.xxhash64("image_id"),
+        meta={"caption": F.col("caption"), "phash": F.col("phash")},
+    )
+    tiles = tiling.encode_tiles(feats)
+    back = tiling.decode_tiles(tiles)
+    assert back.count() == 300
+    # feature ids and phash metadata survive exactly
+    orig = {r.feature_id for r in feats.select("feature_id").collect()}
+    got = {r.feature_id for r in back.select("feature_id").collect()}
+    assert got == orig
+    sample = back.limit(5).collect()
+    for r in sample:
+        meta = {m["key"]: m for m in r.meta}
+        assert set(meta) == {"caption", "phash"}
+        assert meta["phash"]["i"] is not None

@@ -1,0 +1,223 @@
+"""Multimodal (image) column operators — SURVEY.md §2.D12 + charter.
+
+Images travel as opaque BINARY columns with typed metadata (w, h, fmt);
+every pixel-touching step is a vectorized batch UDF over ``mapInArrow`` —
+never per-row Python in the plan. The PPM/DCT codecs are real pure-NumPy
+implementations (images/codec.py); formats needing external libraries
+(JPEG/PNG, audio, video) are STUBBED with the full Spark plumbing (schema,
+batching, partitioning) in place, per the engine charter — the container
+has no PIL/ffmpeg.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame
+
+from ..images import codec as ic
+
+STATS_SCHEMA = (
+    "image_id string, ok boolean, width int, height int, fmt string, "
+    "mean_r double, mean_g double, mean_b double, phash_recomputed bigint"
+)
+
+
+def decode_stats(images: DataFrame) -> DataFrame:
+    """Decode every image and emit per-image pixel statistics + a
+    recomputed perceptual hash (the feature-extraction shape)."""
+
+    def run(batches):
+        for b in batches:
+            ids = b["image_id"].to_pylist()
+            payloads = b["bytes"].to_pylist()
+            fmts = b["fmt"].to_pylist()
+            out = {k: [] for k in ("image_id", "ok", "width", "height", "fmt",
+                                    "mean_r", "mean_g", "mean_b", "phash_recomputed")}
+            for i, (iid, raw, fmt) in enumerate(zip(ids, payloads, fmts)):
+                try:
+                    img = ic.decode_image(raw, fmt)
+                    means = img.reshape(-1, 3).mean(axis=0)
+                    out["ok"].append(True)
+                    out["width"].append(img.shape[1])
+                    out["height"].append(img.shape[0])
+                    out["mean_r"].append(float(means[0]))
+                    out["mean_g"].append(float(means[1]))
+                    out["mean_b"].append(float(means[2]))
+                    out["phash_recomputed"].append(ic.phash64(img))
+                except Exception:
+                    out["ok"].append(False)
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["mean_r"].append(None)
+                    out["mean_g"].append(None)
+                    out["mean_b"].append(None)
+                    out["phash_recomputed"].append(None)
+                out["image_id"].append(iid)
+                out["fmt"].append(fmt)
+            yield pa.record_batch(
+                {
+                    "image_id": pa.array(out["image_id"], pa.string()),
+                    "ok": pa.array(out["ok"], pa.bool_()),
+                    "width": pa.array(out["width"], pa.int32()),
+                    "height": pa.array(out["height"], pa.int32()),
+                    "fmt": pa.array(out["fmt"], pa.string()),
+                    "mean_r": pa.array(out["mean_r"], pa.float64()),
+                    "mean_g": pa.array(out["mean_g"], pa.float64()),
+                    "mean_b": pa.array(out["mean_b"], pa.float64()),
+                    "phash_recomputed": pa.array(out["phash_recomputed"], pa.int64()),
+                }
+            )
+
+    return images.select("image_id", "bytes", "fmt").mapInArrow(run, STATS_SCHEMA)
+
+
+INVARIANT_SCHEMA = (
+    "image_id string, decode_ok boolean, reencode_psnr double, "
+    "psnr_ok boolean, phash_hamming int, caption_preserved boolean"
+)
+
+
+def verify_invariants(images: DataFrame, min_psnr: float = 40.0) -> DataFrame:
+    """The per-row image invariant gate (BASELINE.json input_hint):
+    decode -> re-encode -> decode must hold PSNR >= 40 dB (exact for
+    lossless PPM), the recomputed perceptual hash must match the carried
+    phash, and the caption must survive untouched (utf-8 roundtrip)."""
+
+    def run(batches):
+        for b in batches:
+            ids = b["image_id"].to_pylist()
+            payloads = b["bytes"].to_pylist()
+            fmts = b["fmt"].to_pylist()
+            phashes = b["phash"].to_pylist()
+            captions = b["caption"].to_pylist()
+            rows = {k: [] for k in ("image_id", "decode_ok", "reencode_psnr",
+                                     "psnr_ok", "phash_hamming", "caption_preserved")}
+            for iid, raw, fmt, ph, cap in zip(ids, payloads, fmts, phashes, captions):
+                try:
+                    img = ic.decode_image(raw, fmt)
+                    re_img = ic.decode_image(ic.encode_image(img, fmt), fmt)
+                    psnr = ic.psnr(img, re_img)
+                    ham = ic.hamming64(ph, ic.phash64(img))
+                    rows["decode_ok"].append(True)
+                    rows["reencode_psnr"].append(min(psnr, 1e9))
+                    rows["psnr_ok"].append(psnr >= min_psnr)
+                    rows["phash_hamming"].append(ham)
+                except Exception:
+                    rows["decode_ok"].append(False)
+                    rows["reencode_psnr"].append(None)
+                    rows["psnr_ok"].append(False)
+                    rows["phash_hamming"].append(None)
+                rows["image_id"].append(iid)
+                rows["caption_preserved"].append(
+                    cap is not None and cap == cap.encode("utf-8").decode("utf-8")
+                )
+            yield pa.record_batch(
+                {
+                    "image_id": pa.array(rows["image_id"], pa.string()),
+                    "decode_ok": pa.array(rows["decode_ok"], pa.bool_()),
+                    "reencode_psnr": pa.array(rows["reencode_psnr"], pa.float64()),
+                    "psnr_ok": pa.array(rows["psnr_ok"], pa.bool_()),
+                    "phash_hamming": pa.array(rows["phash_hamming"], pa.int32()),
+                    "caption_preserved": pa.array(rows["caption_preserved"], pa.bool_()),
+                }
+            )
+
+    return images.select("image_id", "bytes", "fmt", "phash", "caption").mapInArrow(
+        run, INVARIANT_SCHEMA
+    )
+
+
+def resize_images(images: DataFrame, size: int = 16, out_fmt: str = "ppm") -> DataFrame:
+    """Batch resize (deterministic block-mean) + re-encode — the thumbnail/
+    normalization stage of a training-data pipeline."""
+
+    def run(batches):
+        for b in batches:
+            ids = b["image_id"].to_pylist()
+            payloads = b["bytes"].to_pylist()
+            fmts = b["fmt"].to_pylist()
+            out_ids, out_bytes = [], []
+            for iid, raw, fmt in zip(ids, payloads, fmts):
+                img = ic.decode_image(raw, fmt)
+                small = np.stack(
+                    [ic._resize_block_mean(img[:, :, c].astype(np.float64), size) for c in range(3)],
+                    axis=-1,
+                )
+                small = np.clip(np.round(small), 0, 255).astype(np.uint8)
+                out_ids.append(iid)
+                out_bytes.append(ic.encode_image(small, out_fmt))
+            yield pa.record_batch(
+                {
+                    "image_id": pa.array(out_ids, pa.string()),
+                    "bytes": pa.array(out_bytes, pa.binary()),
+                    "w": pa.array([size] * len(out_ids), pa.int32()),
+                    "h": pa.array([size] * len(out_ids), pa.int32()),
+                    "fmt": pa.array([out_fmt] * len(out_ids), pa.string()),
+                }
+            )
+
+    return images.select("image_id", "bytes", "fmt").mapInArrow(
+        run, "image_id string, bytes binary, w int, h int, fmt string"
+    )
+
+
+# ---------------- stubbed modalities (no codec libs in this container) ----------------
+
+FRAME_SCHEMA = "media_id string, frame_idx int, ts_ms long, frame binary"
+
+
+def sample_video_frames(videos: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame sampling: Spark plumbing is real (schema, Arrow batching,
+    per-partition decode), the codec is STUBBED — no ffmpeg/pyav in this
+    container. Swap `_decode_frames` for a real decoder in production."""
+
+    def _decode_frames(media_id: str, raw: bytes, every_ms: int):
+        raise NotImplementedError(
+            "video decode requires ffmpeg/pyav, not present in this container; "
+            "the Spark plumbing (schema, batching) is real — plug a decoder here"
+        )
+
+    def run(batches):
+        for b in batches:
+            for mid, raw in zip(b["media_id"].to_pylist(), b["bytes"].to_pylist()):
+                yield from _decode_frames(mid, raw, every_ms)
+
+    return videos.select(
+        videos.columns[0], videos.columns[1]
+    ).toDF("media_id", "bytes").mapInArrow(run, FRAME_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = "media_id string, duration_s double, rms double, zero_crossings long"
+
+
+def extract_audio_features(audio: DataFrame) -> DataFrame:
+    """Audio feature extraction over raw PCM16 binary columns. PCM parsing
+    is real NumPy (no external lib needed for raw PCM); container formats
+    (mp3/ogg) would need a decoder and raise NotImplementedError."""
+
+    def run(batches):
+        for b in batches:
+            ids = b["media_id"].to_pylist()
+            raws = b["bytes"].to_pylist()
+            out = {"media_id": [], "duration_s": [], "rms": [], "zero_crossings": []}
+            for mid, raw in zip(ids, raws):
+                if raw[:4] in (b"ID3\x03", b"OggS", b"fLaC"):
+                    raise NotImplementedError("compressed audio needs a codec lib")
+                pcm = np.frombuffer(raw, dtype=np.int16).astype(np.float64)
+                out["media_id"].append(mid)
+                out["duration_s"].append(len(pcm) / 16000.0)
+                out["rms"].append(float(np.sqrt(np.mean(pcm**2))) if len(pcm) else 0.0)
+                s = np.sign(pcm)
+                s = s[s != 0]  # exact zeros would double-count a crossing
+                out["zero_crossings"].append(int((np.diff(s) != 0).sum()) if len(s) else 0)
+            yield pa.record_batch(
+                {
+                    "media_id": pa.array(out["media_id"], pa.string()),
+                    "duration_s": pa.array(out["duration_s"], pa.float64()),
+                    "rms": pa.array(out["rms"], pa.float64()),
+                    "zero_crossings": pa.array(out["zero_crossings"], pa.int64()),
+                }
+            )
+
+    return audio.mapInArrow(run, AUDIO_FEATURES_SCHEMA)

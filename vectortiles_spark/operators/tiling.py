@@ -476,6 +476,73 @@ def encode_tiles(
     return ordered.mapInArrow(_encode_stream, schema=TILE_SCHEMA)
 
 
+def decode_tiles(tiles: DataFrame) -> DataFrame:
+    """Inverse of encode_tiles: MVT blobs -> canonical feature rows
+    (ref `tile`, lib/Geography/VectorTile.hs:70-71, distributed).
+
+    Output uses the ARRAY<STRUCT> metadata form plus geometry command
+    streams, so decode_tiles(encode_tiles(f)) roundtrips through the sink.
+    Decode is the verification/ingest path, not the encode hot path —
+    per-tile Python with the reference-validated codec is appropriate here.
+    """
+    import pyarrow as pa
+
+    from ..mvt.geometry import geom_to_stream
+
+    def run(batches):
+        for b in batches:
+            rows = {k: [] for k in (
+                "tile_z", "tile_x", "tile_y", "layer", "geom_type",
+                "feature_id", "meta", "geom_cmds",
+            )}
+            for z, x, y, raw in zip(
+                b["tile_z"].to_pylist(), b["tile_x"].to_pylist(),
+                b["tile_y"].to_pylist(), b["mvt"].to_pylist(),
+            ):
+                for name, layer in codec.decode_tile(raw).items():
+                    for f in layer.features:
+                        rows["tile_z"].append(z)
+                        rows["tile_x"].append(x)
+                        rows["tile_y"].append(y)
+                        rows["layer"].append(name)
+                        rows["geom_type"].append(f.geom_type)
+                        # wire carries uint64 ids; Spark BIGINT is signed
+                        fid = f.feature_id
+                        rows["feature_id"].append(fid - (1 << 64) if fid >= (1 << 63) else fid)
+                        rows["meta"].append([
+                            {
+                                "key": k,
+                                "tag": tag,
+                                "s": v if tag == codec.VAL_STRING else None,
+                                "d": float(v) if tag in (codec.VAL_FLOAT, codec.VAL_DOUBLE) else None,
+                                "i": int(v) if tag in (codec.VAL_INT, codec.VAL_UINT, codec.VAL_SINT) else None,
+                                "b": bool(v) if tag == codec.VAL_BOOL else None,
+                            }
+                            for k, (tag, v) in sorted(f.metadata.items())
+                        ])
+                        rows["geom_cmds"].append(
+                            geom_to_stream(f.geom_type, f.geom).astype(np.int64).tolist()
+                        )
+            yield pa.record_batch(
+                {
+                    "tile_z": pa.array(rows["tile_z"], pa.int32()),
+                    "tile_x": pa.array(rows["tile_x"], pa.int32()),
+                    "tile_y": pa.array(rows["tile_y"], pa.int32()),
+                    "layer": pa.array(rows["layer"], pa.string()),
+                    "geom_type": pa.array(rows["geom_type"], pa.int32()),
+                    "feature_id": pa.array(rows["feature_id"], pa.int64()),
+                    "meta": pa.array(rows["meta"], pa.list_(pa.struct([
+                        pa.field("key", pa.string()), pa.field("tag", pa.int32()),
+                        pa.field("s", pa.string()), pa.field("d", pa.float64()),
+                        pa.field("i", pa.int64()), pa.field("b", pa.bool_()),
+                    ]))),
+                    "geom_cmds": pa.array(rows["geom_cmds"], pa.list_(pa.int64())),
+                }
+            )
+
+    return tiles.select("tile_z", "tile_x", "tile_y", "mvt").mapInArrow(run, FEATURE_SCHEMA)
+
+
 def tile_stats(features: DataFrame, salt_buckets: int = 16) -> DataFrame:
     """Per-tile feature counts via SALTED two-phase aggregation.
 

@@ -473,6 +473,113 @@ ORDER BY s_suppkey, rank
 """
 
 
+def q_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function battery: lag/lead/rank/dense_rank/running sum over
+    the events stream — one row per (user, event) with all five."""
+    (events,) = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sample = events.filter(F.col("user_id") < 50)
+    return (
+        sample.select(
+            "user_id", "event_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.lead("event_type").over(w).alias("next_type"),
+            F.rank().over(Window.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id"))).alias("value_rank"),
+            F.round(F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 4).alias("running_value"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+Q_WINDOW_SUITE_SQL = """
+SELECT user_id, event_id,
+       lag(event_type)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+       lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type,
+       rank() OVER (PARTITION BY user_id ORDER BY value DESC, event_id)   AS value_rank,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING), 4)               AS running_value
+FROM events
+WHERE user_id < 50
+ORDER BY user_id, event_id
+"""
+
+
+def q_case_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot as conditional aggregation (portable across engines)."""
+    (orders,) = load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            *[
+                F.round(
+                    F.sum(F.when(F.col("o_orderstatus") == s, F.col("o_totalprice")).otherwise(0.0)), 2
+                ).alias(f"total_{s}")
+                for s in ("F", "O", "P")
+            ],
+            F.count("*").alias("n"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+Q_CASE_PIVOT_SQL = """
+SELECT o_orderpriority,
+       round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END), 2) AS total_F,
+       round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0.0 END), 2) AS total_O,
+       round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice ELSE 0.0 END), 2) AS total_P,
+       count(*) AS n
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q_mvt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE codec gate as an oracle-checked query: customer points -> MVT
+    encode -> MVT decode (both distributed) -> per-tile decoded feature
+    counts and feature-id sums. The oracle computes the same from the raw
+    table with pure SQL tile math — so a value match proves the entire
+    encode→wire→decode loop preserves every feature and id."""
+    from ..operators import tiling
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    pts = cust.select("c_custkey", lon_of(F.col("c_custkey")), lat_of(F.col("c_custkey")))
+    # equirect tiles as tile ids so the oracle math is FP-portable; the
+    # WebMercator path is pytest-verified against the NumPy twins
+    feats = tiling.point_features(
+        pts.withColumns({"eq_lat": (F.lit(0.0) - F.col("lat")) / F.lit(2.125)}),
+        z=6, layer="customers", lat="eq_lat",
+        feature_id=F.col("c_custkey"),
+        meta={"segment_len": F.length(F.col("c_custkey").cast("string"))},
+    )
+    tiles = tiling.encode_tiles(feats)
+    decoded = tiling.decode_tiles(tiles)
+    return (
+        decoded.groupBy("tile_x", "tile_y")
+        .agg(
+            F.count("*").alias("n_features"),
+            F.sum("feature_id").alias("sum_ids"),
+        )
+        .orderBy("tile_x", "tile_y")
+    )
+
+
+# the oracle replays the exact tile assignment in SQL: tile_x from lon,
+# tile_y from the scaled equirect latitude used above
+Q_MVT_ROUNDTRIP_SQL = f"""
+WITH pts AS (
+  SELECT c_custkey, {_sql_lon('c_custkey')} AS lon,
+         (0.0 - ({_sql_lat('c_custkey')})) / 2.125 AS eq_lat
+  FROM customer
+), assigned AS (
+  SELECT c_custkey,
+         cast(least(floor((lon + 180.0) / 360.0 * 64.0), 63) as int) AS tile_x,
+         cast(greatest(least(floor((1.0 - ln(tan(radians(eq_lat)) + sqrt(tan(radians(eq_lat)) * tan(radians(eq_lat)) + 1.0)) / pi()) / 2.0 * 64.0), 63), 0) as int) AS tile_y
+  FROM pts
+)
+SELECT tile_x, tile_y, count(*) AS n_features, sum(c_custkey) AS sum_ids
+FROM assigned GROUP BY 1, 2 ORDER BY tile_x, tile_y
+"""
+
+
 def q_cell_colocate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spatial equi-join on cell id: customer/supplier pairs per tile —
     the 'spatial predicate as hash join' pattern (SURVEY.md §4.1)."""
