@@ -1,51 +1,74 @@
-"""Streaming MVT ingest: micro-batched tiling into the resumable
-checkpoint table equals a clean batch run over the same rows."""
+"""Streaming MVT ingest: lossless version-append + compaction equals a
+clean batch run; first-wins mode documented for tile-monotone sources."""
 
 import pytest
 from pyspark.sql import functions as F
 
+from vectortiles_spark.mvt import codec
 from vectortiles_spark.operators import tiling
 from vectortiles_spark.sources.iceberg_lite import IcebergLiteTable
 from vectortiles_spark.sources.synth import images_df
 from vectortiles_spark.streaming import tiles as st
 
+N = 1200
+Z = 7
 
-def test_stream_tiles_checkpoint(spark, tmp_path):
-    src = str(tmp_path / "stream_src")
-    # time-partitioned-ingest shape: each file covers a disjoint tile region
-    imgs = images_df(spark, 1500, seed=42)
-    imgs.repartition(4, "lon").write.parquet(src)
 
-    ckpt = IcebergLiteTable(spark, str(tmp_path / "ckpt"))
-    stream = st.read_images_stream(spark, src, files_per_trigger=1)
-    q = st.stream_tiles_to_checkpoint(stream, ckpt, z=7)
-    q.processAllAvailable()
-    q.stop()
+@pytest.fixture(scope="module")
+def stream_src(spark, tmp_path_factory):
+    src = str(tmp_path_factory.mktemp("ingest") / "src")
+    # adversarial: lon-hash partitioning makes every file overlap most tiles
+    images_df(spark, N, seed=42).repartition(4, "lon").write.parquet(src)
+    return src
 
-    got = {
-        (r.tile_x, r.tile_y): r.n_features
-        for r in ckpt.read().select("tile_x", "tile_y", "n_features").collect()
-    }
-    # batch truth over the same rows; a tile split across micro-batches is
-    # encoded from its first batch only (documented append-tile semantics),
-    # so compare tile keys always and counts where the stream saw the whole
-    # tile in one batch
+
+def _batch_truth(spark):
     feats = tiling.point_features(
-        imgs, z=7, layer="images", feature_id=F.xxhash64("image_id"),
+        images_df(spark, N, seed=42), z=Z, layer="images",
+        feature_id=F.xxhash64("image_id"),
         meta={"caption": F.col("caption"), "phash": F.col("phash")},
     )
-    batch = {
-        (r.tile_x, r.tile_y): r.n_features
-        for r in tiling.encode_tiles(feats).collect()
+    return tiling.encode_tiles(feats)
+
+
+def test_versions_mode_is_lossless_and_compacts_to_batch(spark, stream_src, tmp_path):
+    ckpt = IcebergLiteTable(spark, str(tmp_path / "ck_versions"))
+    q = st.stream_tiles_to_checkpoint(
+        st.read_images_stream(spark, stream_src), ckpt, z=Z, mode="versions"
+    )
+    q.processAllAvailable()
+    q.stop()
+    # lossless: total features across all versions == all rows
+    assert ckpt.read().agg(F.sum("n_features")).collect()[0][0] == N
+    # compaction == clean batch run, feature-for-feature
+    compacted = {
+        (r.tile_x, r.tile_y): codec.roundtrip_features(bytes(r.mvt))
+        for r in st.compact_tiles(ckpt).collect()
     }
-    assert set(got) == set(batch)
-    assert sum(got.values()) <= sum(batch.values())
-    matched = sum(1 for k in got if got[k] == batch[k])
-    assert matched >= len(batch) * 0.5  # hash-partitioned lon => most tiles in one file
-    # snapshots carry lineage
+    batch = {
+        (r.tile_x, r.tile_y): codec.roundtrip_features(bytes(r.mvt))
+        for r in _batch_truth(spark).collect()
+    }
+    assert compacted == batch
+    # lineage: one snapshot per non-empty micro-batch
     snaps = ckpt.snapshots()
-    assert len(snaps) >= 2  # one commit per non-empty micro-batch
+    assert len(snaps) >= 2
     assert (snaps.operation == "mvt_encode").all()
+
+
+def test_first_wins_mode_unique_tiles(spark, stream_src, tmp_path):
+    ckpt = IcebergLiteTable(spark, str(tmp_path / "ck_first"))
+    q = st.stream_tiles_to_checkpoint(
+        st.read_images_stream(spark, stream_src), ckpt, z=Z, mode="first_wins"
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = ckpt.read().select("tile_x", "tile_y").collect()
+    keys = [(r.tile_x, r.tile_y) for r in rows]
+    assert len(keys) == len(set(keys))  # exactly-once per tile
+    # and the tile-key set equals the batch run's
+    batch_keys = {(r.tile_x, r.tile_y) for r in _batch_truth(spark).collect()}
+    assert set(keys) == batch_keys
 
 
 def test_sql_snippets_match_column_math(spark):
