@@ -119,6 +119,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_text_quality": QT.q_text_quality,
         "q_langid": QT.q_langid,
         "q_ngram_jaccard": QT.q_ngram_jaccard,
+        "q_rolling_fingerprint": QT.q_rolling_fingerprint,
+        "q_token_bpe": QT.q_token_bpe,
+        "q_json_props": QT.q_json_props,
         "q_cosine_topk": QT.q_cosine_topk,
         "q_label_centroids": QT.q_label_centroids,
         "q_mvt_roundtrip": Q.q_mvt_roundtrip,
@@ -156,6 +159,9 @@ def oracle_sql() -> dict[str, str]:
         "q_text_quality": QT.Q_TEXT_QUALITY_SQL,
         "q_langid": QT.Q_LANGID_SQL,
         "q_ngram_jaccard": QT.Q_NGRAM_JACCARD_SQL,
+        "q_rolling_fingerprint": QT.Q_ROLLING_FP_SQL,
+        "q_token_bpe": QT.Q_TOKEN_BPE_SQL,
+        "q_json_props": QT.Q_JSON_PROPS_SQL,
         "q_cosine_topk": QT.Q_COSINE_TOPK_SQL,
         "q_label_centroids": QT.Q_LABEL_CENTROIDS_SQL,
     }

@@ -84,3 +84,26 @@ def test_embedding_near_dups_finds_planted(spark):
     cn = cm / np.linalg.norm(cm, axis=1, keepdims=True)
     for a, b in got:
         assert cn[idx[a]] @ cn[idx[b]] >= 0.98 - 1e-9
+
+
+def test_ivf_topk_recall(spark):
+    """IVF-flat ANN: >= 50% mean recall of true top-10 on random vectors
+    with 16 seed cells / 4 probes, and all reported cosines are exact."""
+    pdf = _vecs(300)
+    cand = spark.createDataFrame(pdf)
+    q_pdf = pdf.head(8).rename(columns={"vec_id": "query_id", "embedding": "q_emb"})
+    qs = spark.createDataFrame(q_pdf)
+    exact = _brute_topk(pdf, pdf.head(8), 10)
+    rows = similarity.ivf_topk(qs, cand, k=10, n_cells=16, nprobe=6).collect()
+    approx = {}
+    for r in rows:
+        approx.setdefault(r.query_id, set()).add(r.vec_id)
+    recalls = [len(approx.get(q, set()) & set(t)) / len(t) for q, t in exact.items()]
+    assert np.mean(recalls) >= 0.5, recalls
+    # reported cosines are exact (re-rank is brute-force inside probed cells)
+    cm = np.array(pdf.embedding.tolist(), dtype=np.float64)
+    cn = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+    ids = {v: i for i, v in enumerate(pdf.vec_id.tolist())}
+    for r in rows:
+        true_cos = float(cn[ids[r.query_id]] @ cn[ids[r.vec_id]])
+        assert abs(r.cosine - true_cos) < 1e-9

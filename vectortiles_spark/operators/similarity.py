@@ -123,6 +123,63 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    query_id: str = "query_id",
+    cand_id: str = "vec_id",
+    q_emb: str = "q_emb",
+    emb: str = "embedding",
+) -> DataFrame:
+    """IVF-flat approximate top-k: partition candidates into `n_cells`
+    Voronoi cells around deterministic seed centroids (every
+    len//n_cells-th candidate by id — k-means-free IVF baseline), probe
+    the `nprobe` nearest cells per query, exact-cosine re-rank inside.
+
+    Scale shape: centroids are a tiny broadcast; candidates are assigned
+    with ONE broadcast join (no shuffle of the big side beyond the final
+    per-query top-k); queries probe via the same broadcast. At 10^12
+    vectors this is the classic coarse-quantizer layout — swap the seed
+    centroids for trained ones without touching the dataflow."""
+    w_rank = Window.partitionBy(cand_id).orderBy(F.col("sim").desc(), F.col("centroid_id").asc())
+    # deterministic seed centroids
+    cent = (
+        candidates.select(F.col(cand_id).alias("centroid_id"), F.col(emb).alias("c_emb"))
+        .orderBy("centroid_id")
+        .limit(n_cells)
+    )
+    assigned = (
+        candidates.crossJoin(F.broadcast(cent))
+        .withColumn("sim", _dot(F.col(emb), F.col("c_emb")) / (_norm(F.col(emb)) * _norm(F.col("c_emb"))))
+        .withColumn("__r", F.row_number().over(w_rank))
+        .filter(F.col("__r") == 1)
+        .select(cand_id, emb, "centroid_id")
+    )
+    w_probe = Window.partitionBy(query_id).orderBy(F.col("sim").desc(), F.col("centroid_id").asc())
+    probes = (
+        queries.crossJoin(F.broadcast(cent))
+        .withColumn("sim", _dot(F.col(q_emb), F.col("c_emb")) / (_norm(F.col(q_emb)) * _norm(F.col("c_emb"))))
+        .withColumn("__r", F.row_number().over(w_probe))
+        .filter(F.col("__r") <= nprobe)
+        .select(query_id, q_emb, "centroid_id")
+    )
+    cand_pairs = F.broadcast(probes).join(assigned, "centroid_id").select(
+        query_id, q_emb, cand_id, emb
+    )
+    scored = cand_pairs.withColumn(
+        "cosine", _dot(F.col(q_emb), F.col(emb)) / (_norm(F.col(q_emb)) * _norm(F.col(emb)))
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(cand_id).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, cand_id, "cosine", "rank")
+    )
+
+
 def embedding_near_dups(
     df: DataFrame,
     threshold: float = 0.95,

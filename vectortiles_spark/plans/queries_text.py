@@ -246,6 +246,84 @@ ORDER BY doc_a, doc_b
 """
 
 
+def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting via polynomial rolling hash over token
+    hashes: fp = fold(acc*31 + h(token)) mod 2^31-1, with h = first 8 hex
+    digits of md5 — every step expressible identically in Spark Column
+    algebra and DuckDB list_reduce (md5 is bit-identical across engines)."""
+    (docs,) = load(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    tok_hash = lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+    fp = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: F.pmod(acc * 31 + tok_hash(t), F.lit(2147483647)),
+    )
+    return docs.select("doc_id", fp.alias("fingerprint")).orderBy("doc_id")
+
+
+Q_ROLLING_FP_SQL = r"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(0::BIGINT,
+           list_transform(regexp_split_to_array(lower(trim(text)), '\s+'),
+                          t -> ('0x' || substr(md5(t), 1, 8))::BIGINT)),
+         (acc, h) -> (acc * 31 + h) % 2147483647
+       ) AS fingerprint
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex tokenization (letter runs / digit runs / single
+    punctuation) — the subword-style counter next to whitespace tokens."""
+    (docs,) = load(spark, sf_dir, "documents")
+    pattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+    n_sub = F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(pattern), F.lit(0)))
+    return (
+        docs.select("lang", n_sub.alias("n_subtokens"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_subtokens").alias("total_subtokens"),
+            F.max("n_subtokens").alias("max_subtokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+Q_TOKEN_BPE_SQL = r"""
+SELECT lang, count(*) AS n_docs,
+       sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS total_subtokens,
+       max(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS max_subtokens
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: JSON props column -> typed aggregation."""
+    (events,) = load(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q_JSON_PROPS_SQL = """
+SELECT event_type, count(*) AS n,
+       round(avg((props->>'k')::BIGINT), 4) AS avg_k,
+       max((props->>'k')::BIGINT) AS max_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k ANN baseline (SURVEY-charter similarity
     search): 8 query vectors broadcast against all embeddings, dot/norm via
