@@ -117,3 +117,38 @@ def test_multi_layer_tile(spark):
     layers = codec.decode_tile(bytes(rows[0].mvt))
     assert list(layers) == ["alpha", "beta"]
     assert rows[0].n_layers == 2
+
+
+def test_geom_features_lines_and_holed_polygons(spark):
+    """Arbitrary geometries through the full pipeline: multi-linestring with
+    cursor carry + holed polygon, MVT-encoded and decoded back exactly."""
+    import pandas as pd
+
+    line_parts = [[[[10, 10], [20, 20], [20, 30]]], [[[40, 40], [50, 40]]]]
+    poly = [[
+        [[0, 0], [100, 0], [100, 100], [0, 100], [0, 0]],          # exterior (CW on screen)
+        [[20, 20], [20, 40], [40, 40], [40, 20], [20, 20]],         # hole (reversed)
+    ]]
+    pdf = pd.DataFrame({
+        "tile_z": [3, 3], "tile_x": [1, 1], "tile_y": [2, 2],
+        "layer": ["mixed", "mixed"], "geom_type": [2, 3],
+        "feature_id": [1, 2], "geom": [line_parts, poly],
+        "kind": ["line", "poly"],
+    })
+    df = spark.createDataFrame(pdf)
+    feats = tiling.geom_features(df, meta={"kind": F.col("kind")})
+    tiles = tiling.encode_tiles(feats).collect()
+    assert len(tiles) == 1
+    layer = codec.decode_tile(bytes(tiles[0].mvt))["mixed"]
+    by_type = {f.geom_type: f for f in layer.features}
+    # linestring: both parts, exact points (cursor carried across parts)
+    parts = by_type[2].geom
+    assert [p.tolist() for p in parts] == [
+        [[10, 10], [20, 20], [20, 30]], [[40, 40], [50, 40]]
+    ]
+    # polygon: exterior positive, hole negative, both closed
+    polys = by_type[3].geom
+    from vectortiles_spark.mvt.geometry import surveyor
+    assert len(polys[0]) == 2
+    assert surveyor(polys[0][0]) > 0 > surveyor(polys[0][1])
+    assert by_type[3].metadata["kind"] == (1, "poly")

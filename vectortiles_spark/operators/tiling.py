@@ -119,6 +119,66 @@ def point_features(
     return df.select(*cols)
 
 
+GEOM_NESTED_T = "array<array<array<array<int>>>>"  # parts x rings x points x 2
+
+
+def geom_features(
+    df: DataFrame,
+    layer_col: str = "layer",
+    geom_type_col: str = "geom_type",
+    geom_col: str = "geom",
+    feature_id_col: str = "feature_id",
+    meta: dict | None = None,
+) -> DataFrame:
+    """Arbitrary-geometry feature builder: rows carrying tile keys plus a
+    nested-array geometry (parts x rings x points x [x, y], tile-local ints;
+    for points/lines the rings level has one entry) become canonical
+    feature rows with MVT command streams (cursor semantics + winding per
+    the reference, via the NumPy kernel in a mapInArrow batch).
+
+    This is the bring-your-own-geometry door next to point_features (pure
+    Column) and raster_to_features (contour tracing)."""
+    import pyarrow as pa
+
+    from ..mvt.geometry import GEOM_LINESTRING, GEOM_POINT, GEOM_POLYGON, geom_to_stream
+
+    meta = meta or {}
+    base = df.select(
+        F.col("tile_z").cast("int"), F.col("tile_x").cast("int"), F.col("tile_y").cast("int"),
+        F.col(layer_col).alias("layer"),
+        F.col(geom_type_col).cast("int").alias("geom_type"),
+        F.col(feature_id_col).cast("bigint").alias("feature_id"),
+        F.col(geom_col).cast(GEOM_NESTED_T).alias("geom"),
+        *[c.alias(k) for k, c in meta.items()],
+    )
+    out_fields = [f for f in base.schema.fields if f.name != "geom"]
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in out_fields
+    ) + ", geom_cmds array<bigint>"
+
+    def encode(batches):
+        for b in batches:
+            geoms = b["geom"].to_pylist()
+            gts = b["geom_type"].to_pylist()
+            streams = []
+            for gt, parts in zip(gts, geoms):
+                if gt == GEOM_POINT:
+                    pts = np.asarray([p for part in parts for ring in part for p in ring], dtype=np.int64)
+                    g = pts.reshape(-1, 2)
+                elif gt == GEOM_LINESTRING:
+                    g = [np.asarray(part[0], dtype=np.int64).reshape(-1, 2) for part in parts]
+                elif gt == GEOM_POLYGON:
+                    g = [[np.asarray(r, dtype=np.int64).reshape(-1, 2) for r in part] for part in parts]
+                else:
+                    raise ValueError("Geometry type of UNKNOWN given.")
+                streams.append(geom_to_stream(gt, g).astype(np.int64).tolist())
+            cols = {f.name: b[f.name] for f in out_fields}
+            cols["geom_cmds"] = pa.array(streams, pa.list_(pa.int64()))
+            yield pa.record_batch(cols)
+
+    return base.mapInArrow(encode, out_schema)
+
+
 def cap_features_per_tile(features: DataFrame, max_per_tile: int, order_by: str = "feature_id") -> DataFrame:
     """Deterministic hot-tile bound: keep the first `max_per_tile` features
     per (tile, layer) by `order_by`. This runs BEFORE the encode shuffle so
