@@ -49,6 +49,7 @@ def tile_px(lon: Column, z: int | Column, extent: int = DEFAULT_EXTENT) -> Colum
     """Tile-local x pixel in [0, extent) on the reference's discrete grid."""
     n = F.pow(F.lit(2.0), z).cast("double")
     fx = _norm_x(lon) * n
+    fx = F.least(fx, n - F.lit(1e-9))  # lon=180 lands in the east edge of the last tile
     return F.least(
         F.floor((fx - F.floor(fx)) * F.lit(float(extent))), F.lit(extent - 1).cast("long")
     ).cast("int")
@@ -102,6 +103,7 @@ def tile_pixel_np(
 ) -> tuple[np.ndarray, np.ndarray]:
     n = float(2**z)
     fx = (np.asarray(lon, np.float64) + 180.0) / 360.0 * n
+    fx = np.minimum(fx, n - 1e-9)
     rad = np.radians(np.asarray(lat, np.float64))
     fy = (1.0 - np.arcsinh(np.tan(rad)) / math.pi) / 2.0 * n
     fy = np.clip(fy, 0.0, n - 1e-9)

@@ -52,15 +52,23 @@ def decode_ppm(data: bytes) -> np.ndarray:
     # header: magic, whitespace-separated w h maxval, single whitespace, raster
     parts = []
     pos = 2
+    end = len(data)
     while len(parts) < 3:
-        while data[pos:pos + 1].isspace():
+        while pos < end and data[pos:pos + 1].isspace():
             pos += 1
+        if pos >= end:
+            raise ValueError("truncated PPM header")
         if data[pos:pos + 1] == b"#":  # comment line
-            pos = data.index(b"\n", pos) + 1
+            nl = data.find(b"\n", pos)
+            if nl < 0:
+                raise ValueError("truncated PPM header")
+            pos = nl + 1
             continue
         start = pos
-        while not data[pos:pos + 1].isspace():
+        while pos < end and not data[pos:pos + 1].isspace():
             pos += 1
+        if pos >= end:
+            raise ValueError("truncated PPM header")
         parts.append(int(data[start:pos]))
     pos += 1  # single whitespace after maxval
     w, h, maxval = parts

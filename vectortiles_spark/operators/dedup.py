@@ -39,12 +39,15 @@ def _hash_params(n: int, seed: int = 1234567):
 def shingle_docs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3) -> DataFrame:
     """(doc_id, shingle_hash64) — distinct word-k-gram shingles, hashed JVM-side."""
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    shingles = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
-        )
-    )
+    shingles = F.when(
+        F.size(toks) >= k,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - k),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))  # docs shorter than k have no k-shingles
     return (
         docs.select(F.col(id_col).alias("doc_id"), F.explode(shingles).alias("shingle"))
         .filter(F.col("shingle") != "")

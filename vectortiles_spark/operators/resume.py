@@ -57,7 +57,10 @@ def run_with_resume(features: DataFrame, table: IcebergLiteTable, encode_fn, **e
     checkpoint. Returns the new snapshot id (or the current one if there
     was nothing left to do)."""
     todo = resume_filter(features, table)
-    tiles = encode_fn(todo, **encode_kw)
-    if tiles.isEmpty():
-        return table.current_snapshot() or 0
-    return checkpoint_tiles(tiles, table)
+    tiles = encode_fn(todo, **encode_kw).persist()
+    try:
+        if tiles.isEmpty():  # persist: the emptiness probe must not re-run
+            return table.current_snapshot() or 0  # the encode for the write
+        return checkpoint_tiles(tiles, table)
+    finally:
+        tiles.unpersist()

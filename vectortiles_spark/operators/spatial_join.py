@@ -138,9 +138,11 @@ def knn_join(
         )
         .filter((F.col("tile_y") >= 0) & (F.col("tile_y") < n))
     )
+    # antimeridian-aware: wrap the lon difference into [-180, 180) so
+    # candidates joined through the x-wrap rank by their true distance
+    dlon = F.pmod(F.col("c_lon") - F.col("q_lon") + 180.0, F.lit(360.0)) - 180.0
     joined = F.broadcast(probe).join(cand, ["tile_x", "tile_y"]).withColumn(
-        "dist2",
-        (F.col("c_lon") - F.col("q_lon")) ** 2 + (F.col("c_lat") - F.col("q_lat")) ** 2,
+        "dist2", dlon**2 + (F.col("c_lat") - F.col("q_lat")) ** 2
     )
     w = Window.partitionBy(query_id).orderBy(F.col("dist2").asc(), F.col(cand_id).asc())
     return (

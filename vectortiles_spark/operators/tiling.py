@@ -93,6 +93,17 @@ def point_features(
     """
     lon_c, lat_c = F.col(lon), F.col(lat)
     fid = feature_id if feature_id is not None else F.monotonically_increasing_id()
+    zx = zigzag(tile_px(lon_c, z, extent))
+    zy = zigzag(tile_py(lat_c, z, extent))
+    if extent == codec.DEFAULT_EXTENT:
+        # single-point stream [9, zig(px), zig(py)] packed into ONE BIGINT:
+        # Spark's row->Arrow writer serializes array columns per element, so
+        # a packed scalar roughly halves the feed cost of the encode stage.
+        # The 13-bit lanes hold zig values < 2^13, i.e. extent <= 4096 only.
+        geom_col = F.shiftleft(zx, 13).bitwiseOR(zy).cast("bigint").alias("geom_pt")
+    else:
+        header = F.lit((1 << 3) | 1).cast("bigint")  # MoveTo, count 1
+        geom_col = F.array(header, zx.cast("bigint"), zy.cast("bigint")).alias("geom_cmds")
     cols = [
         F.lit(z).cast("int").alias("tile_z"),
         tile_x(lon_c, z).alias("tile_x"),
@@ -100,15 +111,7 @@ def point_features(
         F.lit(layer).alias("layer"),
         F.lit(1).alias("geom_type"),
         fid.cast("bigint").alias("feature_id"),
-        # single-point stream [9, zig(px), zig(py)] packed into ONE BIGINT:
-        # Spark's row->Arrow writer serializes array columns per element, so
-        # a packed scalar roughly halves the feed cost of the encode stage.
-        # zig values < 2^13 for extent 4096 (13 bits each).
-        (
-            F.shiftleft(zigzag(tile_px(lon_c, z, extent)), 13)
-            .bitwiseOR(zigzag(tile_py(lat_c, z, extent)))
-            .cast("bigint")
-        ).alias("geom_pt"),
+        geom_col,
     ]
     if isinstance(meta, dict):
         # plain typed columns -> columnar fast path in the encoder (the
@@ -162,15 +165,36 @@ def geom_features(
             gts = b["geom_type"].to_pylist()
             streams = []
             for gt, parts in zip(gts, geoms):
+                parts = parts or []
                 if gt == GEOM_POINT:
-                    pts = np.asarray([p for part in parts for ring in part for p in ring], dtype=np.int64)
+                    pts = np.asarray(
+                        [p for part in parts for ring in part for p in ring], dtype=np.int64
+                    )
                     g = pts.reshape(-1, 2)
+                    degenerate = len(g) == 0
                 elif gt == GEOM_LINESTRING:
-                    g = [np.asarray(part[0], dtype=np.int64).reshape(-1, 2) for part in parts]
+                    # a valid line part needs >= 2 points (MoveTo + LineTo>=1)
+                    g = [
+                        np.asarray(part[0], dtype=np.int64).reshape(-1, 2)
+                        for part in parts
+                        if part and len(part[0]) >= 2
+                    ]
+                    degenerate = not g
                 elif gt == GEOM_POLYGON:
-                    g = [[np.asarray(r, dtype=np.int64).reshape(-1, 2) for r in part] for part in parts]
+                    # a valid ring needs >= 4 points (closed, LineTo count >= 2)
+                    g = [
+                        [np.asarray(r, dtype=np.int64).reshape(-1, 2) for r in part if len(r) >= 4]
+                        for part in parts
+                    ]
+                    g = [p for p in g if p]
+                    degenerate = not g
                 else:
                     raise ValueError("Geometry type of UNKNOWN given.")
+                if degenerate:
+                    # empty stream -> dropped by the sink (an empty feature
+                    # would make the tile undecodable, Internal.hs:296)
+                    streams.append([])
+                    continue
                 streams.append(geom_to_stream(gt, g).astype(np.int64).tolist())
             cols = {f.name: b[f.name] for f in out_fields}
             cols["geom_cmds"] = pa.array(streams, pa.list_(pa.int64()))
@@ -199,7 +223,7 @@ def _meta_to_dict(meta) -> dict:
         tag = m["tag"]
         if tag == codec.VAL_STRING:
             out[m["key"]] = (tag, m["s"])
-        elif tag == codec.VAL_DOUBLE:
+        elif tag in (codec.VAL_DOUBLE, codec.VAL_FLOAT):
             out[m["key"]] = (tag, float(m["d"]))
         elif tag in (codec.VAL_INT, codec.VAL_UINT, codec.VAL_SINT):
             out[m["key"]] = (tag, int(m["i"]))
@@ -208,40 +232,61 @@ def _meta_to_dict(meta) -> dict:
     return out
 
 
-def _encode_tile_group_arrow(tbl):
+def _encode_tile_group_arrow(tbl, extent: int = codec.DEFAULT_EXTENT):
     """One Arrow batch = one tile's features -> one (z, x, y, mvt) row.
 
     Arrow in/out (``applyInArrow``) rather than pandas: nullable BIGINT
     struct fields survive exactly (pandas coerces them to float64, which
     corrupts 64-bit ints like phash beyond 2^53), and the conversion is
-    cheaper — no pandas block consolidation per group.
+    cheaper — no pandas block consolidation per group. Accepts the same
+    feature shapes as the stream encoder (geom_pt or geom_cmds, struct
+    'meta' or plain typed metadata columns).
     """
     import pyarrow as pa
 
     from ..mvt import wire
 
+    n = tbl.num_rows
     z = tbl["tile_z"][0].as_py()
     x = tbl["tile_x"][0].as_py()
     y = tbl["tile_y"][0].as_py()
     layers_col = tbl["layer"].to_pylist()
     fids = tbl["feature_id"].to_pylist()
-    metas = tbl["meta"].to_pylist()
     gts = tbl["geom_type"].to_pylist()
-    cmds_col = tbl["geom_cmds"].to_pylist()
+    if "geom_pt" in tbl.column_names:
+        pts = tbl["geom_pt"].to_pylist()
+        cmds_col = [[9, p >> 13, p & 0x1FFF] for p in pts]
+    else:
+        cmds_col = tbl["geom_cmds"].to_pylist()
+    metas = tbl["meta"].to_pylist() if "meta" in tbl.column_names else [None] * n
+    # plain typed metadata columns (the columnar form)
+    extra = [
+        (f.name, _tag_for_arrow_type(f.type), tbl[f.name].to_pylist())
+        for f in tbl.schema
+        if f.name not in _CORE_COLS
+    ]
 
     by_layer: dict[str, list] = {}
     n_feats = 0
-    for name, fid, meta, gt, cmds in zip(layers_col, fids, metas, gts, cmds_col):
+    for i, (name, fid, meta, gt, cmds) in enumerate(
+        zip(layers_col, fids, metas, gts, cmds_col)
+    ):
         if not cmds:
             continue  # empty geometry would be undecodable (Internal.hs:296)
+        md = _meta_to_dict(meta)
+        for key, tag, vals in extra:
+            if vals[i] is not None:
+                md[key] = (tag, vals[i])
         by_layer.setdefault(name, []).append(
-            (int(fid), _meta_to_dict(meta), int(gt), np.asarray(cmds, dtype=np.uint32))
+            (int(fid), md, int(gt), np.asarray(cmds, dtype=np.uint32))
         )
         n_feats += 1
 
     body = bytearray()
     for name in sorted(by_layer):  # deterministic layer order
-        body += wire.len_delimited(3, codec.encode_layer_from_streams(name, by_layer[name]))
+        body += wire.len_delimited(
+            3, codec.encode_layer_from_streams(name, by_layer[name], extent=extent)
+        )
 
     return pa.table(
         {
@@ -255,14 +300,21 @@ def _encode_tile_group_arrow(tbl):
     )
 
 
-def encode_tiles_grouped(features: DataFrame, max_per_tile: int | None = None) -> DataFrame:
+def encode_tiles_grouped(
+    features: DataFrame,
+    max_per_tile: int | None = None,
+    extent: int = codec.DEFAULT_EXTENT,
+) -> DataFrame:
     """groupBy + applyInArrow variant: one Python call per tile. Simple and
     correct, but per-group overhead (~ms) dominates when tiles are small —
     kept for comparison; ``encode_tiles`` is the production path."""
     if max_per_tile is not None:
         features = cap_features_per_tile(features, max_per_tile)
+    def encode_group(tbl):  # applyInArrow introspects the signature;
+        return _encode_tile_group_arrow(tbl, extent=extent)  # partials break it
+
     return features.groupBy("tile_z", "tile_x", "tile_y").applyInArrow(
-        _encode_tile_group_arrow, schema=TILE_SCHEMA
+        encode_group, schema=TILE_SCHEMA
     )
 
 
@@ -286,8 +338,11 @@ def _tag_for_arrow_type(t) -> int:
     raise ValueError(f"unsupported metadata column type {t}")
 
 
-def _encode_stream(batches):
-    """Stream encoder: consumes (tile-key-sorted) Arrow batches, slices tile
+def _make_encode_stream(extent: int = codec.DEFAULT_EXTENT):
+    """Stream-encoder factory (extent is captured in the closure so all
+    wire paths declare the layer extent that the upstream pixel math used).
+
+    The encoder consumes (tile-key-sorted) Arrow batches, slices tile
     runs with NumPy boundary detection, carries the (possibly incomplete)
     tail tile across batch boundaries. ONE Python crossing per ~64k rows
     instead of one per tile.
@@ -357,7 +412,8 @@ def _encode_stream(batches):
         metas_empty = metas is None or not any(metas)
         if metas_empty and all_nonempty_batch and codes_ok_batch and n:
             mvts, tile_starts, n_runs_per_tile = codec.encode_multi_tile_batch(
-                z, x, y, lcodes, lnames, fids, gts, gvals, goff, meta_specs
+                z, x, y, lcodes, lnames, fids, gts, gvals, goff, meta_specs,
+                extent=extent,
             )
             ts = tile_starts
             nf = np.diff(np.concatenate([ts, [n]]))
@@ -398,6 +454,7 @@ def _encode_stream(batches):
                         gvals[goff[ls]:goff[le]],
                         goff[ls:le + 1] - goff[ls],
                         [(key, codes[ls:le], fbuf, foff) for key, codes, fbuf, foff in meta_specs],
+                        extent=extent,
                     )
                     n_feats += le - ls
                 elif has_meta_structs:
@@ -409,7 +466,9 @@ def _encode_stream(batches):
                          gvals[goff[i]:goff[i + 1]].astype(np.uint32))
                         for i in idx
                     ]
-                    layer_bytes = codec.encode_layer_from_streams(lnames[lcodes[ls]], feats)
+                    layer_bytes = codec.encode_layer_from_streams(
+                        lnames[lcodes[ls]], feats, extent=extent
+                    )
                     n_feats += len(idx)
                 else:
                     idx = [i for i in range(ls, le) if glens[i] > 0]
@@ -421,6 +480,7 @@ def _encode_stream(batches):
                         gts[idx],
                         [gvals[goff[i]:goff[i + 1]] for i in idx],
                         [(key, codes[idx], fbuf, foff) for key, codes, fbuf, foff in meta_specs],
+                        extent=extent,
                     )
                     n_feats += len(idx)
                 body += wire.len_delimited(3, layer_bytes)
@@ -442,74 +502,84 @@ def _encode_stream(batches):
             }
         )
 
-    # The carry is a LIST of table slices, concatenated only when the tail
-    # tile completes — a hot metro tile spanning dozens of batches costs one
-    # concat, not a quadratic re-concat per batch.
-    carry_parts: list[pa.Table] = []
-    carry_key: tuple | None = None
-
     def key_at(tbl: pa.Table, i: int) -> tuple:
         return (
             tbl["tile_z"][i].as_py(), tbl["tile_x"][i].as_py(), tbl["tile_y"][i].as_py()
         )
 
-    def drain_carry():
-        nonlocal carry_parts, carry_key
-        if not carry_parts:
-            return None
-        whole = (
-            carry_parts[0]
-            if len(carry_parts) == 1
-            else pa.concat_tables(carry_parts)
-        ).combine_chunks()
-        carry_parts, carry_key = [], None
-        return flush(whole, is_last=True)
+    def encode_stream(batches):
+        # The carry is a LIST of table slices, concatenated only when the
+        # tail tile completes — a hot metro tile spanning dozens of batches
+        # costs one concat, not a quadratic re-concat per batch.
+        carry_parts: list[pa.Table] = []
+        carry_key: tuple | None = None
 
-    for batch in batches:
-        tbl = pa.Table.from_batches([batch])
-        if tbl.num_rows == 0:
-            continue
-        if carry_key is not None and key_at(tbl, 0) != carry_key:
-            rb = drain_carry()
-            if rb is not None and rb.num_rows:
-                yield rb
-        if carry_key is not None and key_at(tbl, -1) == carry_key:
-            carry_parts.append(tbl)  # whole batch continues the tail tile
-            continue
-        if carry_key is not None:
-            # split off the head rows that finish the carried tile
-            z0 = tbl["tile_z"].to_numpy(zero_copy_only=False)
-            x0 = tbl["tile_x"].to_numpy(zero_copy_only=False)
-            y0 = tbl["tile_y"].to_numpy(zero_copy_only=False)
-            same = (z0 == carry_key[0]) & (x0 == carry_key[1]) & (y0 == carry_key[2])
-            head_end = int(np.flatnonzero(~same)[0]) if (~same).any() else tbl.num_rows
-            carry_parts.append(tbl.slice(0, head_end))
-            rb = drain_carry()
-            if rb is not None and rb.num_rows:
-                yield rb
-            tbl = tbl.slice(head_end)
+        def drain_carry():
+            nonlocal carry_parts, carry_key
+            if not carry_parts:
+                return None
+            whole = (
+                carry_parts[0]
+                if len(carry_parts) == 1
+                else pa.concat_tables(carry_parts)
+            ).combine_chunks()
+            carry_parts, carry_key = [], None
+            return flush(whole, is_last=True)
+
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch])
             if tbl.num_rows == 0:
                 continue
-        # process complete tiles of this batch; keep its tail as new carry
-        z1 = tbl["tile_z"].to_numpy(zero_copy_only=False)
-        x1 = tbl["tile_x"].to_numpy(zero_copy_only=False)
-        y1 = tbl["tile_y"].to_numpy(zero_copy_only=False)
-        change = (z1[1:] != z1[:-1]) | (x1[1:] != x1[:-1]) | (y1[1:] != y1[:-1])
-        starts = np.flatnonzero(change) + 1
-        last_start = int(starts[-1]) if starts.size else 0
-        if last_start > 0:
-            rb = flush(tbl.slice(0, last_start).combine_chunks(), is_last=True)
-            if rb is not None and rb.num_rows:
-                yield rb
-        carry_parts.append(tbl.slice(last_start))
-        carry_key = key_at(tbl, -1)
-    rb = drain_carry()
-    if rb is not None and rb.num_rows:
-        yield rb
+            if carry_key is not None and key_at(tbl, 0) != carry_key:
+                rb = drain_carry()
+                if rb is not None and rb.num_rows:
+                    yield rb
+            if carry_key is not None and key_at(tbl, -1) == carry_key:
+                carry_parts.append(tbl)  # whole batch continues the tail tile
+                continue
+            if carry_key is not None:
+                # split off the head rows that finish the carried tile
+                z0 = tbl["tile_z"].to_numpy(zero_copy_only=False)
+                x0 = tbl["tile_x"].to_numpy(zero_copy_only=False)
+                y0 = tbl["tile_y"].to_numpy(zero_copy_only=False)
+                same = (z0 == carry_key[0]) & (x0 == carry_key[1]) & (y0 == carry_key[2])
+                head_end = int(np.flatnonzero(~same)[0]) if (~same).any() else tbl.num_rows
+                carry_parts.append(tbl.slice(0, head_end))
+                rb = drain_carry()
+                if rb is not None and rb.num_rows:
+                    yield rb
+                tbl = tbl.slice(head_end)
+                if tbl.num_rows == 0:
+                    continue
+            # process complete tiles of this batch; keep its tail as new carry
+            z1 = tbl["tile_z"].to_numpy(zero_copy_only=False)
+            x1 = tbl["tile_x"].to_numpy(zero_copy_only=False)
+            y1 = tbl["tile_y"].to_numpy(zero_copy_only=False)
+            change = (z1[1:] != z1[:-1]) | (x1[1:] != x1[:-1]) | (y1[1:] != y1[:-1])
+            starts = np.flatnonzero(change) + 1
+            last_start = int(starts[-1]) if starts.size else 0
+            if last_start > 0:
+                rb = flush(tbl.slice(0, last_start).combine_chunks(), is_last=True)
+                if rb is not None and rb.num_rows:
+                    yield rb
+            carry_parts.append(tbl.slice(last_start))
+            carry_key = key_at(tbl, -1)
+        rb = drain_carry()
+        if rb is not None and rb.num_rows:
+            yield rb
+
+    return encode_stream
+
+
+# default-extent instance (used by standalone scripts and tests)
+_encode_stream = _make_encode_stream()
 
 
 def encode_tiles(
-    features: DataFrame, max_per_tile: int | None = None, partitions: int | None = None
+    features: DataFrame,
+    max_per_tile: int | None = None,
+    partitions: int | None = None,
+    extent: int = codec.DEFAULT_EXTENT,
 ) -> DataFrame:
     """The flagship sink: canonical feature rows -> one MVT row per tile.
 
@@ -533,7 +603,7 @@ def encode_tiles(
     ordered = features.sortWithinPartitions(
         *key, F.col("layer"), F.col("geom_type"), F.col("feature_id")
     )
-    return ordered.mapInArrow(_encode_stream, schema=TILE_SCHEMA)
+    return ordered.mapInArrow(_make_encode_stream(extent), schema=TILE_SCHEMA)
 
 
 def decode_tiles(tiles: DataFrame) -> DataFrame:

@@ -55,9 +55,12 @@ def stream_tiles_to_checkpoint(
                 feats, checkpoint_table, tiling.encode_tiles, max_per_tile=max_per_tile
             )
         else:
-            tiles = tiling.encode_tiles(feats, max_per_tile=max_per_tile)
-            if not tiles.isEmpty():
-                resume.checkpoint_tiles(tiles, checkpoint_table, source_snapshot=epoch_id)
+            tiles = tiling.encode_tiles(feats, max_per_tile=max_per_tile).persist()
+            try:
+                if not tiles.isEmpty():
+                    resume.checkpoint_tiles(tiles, checkpoint_table, source_snapshot=epoch_id)
+            finally:
+                tiles.unpersist()
 
     return (
         images_stream.writeStream.outputMode("append")
