@@ -123,3 +123,52 @@ def test_knn_results_sorted_and_capped(spark):
         assert len(rs) <= 3
         dists = [r.dist2 for r in rs]
         assert dists == sorted(dists)
+
+
+def test_knn_exact_matches_global_bruteforce(spark):
+    """Expanding-ring kNN returns the TRUE global top-k, including sparse
+    regions where ring-1 holds fewer than k candidates."""
+    from vectortiles_spark.operators.spatial_join import knn_join_exact
+
+    rng = np.random.Generator(np.random.PCG64(21))
+    # sparse candidates + queries far from any cluster
+    cand_pdf = pd.DataFrame({
+        "cand_id": np.arange(40),
+        "lon": rng.uniform(-170, 170, 40),
+        "lat": rng.uniform(-80, 80, 40),
+    })
+    q_pdf = pd.DataFrame({
+        "query_id": np.arange(6),
+        "lon": rng.uniform(-170, 170, 6),
+        "lat": rng.uniform(-80, 80, 6),
+    })
+    rows = knn_join_exact(
+        spark.createDataFrame(q_pdf), spark.createDataFrame(cand_pdf), k=3, z=6
+    ).collect()
+    # global brute force with the same wrapped-lon metric
+    def d2(qlon, qlat, clon, clat):
+        dlon = ((clon - qlon + 180) % 360) - 180
+        return dlon**2 + (clat - qlat) ** 2
+    got = {}
+    for r in sorted(rows, key=lambda r: (r.query_id, r.rank)):
+        got.setdefault(r.query_id, []).append(r.cand_id)
+    for qi in range(6):
+        dists = sorted(
+            (d2(q_pdf.lon[qi], q_pdf.lat[qi], cand_pdf.lon[j], cand_pdf.lat[j]), int(cand_pdf.cand_id[j]))
+            for j in range(40)
+        )[:3]
+        assert got[qi] == [c for _, c in dists], f"query {qi}"
+
+
+def test_knn_exact_polar_sparse(spark):
+    """A polar query must reach far-southern candidates (y rings clip, so
+    max_ring must span all rows) and wrap duplicates must not displace
+    real top-k entries."""
+    from vectortiles_spark.operators.spatial_join import knn_join_exact
+
+    q = spark.createDataFrame(pd.DataFrame({"query_id": [1], "lon": [10.0], "lat": [83.0]}))
+    c = spark.createDataFrame(pd.DataFrame(
+        {"cand_id": [1, 2, 3], "lon": [12.0, -170.0, 100.0], "lat": [-60.0, 70.0, 82.5]}
+    ))
+    rows = sorted(knn_join_exact(q, c, k=3, z=5).collect(), key=lambda r: r.rank)
+    assert [r.cand_id for r in rows] == [3, 1, 2]

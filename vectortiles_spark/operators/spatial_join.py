@@ -137,6 +137,9 @@ def knn_join(
             (F.col("q_ty") + F.col("__off.dy")).alias("tile_y"),
         )
         .filter((F.col("tile_y") >= 0) & (F.col("tile_y") < n))
+        # rings wider than the grid wrap onto the same tiles: dedupe probes
+        # so no candidate joins twice and displaces a real top-k entry
+        .dropDuplicates([query_id, "tile_x", "tile_y"])
     )
     # antimeridian-aware: wrap the lon difference into [-180, 180) so
     # candidates joined through the x-wrap rank by their true distance
@@ -150,3 +153,79 @@ def knn_join(
         .filter(F.col("rank") <= k)
         .select(query_id, cand_id, "dist2", "rank")
     )
+
+
+def knn_join_exact(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    z: int = 6,
+    max_ring: int | None = None,
+    query_id: str = "query_id",
+    cand_id: str = "cand_id",
+) -> DataFrame:
+    """TRUE kNN via expanding ring search: start at ring 1 and double the
+    ring for queries that (a) found fewer than k candidates, or (b) whose
+    k-th distance exceeds the guaranteed-covered radius (a nearer candidate
+    could still hide outside the searched ring). Terminates at the ring
+    covering the whole grid, so every query gets its exact top-k.
+
+    The driver loop runs O(log n_tiles) bounded Spark jobs; each round only
+    re-probes the unresolved queries (typically a tiny fraction after round
+    one), so total cost ~ the bounded join plus a sparse tail."""
+    import math
+
+    n = 1 << z
+    if max_ring is None:
+        # y does NOT wrap: a query in row 0 needs ring n-1 to reach row n-1
+        # (x is fully covered earlier via the wrap; duplicates are deduped)
+        max_ring = max(n - 1, 1)
+
+    def merc_lat(y_row):
+        """Northern latitude of Mercator tile row y (degrees), Column expr."""
+        return F.degrees(F.atan(F.sinh(F.lit(math.pi) * (1.0 - 2.0 * y_row / n))))
+
+    remaining = queries
+    results = None
+    ring = 1
+    while True:
+        found = knn_join(
+            remaining, candidates, k=k, z=z, ring=ring,
+            query_id=query_id, cand_id=cand_id,
+        ).localCheckpoint(eager=True)  # truncate per-round lineage
+        # a query is RESOLVED when it has k hits and the k-th distance fits
+        # inside the radius this ring PROVABLY covered. x coverage is
+        # ring * 360/n; y coverage is bounded below by ring * (the smallest
+        # Mercator row span inside the ring — rows shrink toward the poles,
+        # so the most poleward searched row bounds it).
+        qt = remaining.select(
+            F.col(query_id),
+            tile_y(F.col("lat"), z).alias("__qty"),
+        )
+        edge_n = F.greatest(F.lit(0), F.col("__qty") - ring)
+        edge_s = F.least(F.lit(n - 1), F.col("__qty") + ring)
+        span_n = merc_lat(edge_n) - merc_lat(edge_n + 1)
+        span_s = merc_lat(edge_s) - merc_lat(edge_s + 1)
+        covered_deg = F.least(
+            F.lit(ring * 360.0 / n), ring * F.least(span_n, span_s)
+        )
+        stats = (
+            found.groupBy(query_id)
+            .agg(F.count("*").alias("__n"), F.max("dist2").alias("__worst"))
+            .join(qt, query_id)
+            .withColumn("__covered2", covered_deg * covered_deg)
+        )
+        resolved_keys = stats.filter(
+            (F.col("__n") >= k) & (F.col("__worst") <= F.col("__covered2"))
+        ).select(query_id)
+        if ring >= max_ring:
+            resolved_keys = stats.select(query_id)  # searched everything
+        resolved = found.join(F.broadcast(resolved_keys), query_id, "left_semi")
+        results = resolved if results is None else results.unionAll(resolved)
+        remaining = remaining.join(
+            F.broadcast(resolved_keys), query_id, "left_anti"
+        ).localCheckpoint(eager=True)
+        if ring >= max_ring or remaining.isEmpty():
+            break
+        ring = min(ring * 2, max_ring)
+    return results.select(query_id, cand_id, "dist2", "rank")
