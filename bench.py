@@ -47,7 +47,7 @@ def bench_mvt_encode(spark, sf_dir):
         feature_id=F.xxhash64("image_id"),
         meta={"caption": F.col("caption"), "phash": F.col("phash")},
     )
-    tiles = tiling.encode_tiles(feats, max_per_tile=50000)
+    tiles = tiling.encode_tiles(feats, max_per_tile=50000, single_layer="images")
     agg = tiles.agg(
         F.count("*").alias("n_tiles"),
         F.sum("n_features").alias("n_features"),

@@ -38,7 +38,7 @@ best = None
 for trial in range({trials}):
     t0 = time.perf_counter()
     r = feats  # rebuild plan each trial (no caching between trials)
-    agg = tiling.encode_tiles(feats, partitions=64).agg(
+    agg = tiling.encode_tiles(feats, partitions=64, single_layer="images").agg(
         F.count("*").alias("t"), F.sum("n_features").alias("f")).collect()[0]
     dt = time.perf_counter() - t0
     if best is None or dt < best[0]:

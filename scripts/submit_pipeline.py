@@ -57,7 +57,10 @@ def main():
     )
 
     def encode(f):
-        return tiling.encode_tiles(f, max_per_tile=args.max_per_tile, partitions=args.partitions)
+        return tiling.encode_tiles(
+            f, max_per_tile=args.max_per_tile, partitions=args.partitions,
+            single_layer=args.layer,
+        )
 
     if args.checkpoint:
         table = IcebergLiteTable(spark, args.checkpoint)

@@ -152,3 +152,19 @@ def test_geom_features_lines_and_holed_polygons(spark):
     assert len(polys[0]) == 2
     assert surveyor(polys[0][0]) > 0 > surveyor(polys[0][1])
     assert by_type[3].metadata["kind"] == (1, "poly")
+
+
+def test_single_layer_mode_identical_bytes(spark):
+    """encode_tiles(single_layer=...) drops the constant layer column from
+    the feed and must produce byte-identical tiles."""
+    imgs = images_df(spark, 400, seed=13)
+    feats = tiling.point_features(
+        imgs, z=7, layer="images", feature_id=F.xxhash64("image_id"),
+        meta={"caption": F.col("caption"), "phash": F.col("phash")},
+    )
+    normal = {(r.tile_x, r.tile_y): bytes(r.mvt) for r in tiling.encode_tiles(feats).collect()}
+    fast = {
+        (r.tile_x, r.tile_y): bytes(r.mvt)
+        for r in tiling.encode_tiles(feats, single_layer="images").collect()
+    }
+    assert normal == fast

@@ -207,7 +207,8 @@ def cap_features_per_tile(features: DataFrame, max_per_tile: int, order_by: str 
     """Deterministic hot-tile bound: keep the first `max_per_tile` features
     per (tile, layer) by `order_by`. This runs BEFORE the encode shuffle so
     no single task ever receives an unbounded metro tile (SURVEY.md §2.D10)."""
-    w = Window.partitionBy("tile_z", "tile_x", "tile_y", "layer").orderBy(F.col(order_by))
+    part_cols = ["tile_z", "tile_x", "tile_y"] + (["layer"] if "layer" in features.columns else [])
+    w = Window.partitionBy(*part_cols).orderBy(F.col(order_by))
     return (
         features.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= max_per_tile)
@@ -338,7 +339,7 @@ def _tag_for_arrow_type(t) -> int:
     raise ValueError(f"unsupported metadata column type {t}")
 
 
-def _make_encode_stream(extent: int = codec.DEFAULT_EXTENT):
+def _make_encode_stream(extent: int = codec.DEFAULT_EXTENT, layer_const: str | None = None):
     """Stream-encoder factory (extent is captured in the closure so all
     wire paths declare the layer extent that the upstream pixel math used).
 
@@ -366,8 +367,12 @@ def _make_encode_stream(extent: int = codec.DEFAULT_EXTENT):
         change = (z[1:] != z[:-1]) | (x[1:] != x[:-1]) | (y[1:] != y[:-1])
         starts = np.concatenate([[0], np.flatnonzero(change) + 1])
         n = tbl.num_rows
-        lcodes, lnames = pd.factorize(tbl["layer"].to_pandas())
-        lnames = list(lnames)
+        if "layer" in tbl.column_names:
+            lcodes, lnames = pd.factorize(tbl["layer"].to_pandas())
+            lnames = list(lnames)
+        else:  # single-layer pipeline: the constant string never rides the feed
+            lcodes = np.zeros(n, dtype=np.int64)
+            lnames = [layer_const]
         fids = tbl["feature_id"].to_numpy(zero_copy_only=False)
         gts = tbl["geom_type"].to_numpy(zero_copy_only=False)
         if "geom_pt" in tbl.column_names:
@@ -580,6 +585,7 @@ def encode_tiles(
     max_per_tile: int | None = None,
     partitions: int | None = None,
     extent: int = codec.DEFAULT_EXTENT,
+    single_layer: str | None = None,
 ) -> DataFrame:
     """The flagship sink: canonical feature rows -> one MVT row per tile.
 
@@ -590,6 +596,11 @@ def encode_tiles(
     codec work (~50 us), not per-group UDF dispatch (~ms): at 10^12 rows
     the shuffle is the same one groupBy would pay, but the Python boundary
     is crossed once per Arrow batch instead of once per tile."""
+    if single_layer is not None and "layer" in features.columns:
+        # a constant layer string costs len(name) bytes PER ROW through the
+        # row->Arrow feed (~14% of feed time measured at 20M rows): drop it
+        # and re-inject the name worker-side
+        features = features.drop("layer")
     if max_per_tile is not None:
         features = cap_features_per_tile(features, max_per_tile)
     key = [F.col("tile_z"), F.col("tile_x"), F.col("tile_y")]
@@ -600,10 +611,11 @@ def encode_tiles(
         # serialize the workers
         partitions = features.sparkSession.sparkContext.defaultParallelism
     features = features.repartition(partitions, *key)
-    ordered = features.sortWithinPartitions(
-        *key, F.col("layer"), F.col("geom_type"), F.col("feature_id")
+    sort_cols = [c for c in ("layer", "geom_type", "feature_id") if c in features.columns]
+    ordered = features.sortWithinPartitions(*key, *[F.col(c) for c in sort_cols])
+    return ordered.mapInArrow(
+        _make_encode_stream(extent, layer_const=single_layer), schema=TILE_SCHEMA
     )
-    return ordered.mapInArrow(_make_encode_stream(extent), schema=TILE_SCHEMA)
 
 
 def decode_tiles(tiles: DataFrame) -> DataFrame:

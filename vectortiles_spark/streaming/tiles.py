@@ -52,10 +52,11 @@ def stream_tiles_to_checkpoint(
         )
         if mode == "first_wins":
             resume.run_with_resume(
-                feats, checkpoint_table, tiling.encode_tiles, max_per_tile=max_per_tile
+                feats, checkpoint_table, tiling.encode_tiles,
+                max_per_tile=max_per_tile, single_layer=layer,
             )
         else:
-            tiles = tiling.encode_tiles(feats, max_per_tile=max_per_tile).persist()
+            tiles = tiling.encode_tiles(feats, max_per_tile=max_per_tile, single_layer=layer).persist()
             try:
                 if not tiles.isEmpty():
                     resume.checkpoint_tiles(tiles, checkpoint_table, source_snapshot=epoch_id)
