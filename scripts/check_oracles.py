@@ -31,7 +31,11 @@ def normalize(df) -> tuple[int, list[str], str]:
             if v is None or (isinstance(v, float) and v != v):
                 parts.append("NULL")
             elif isinstance(v, float):
-                parts.append(f"{v:.6f}".rstrip("0").rstrip("."))
+                # keep a float marker: the driver's normalizer distinguishes
+                # 1435.0 (DuckDB HUGEINT->float64) from 1435 (Spark BIGINT),
+                # so an int-valued float must NOT collapse to the int string
+                s = f"{v:.6f}".rstrip("0").rstrip(".")
+                parts.append(s + ".0" if "." not in s else s)
             elif isinstance(v, bool):
                 parts.append(str(int(v)))
             else:

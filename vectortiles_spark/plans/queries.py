@@ -575,7 +575,7 @@ WITH pts AS (
          cast(greatest(least(floor((1.0 - ln(tan(radians(eq_lat)) + sqrt(tan(radians(eq_lat)) * tan(radians(eq_lat)) + 1.0)) / pi()) / 2.0 * 64.0), 63), 0) as int) AS tile_y
   FROM pts
 )
-SELECT tile_x, tile_y, count(*) AS n_features, sum(c_custkey) AS sum_ids
+SELECT tile_x, tile_y, count(*) AS n_features, sum(c_custkey)::BIGINT AS sum_ids
 FROM assigned GROUP BY 1, 2 ORDER BY tile_x, tile_y
 """
 

@@ -82,8 +82,8 @@ WITH toks AS (
   SELECT source, len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
   FROM documents
 )
-SELECT source, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
-       max(n_tokens) AS max_tokens
+SELECT source, count(*) AS n_docs, sum(n_tokens)::BIGINT AS total_tokens,
+       max(n_tokens)::BIGINT AS max_tokens
 FROM toks GROUP BY source ORDER BY source
 """
 
@@ -119,7 +119,7 @@ WITH scored AS (
          len(regexp_split_to_array(lower(trim(text)), '\s+')) AS n_tokens,
          len(list_intersect(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')),
                             {list(_STOP_EN)!r})) AS n_stop_kinds,
-         floor(n_chars / 100) * 100 AS len_bucket
+         cast(floor(n_chars / 100) * 100 AS BIGINT) AS len_bucket
   FROM documents
 )
 SELECT len_bucket, count(*) AS n_docs,
@@ -295,8 +295,8 @@ def q_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q_TOKEN_BPE_SQL = r"""
 SELECT lang, count(*) AS n_docs,
-       sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS total_subtokens,
-       max(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS max_subtokens
+       sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')))::BIGINT AS total_subtokens,
+       max(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')))::BIGINT AS max_subtokens
 FROM documents GROUP BY lang ORDER BY lang
 """
 
