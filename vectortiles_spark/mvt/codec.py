@@ -462,15 +462,21 @@ def encode_layer_columnar_vec(
         for k_idx, (key, codes, fbuf, foff) in enumerate(meta_cols):
             codes = np.asarray(codes) if order is None else np.asarray(codes)[order]
             n_dict = len(foff) - 1
+            full = False
             if codes.size >= n_dict:
-                # dictionary likely fully used (per-tile dictionary_encode):
-                # skip the sort — codes ARE the local indices
+                # fast path ONLY when the codes provably cover the whole
+                # dictionary (O(n) boolean scatter, cheaper than the sort):
+                # emitting the full batch-level dictionary for a tile that
+                # uses a few codes would bloat tiles and make output bytes
+                # depend on Arrow batch boundaries
+                seen = np.zeros(n_dict, dtype=bool)
+                seen[codes] = True
+                full = bool(seen.all())
+            if full:
                 uniq = wire._arange(n_dict)
                 inv = codes
-                full = True
             else:
                 uniq, inv = np.unique(codes, return_inverse=True)
-                full = False
             base = n_vals
             n_vals += len(uniq)
             # ragged-gather the framed value bytes of the local uniques

@@ -139,24 +139,41 @@ def ivf_topk(
     len//n_cells-th candidate by id — k-means-free IVF baseline), probe
     the `nprobe` nearest cells per query, exact-cosine re-rank inside.
 
-    Scale shape: centroids are a tiny broadcast; candidates are assigned
-    with ONE broadcast join (no shuffle of the big side beyond the final
-    per-query top-k); queries probe via the same broadcast. At 10^12
-    vectors this is the classic coarse-quantizer layout — swap the seed
-    centroids for trained ones without touching the dataflow."""
-    w_rank = Window.partitionBy(cand_id).orderBy(F.col("sim").desc(), F.col("centroid_id").asc())
-    # deterministic seed centroids
+    Scale shape: centroids live on the DRIVER (a coarse quantizer is tiny
+    by definition) and ride to executors inside the assignment UDF closure;
+    each candidate row computes its argmax cell with one BLAS matmul per
+    Arrow batch — ZERO shuffle and zero row amplification on the big side
+    (the previous crossJoin+window argmax materialized n x n_cells rows and
+    full-shuffled them). The only shuffle left is the final per-query
+    top-k. At 10^12 vectors this is the classic coarse-quantizer layout —
+    swap the seed centroids for trained ones without touching the dataflow."""
+    # deterministic seed centroids (every candidate table has >= n_cells
+    # rows in practice; tiny driver-side collect, ordered so np.argmax's
+    # first-max tie-break equals (sim desc, centroid_id asc))
     cent = (
         candidates.select(F.col(cand_id).alias("centroid_id"), F.col(emb).alias("c_emb"))
         .orderBy("centroid_id")
         .limit(n_cells)
     )
-    assigned = (
-        candidates.crossJoin(F.broadcast(cent))
-        .withColumn("sim", _dot(F.col(emb), F.col("c_emb")) / (_norm(F.col(emb)) * _norm(F.col("c_emb"))))
-        .withColumn("__r", F.row_number().over(w_rank))
-        .filter(F.col("__r") == 1)
-        .select(cand_id, emb, "centroid_id")
+    cent_rows = cent.collect()
+    cent_ids = np.asarray([r.centroid_id for r in cent_rows])
+    cent_mat = np.asarray([np.asarray(r.c_emb, dtype=np.float64) for r in cent_rows])
+    cent_unit = cent_mat / np.linalg.norm(cent_mat, axis=1, keepdims=True)
+
+    @F.pandas_udf(T.LongType())
+    def assign_cell(col):
+        import pandas as pd
+
+        if not len(col):
+            return pd.Series([], dtype="int64")
+        mat = np.asarray([np.asarray(v, dtype=np.float64) for v in col])
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        sims = (mat / norms) @ cent_unit.T  # (batch, n_cells)
+        return pd.Series(cent_ids[np.argmax(sims, axis=1)])
+
+    assigned = candidates.select(
+        cand_id, emb, assign_cell(F.col(emb)).alias("centroid_id")
     )
     w_probe = Window.partitionBy(query_id).orderBy(F.col("sim").desc(), F.col("centroid_id").asc())
     probes = (

@@ -116,15 +116,26 @@ class IcebergLiteTable:
             ],
             ignore_index=True,
         )
-        # metadata commit LAST (atomicity point)
-        new_manifest.to_parquet(self._manifest_path, index=False)
-        new_snaps.to_parquet(self._snapshots_path, index=False)
+        # metadata commit LAST (atomicity point): write both files to temp
+        # paths, then os.rename into place — manifest first, snapshots last,
+        # so a crash mid-commit leaves at worst manifest rows whose snapshot
+        # id is absent from snapshots.parquet, which files() filters out
+        mtmp, stmp = self._manifest_path + ".tmp", self._snapshots_path + ".tmp"
+        new_manifest.to_parquet(mtmp, index=False)
+        new_snaps.to_parquet(stmp, index=False)
+        os.rename(mtmp, self._manifest_path)
+        os.rename(stmp, self._snapshots_path)
         return snap_id
 
     # ---------- read ----------
 
     def files(self, snapshot_id: int | None = None, partition_values: list[str] | None = None) -> list[str]:
         m = self.manifest()
+        # only manifest rows whose snapshot committed (present in
+        # snapshots.parquet) are visible — phantom rows from a crashed
+        # mid-commit writer are ignored
+        committed = set(self.snapshots().snapshot_id.tolist())
+        m = m[m.snapshot_id.isin(committed)]
         if snapshot_id is not None:
             m = m[m.snapshot_id <= snapshot_id]
         if partition_values is not None:
