@@ -91,6 +91,21 @@ def _q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: IVF-flat ANN top-k (recall vs the exact baseline is
+    asserted in tests/test_similarity.py; assignment is a shuffle-free
+    batch-matmul over driver-held seed centroids)."""
+    from vectortiles_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    cand = emb.select("vec_id", "embedding")
+    res = ivf_topk(qs, cand, k=10, n_cells=16, nprobe=4)
+    return res.withColumn("cosine", F.round("cosine", 6)).orderBy("query_id", "rank")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from vectortiles_spark.plans import queries as Q
     from vectortiles_spark.plans import queries_text as QT
@@ -112,6 +127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tile_assign": Q.q_tile_assign,
         "q_pip_rect": Q.q_pip_rect,
         "q_knn_ring": Q.q_knn_ring,
+        "q_knn_exact": Q.q_knn_exact,
         "q_cell_colocate": Q.q_cell_colocate,
         # dedup / text / similarity
         "q_dedup_exact": QT.q_dedup_exact,
@@ -125,11 +141,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cosine_topk": QT.q_cosine_topk,
         "q_label_centroids": QT.q_label_centroids,
         "q_mvt_roundtrip": Q.q_mvt_roundtrip,
+        "q_mvt_roundtrip_geoms": Q.q_mvt_roundtrip_geoms,
         # non-SQL-expressible (rows-only checks)
         "q_mvt_tiles": _q_mvt_tiles,
         "q_image_invariants": _q_image_invariants,
         "q_minhash_near_dups": _q_minhash_near_dups,
         "q_simhash_buckets": _q_simhash_buckets,
+        "q_ivf_topk": _q_ivf_topk,
     }
 
 
@@ -153,7 +171,9 @@ def oracle_sql() -> dict[str, str]:
         "q_tile_assign": Q.Q_TILE_ASSIGN_SQL,
         "q_pip_rect": Q.Q_PIP_RECT_SQL,
         "q_knn_ring": Q.Q_KNN_SQL,
+        "q_knn_exact": Q.Q_KNN_EXACT_SQL,
         "q_cell_colocate": Q.Q_CELL_COLOCATE_SQL,
+        "q_mvt_roundtrip_geoms": Q.Q_MVT_ROUNDTRIP_GEOMS_SQL,
         "q_dedup_exact": QT.Q_DEDUP_EXACT_SQL,
         "q_token_count": QT.Q_TOKEN_COUNT_SQL,
         "q_text_quality": QT.Q_TEXT_QUALITY_SQL,

@@ -95,3 +95,36 @@ def test_minhash_signature_stable_across_partitioning(spark):
     one = dedup.minhash_signatures(spark.createDataFrame(pdf).repartition(1))
     many = dedup.minhash_signatures(spark.createDataFrame(pdf).repartition(7))
     assert sorted(map(tuple, one.collect())) == sorted(map(tuple, many.collect()))
+
+
+def test_band_bucket_cap_bounds_degenerate_clusters(spark):
+    """2000 identical docs would make every LSH band bucket quadratic
+    (2M pairs per band) without the cap; with band_cap the candidate space
+    is bounded at cap^2 and the job completes returning exactly the kept
+    subset's pairs."""
+    n, cap = 2000, 50
+    pdf = pd.DataFrame({"doc_id": range(n), "text": ["same boiler plate text here"] * n})
+    docs = spark.createDataFrame(pdf).repartition(4)
+    got = dedup.minhash_near_dups(docs, threshold=0.5, band_cap=cap).collect()
+    # all bands hash identically -> one bucket; kept docs = first `cap` by id
+    assert len(got) == cap * (cap - 1) // 2
+    assert max(max(r.doc_a, r.doc_b) for r in got) == cap - 1
+    assert all(r.est_jaccard == 1.0 for r in got)
+
+
+def test_block_cap_bounds_simhash_clusters(spark):
+    n, cap = 1000, 40
+    pdf = pd.DataFrame({"doc_id": range(n), "text": ["identical tokens forever again"] * n})
+    docs = spark.createDataFrame(pdf).repartition(4)
+    got = dedup.simhash_near_dups(docs, block_cap=cap).collect()
+    assert len(got) == cap * (cap - 1) // 2
+    assert all(r.hamming == 0 for r in got)
+
+
+def test_cap_does_not_change_planted_dup_recall(spark):
+    pdf, planted = _corpus()
+    docs = spark.createDataFrame(pdf)
+    # default cap (200) far above any honest bucket here: results unchanged
+    base = {(r.doc_a, r.doc_b) for r in dedup.minhash_near_dups(docs, threshold=0.5, band_cap=10**9).collect()}
+    capped = {(r.doc_a, r.doc_b) for r in dedup.minhash_near_dups(docs, threshold=0.5).collect()}
+    assert base == capped

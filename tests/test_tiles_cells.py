@@ -126,3 +126,33 @@ def test_neighbor_cells_pole_clip(spark):
     nb = out[0].nb
     assert len(nb) == 6  # ty-1 row clipped; x wrapped, not clipped
     assert len(set(nb)) == 6
+
+
+def test_hilbert_cell_column_matches_numpy_and_joins(spark):
+    """The Hilbert Column path (pandas UDF) matches the NumPy twin, and an
+    equi-join on hilbert cells returns exactly the same pairs as the Morton
+    production key (both bijective with the (tx, ty) tile)."""
+    from vectortiles_spark.functions.cells import hilbert_cell, hilbert_cell_np, quad_cell
+
+    rng = np.random.Generator(np.random.PCG64(11))
+    lon = rng.uniform(-180, 180, 300)
+    lat = rng.uniform(-84, 84, 300)
+    pdf = pd.DataFrame({"pid": range(300), "lon": lon, "lat": lat})
+    df = spark.createDataFrame(pdf)
+    level = 6
+    got = (
+        df.select("pid", hilbert_cell(F.col("lon"), F.col("lat"), level).alias("h"))
+        .orderBy("pid").toPandas()
+    )
+    expect = hilbert_cell_np(lon, lat, level)
+    assert (got.h.to_numpy() == expect).all()
+
+    withkeys = df.select(
+        "pid",
+        hilbert_cell(F.col("lon"), F.col("lat"), level).alias("h"),
+        quad_cell(F.col("lon"), F.col("lat"), level).alias("m"),
+    ).cache()
+    a, b = withkeys.alias("a"), withkeys.alias("b")
+    hj = {(r[0], r[1]) for r in a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.pid") < F.col("b.pid"))).select("a.pid", "b.pid").collect()}
+    mj = {(r[0], r[1]) for r in a.join(b, (F.col("a.m") == F.col("b.m")) & (F.col("a.pid") < F.col("b.pid"))).select("a.pid", "b.pid").collect()}
+    assert hj == mj and len(hj) > 0

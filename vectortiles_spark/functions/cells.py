@@ -19,6 +19,7 @@ sentinel bit makes ids unique across levels and gives O(1) hierarchy ops:
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -133,3 +134,21 @@ def hilbert_cell_np(lon: np.ndarray, lat: np.ndarray, level: int) -> np.ndarray:
     """S2-style Hilbert cell id with the sentinel-bit level encoding."""
     tx, ty = tile_xy_np(lon, lat, level)
     return ((np.int64(1) << np.int64(2 * level)) | hilbert_d_np(tx, ty, level)).astype(np.int64)
+
+
+def hilbert_cell(lon: Column, lat: Column, level: int) -> Column:
+    """Hilbert cell id as a Column (Arrow-batched pandas UDF over the NumPy
+    kernel). Same sentinel layout as quad_cell, so parent/level ops apply;
+    use it as a join key when S2-like curve locality matters (range scans,
+    region covers). quad_cell stays the default production key — it's pure
+    Column math and equi-join semantics are identical (both bijective with
+    the (tx, ty) tile)."""
+    @F.pandas_udf("long")
+    def _h(lo: pd.Series, la: pd.Series) -> pd.Series:
+        return pd.Series(
+            hilbert_cell_np(
+                lo.to_numpy(dtype=np.float64), la.to_numpy(dtype=np.float64), level
+            )
+        )
+
+    return _h(lon, lat)

@@ -12,7 +12,7 @@ near-dup is in operators/similarity.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 # universal-hash family over 31-bit hashes: (a*h + b) mod P with P = 2^31-1
 # (Mersenne prime). 31-bit h and a < P keep a*h+b < 2^62 — no int64 overflow
@@ -68,19 +68,38 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+def _cap_buckets(rows: DataFrame, key_cols: list[str], cap: int) -> DataFrame:
+    """Deterministic LSH bucket-size guard: keep only the first `cap` docs
+    (by doc_id) in any bucket. A degenerate hot bucket (mass-duplicated
+    boilerplate hashing to one band key) would otherwise go QUADRATIC
+    inside the self-join at 100 TB; capping bounds any bucket's pair count
+    at cap^2 while an honest near-dup cluster of any size still surfaces
+    through its first `cap` members (and exact dedup catches the identical
+    mass separately). The window shuffles on the same key as the join, so
+    the exchange is reused."""
+    w = Window.partitionBy(*key_cols).orderBy("doc_id")
+    return (
+        rows.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= cap)
+        .drop("__rk")
+    )
+
+
 def minhash_near_dups(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.5,
     k: int = 3,
+    band_cap: int = 200,
 ) -> DataFrame:
     """Near-duplicate pairs via LSH banding + signature-similarity filter.
 
     Pipeline: signatures -> explode into (doc_id, band_id, band_key) where
     band_key hashes the band's rows -> self-equi-join on (band_id, band_key)
     (the LSH candidate generator) -> estimate Jaccard as the fraction of
-    agreeing minhashes -> keep pairs >= threshold.
+    agreeing minhashes -> keep pairs >= threshold. Buckets larger than
+    `band_cap` are deterministically truncated (see _cap_buckets).
 
     Output: (doc_a, doc_b, est_jaccard) with doc_a < doc_b.
     """
@@ -95,6 +114,7 @@ def minhash_near_dups(
     banded = sig.select("doc_id", F.explode(F.array(*band_rows)).alias("band")).select(
         "doc_id", "band.band_id", "band.band_key"
     )
+    banded = _cap_buckets(banded, ["band_id", "band_key"], band_cap)
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -147,11 +167,17 @@ def simhash_fingerprints(
     return sums.select("doc_id", fp.alias("simhash"))
 
 
-def simhash_near_dups(docs: DataFrame, max_hamming: int = 6, n_blocks: int = 8) -> DataFrame:
+def simhash_near_dups(
+    docs: DataFrame, max_hamming: int = 6, n_blocks: int = 8, block_cap: int = 200
+) -> DataFrame:
     """SimHash near-dups via block-permutation LSH: split the 64-bit
     fingerprint into n_blocks 8-bit blocks; by pigeonhole, any pair within
     max_hamming <= n_blocks - 1 bits shares at least one exact block —
-    equi-join per block, then exact popcount filter."""
+    equi-join per block, then exact popcount filter. Blocks shared by more
+    than `block_cap` docs are deterministically truncated (see
+    _cap_buckets) — the pigeonhole guarantee then holds within the kept
+    subset, which is the scale-safety trade every planet-scale deduper
+    makes for degenerate boilerplate clusters."""
     fp = simhash_fingerprints(docs).cache()
     blocks = fp.select(
         "doc_id", "simhash",
@@ -165,6 +191,7 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 6, n_blocks: int = 8) 
             ])
         ).alias("blk"),
     ).select("doc_id", "simhash", "blk.block_id", "blk.block_val")
+    blocks = _cap_buckets(blocks, ["block_id", "block_val"], block_cap)
     a, b = blocks.alias("a"), blocks.alias("b")
     cand = (
         a.join(

@@ -144,8 +144,12 @@ def knn_join(
     # antimeridian-aware: wrap the lon difference into [-180, 180) so
     # candidates joined through the x-wrap rank by their true distance
     dlon = F.pmod(F.col("c_lon") - F.col("q_lon") + 180.0, F.lit(360.0)) - 180.0
+    dlat = F.col("c_lat") - F.col("q_lat")
+    # plain products, not pow(): IEEE multiply is correctly rounded in every
+    # engine, so dist2 is bit-identical to a SQL oracle computing the same
+    # expression — ranking ties then break identically on cand_id
     joined = F.broadcast(probe).join(cand, ["tile_x", "tile_y"]).withColumn(
-        "dist2", dlon**2 + (F.col("c_lat") - F.col("q_lat")) ** 2
+        "dist2", dlon * dlon + dlat * dlat
     )
     w = Window.partitionBy(query_id).orderBy(F.col("dist2").asc(), F.col(cand_id).asc())
     return (

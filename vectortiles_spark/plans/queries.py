@@ -580,6 +580,162 @@ FROM assigned GROUP BY 1, 2 ORDER BY tile_x, tile_y
 """
 
 
+def q_knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT kNN via expanding-ring search (D6, `knn_join_exact`): suppliers
+    query, customers candidate. The oracle is a brute-force cross-product
+    kNN — exactness means the two must agree row-for-row. dist2 uses only
+    IEEE +/-/* and pmod, so floats are bit-identical across engines and
+    ties break identically on c_custkey."""
+    from vectortiles_spark.operators.spatial_join import knn_join_exact
+
+    cust, supp = load(spark, sf_dir, "customer", "supplier")
+    cand = cust.select(
+        F.col("c_custkey"), lon_of(F.col("c_custkey")), lat_of(F.col("c_custkey"))
+    )
+    qs = supp.select(
+        F.col("s_suppkey"), lon_of(F.col("s_suppkey")), lat_of(F.col("s_suppkey"))
+    )
+    res = knn_join_exact(qs, cand, k=5, z=4, query_id="s_suppkey", cand_id="c_custkey")
+    return res.select(
+        "s_suppkey", "c_custkey", F.round("dist2", 8).alias("dist2"), "rank"
+    ).orderBy("s_suppkey", "rank")
+
+
+Q_KNN_EXACT_SQL = f"""
+WITH cand AS (
+  SELECT c_custkey, {_sql_lon('c_custkey')} AS lon, {_sql_lat('c_custkey')} AS lat
+  FROM customer
+), queries AS (
+  SELECT s_suppkey, {_sql_lon('s_suppkey')} AS q_lon, {_sql_lat('s_suppkey')} AS q_lat
+  FROM supplier
+), scored AS (
+  SELECT s_suppkey, c_custkey,
+         fmod(fmod(lon - q_lon + 180.0, 360.0) + 360.0, 360.0) - 180.0 AS dlon,
+         lat - q_lat AS dlat
+  FROM queries CROSS JOIN cand
+), ranked AS (
+  SELECT s_suppkey, c_custkey, dlon * dlon + dlat * dlat AS dist2,
+         row_number() OVER (
+           PARTITION BY s_suppkey
+           ORDER BY dlon * dlon + dlat * dlat ASC, c_custkey ASC
+         ) AS rank
+  FROM scored
+)
+SELECT s_suppkey, c_custkey, round(dist2, 8) AS dist2, rank
+FROM ranked WHERE rank <= 5
+ORDER BY s_suppkey, rank
+"""
+
+
+def q_mvt_roundtrip_geoms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed LINE + POLYGON encode/decode under the oracle gate: the
+    reference's hardest semantics — ring grouping (Internal.hs:189-206),
+    cursor carry across rings/parts (Internal.hs:165-174, 208-213), zigzag
+    deltas — exercised through geom_features -> encode_tiles ->
+    decode_tiles, then checked via per-tile aggregates whose expected
+    values the oracle computes in closed form from the same integer keys.
+
+    sum_cmds is the sum of every int in the regenerated command streams:
+    any deviation in headers, LineTo batching, ClosePath count, winding
+    order, ring order, or a single zigzag delta changes it."""
+    from vectortiles_spark.operators import tiling
+
+    (cust,) = load(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    i32 = lambda c: c.cast("int")
+
+    def pt(x, y):
+        return F.array(i32(x), i32(y))
+
+    # deterministic integer-derived shapes (same arithmetic as the oracle)
+    ox = 16 * (k % 7) + 16
+    oy = 16 * ((k / 7).cast("long") % 7) + 16
+    s = 8 + (k % 5) * 8          # divisible by 4 -> integer hole coords
+    hx, hy, hs = ox + s / 4, oy + s / 4, s / 2
+    ext = F.array(
+        pt(ox, oy), pt(ox + s, oy), pt(ox + s, oy + s), pt(ox, oy + s), pt(ox, oy)
+    )
+    hole = F.array(
+        pt(hx, hy), pt(hx, hy + hs), pt(hx + hs, hy + hs), pt(hx + hs, hy), pt(hx, hy)
+    )
+    poly_geom = F.when(k % 4 == 0, F.array(F.array(ext, hole))).otherwise(
+        F.array(F.array(ext))
+    )
+    ax = 8 * (k % 9)
+    ay = 8 * ((k / 9).cast("long") % 9) + 4
+    d = 2 + k % 6
+    line_geom = F.array(
+        F.array(F.array(pt(ax, ay), pt(ax + d, ay + 2), pt(ax + 2 * d, ay)))
+    )
+    is_poly = (k % 2) == 0
+    rows = cust.select(
+        F.lit(4).alias("tile_z"),
+        (k % 16).cast("int").alias("tile_x"),
+        ((k / 16).cast("long") % 16).cast("int").alias("tile_y"),
+        F.when(is_poly, F.lit("polys")).otherwise(F.lit("lines")).alias("layer"),
+        F.when(is_poly, F.lit(3)).otherwise(F.lit(2)).alias("geom_type"),
+        k.alias("feature_id"),
+        F.when(is_poly, poly_geom).otherwise(line_geom).alias("geom"),
+    )
+    feats = tiling.geom_features(rows)
+    decoded = tiling.decode_tiles(tiling.encode_tiles(feats))
+    return (
+        decoded.groupBy("tile_x", "tile_y", "layer")
+        .agg(
+            F.count("*").alias("n_features"),
+            F.sum("feature_id").alias("sum_ids"),
+            F.sum(F.size("geom_cmds")).cast("bigint").alias("n_cmd_ints"),
+            F.sum(
+                F.aggregate("geom_cmds", F.lit(0).cast("bigint"), lambda a, x: a + x)
+            ).alias("sum_cmds"),
+        )
+        .orderBy("tile_x", "tile_y", "layer")
+    )
+
+
+# closed-form expected command streams (zigzag: zig(n)=2n for n>=0, 2|n|-1
+# for n<0; headers: MoveTo(1)=9, LineTo(c)=(c<<3)|2, ClosePath(1)=15):
+#   line (3 pts):        [9, 2ax, 2ay, 18, 2d, 4, 2d, 3]         -> 8 ints,
+#                        sum = 34 + 2ax + 2ay + 4d
+#   square exterior:     [9, 2ox, 2oy, 26, 2s,0, 0,2s, 2s-1,0, 15] -> 11,
+#                        sum = 49 + 2ox + 2oy + 6s
+#   + hole (cursor carries from exterior's last vertex (ox, oy+s)):
+#                        [9, s/2, 3s/2-1, 26, 0,s, s,0, 0,s-1, 15] -> 11,
+#                        sum += 48 + 5s
+Q_MVT_ROUNDTRIP_GEOMS_SQL = """
+WITH derived AS (
+  SELECT c_custkey AS k,
+         cast(c_custkey % 16 AS INT) AS tile_x,
+         cast((c_custkey // 16) % 16 AS INT) AS tile_y,
+         (c_custkey % 2) = 0 AS is_poly,
+         (c_custkey % 4) = 0 AS has_hole,
+         16 * (c_custkey % 7) + 16 AS ox,
+         16 * ((c_custkey // 7) % 7) + 16 AS oy,
+         8 + (c_custkey % 5) * 8 AS s,
+         8 * (c_custkey % 9) AS ax,
+         8 * ((c_custkey // 9) % 9) + 4 AS ay,
+         2 + c_custkey % 6 AS d
+  FROM customer
+), expected AS (
+  SELECT k, tile_x, tile_y,
+         CASE WHEN is_poly THEN 'polys' ELSE 'lines' END AS layer,
+         CASE WHEN NOT is_poly THEN 8 WHEN has_hole THEN 22 ELSE 11 END AS n_ints,
+         CASE WHEN NOT is_poly THEN 34 + 2 * ax + 2 * ay + 4 * d
+              WHEN has_hole THEN 97 + 2 * ox + 2 * oy + 11 * s
+              ELSE 49 + 2 * ox + 2 * oy + 6 * s END AS stream_sum
+  FROM derived
+)
+SELECT tile_x, tile_y, layer,
+       count(*) AS n_features,
+       sum(k)::BIGINT AS sum_ids,
+       sum(n_ints)::BIGINT AS n_cmd_ints,
+       sum(stream_sum)::BIGINT AS sum_cmds
+FROM expected
+GROUP BY tile_x, tile_y, layer
+ORDER BY tile_x, tile_y, layer
+"""
+
+
 def q_cell_colocate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spatial equi-join on cell id: customer/supplier pairs per tile —
     the 'spatial predicate as hash join' pattern (SURVEY.md §4.1)."""
