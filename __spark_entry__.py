@@ -142,6 +142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_label_centroids": QT.q_label_centroids,
         "q_mvt_roundtrip": Q.q_mvt_roundtrip,
         "q_mvt_roundtrip_geoms": Q.q_mvt_roundtrip_geoms,
+        "q_raster_contours": Q.q_raster_contours,
         # non-SQL-expressible (rows-only checks)
         "q_mvt_tiles": _q_mvt_tiles,
         "q_image_invariants": _q_image_invariants,
@@ -174,6 +175,7 @@ def oracle_sql() -> dict[str, str]:
         "q_knn_exact": Q.Q_KNN_EXACT_SQL,
         "q_cell_colocate": Q.Q_CELL_COLOCATE_SQL,
         "q_mvt_roundtrip_geoms": Q.Q_MVT_ROUNDTRIP_GEOMS_SQL,
+        "q_raster_contours": Q.Q_RASTER_CONTOURS_SQL,
         "q_dedup_exact": QT.Q_DEDUP_EXACT_SQL,
         "q_token_count": QT.Q_TOKEN_COUNT_SQL,
         "q_text_quality": QT.Q_TEXT_QUALITY_SQL,

@@ -580,6 +580,34 @@ def _make_encode_stream(extent: int = codec.DEFAULT_EXTENT, layer_const: str | N
 _encode_stream = _make_encode_stream()
 
 
+def _layer_is_expected_literal(features: DataFrame, name: str) -> bool:
+    """True iff the analyzed plan proves `layer` is the string literal
+    `name` (rendered as ``<name> AS layer#N``) — a zero-job constancy proof
+    for the common ``F.lit(name).alias("layer")`` column."""
+    import re
+
+    try:
+        analyzed = features._jdf.queryExecution().analyzed()
+        out = analyzed.output()
+        expr_id = None
+        for i in range(out.size()):
+            attr = out.apply(i)
+            if attr.name() == "layer":
+                expr_id = attr.exprId().id()
+                break
+        if expr_id is None:
+            return False
+        plan = analyzed.toString()
+        # match the DEFINING alias of this exact output attribute (by expr
+        # id), so a stale literal alias shadowed by a later withColumn can't
+        # produce a false proof
+        return bool(
+            re.search(rf"(?<![\w.]){re.escape(name)} AS layer#{expr_id}(?!\d)", plan)
+        )
+    except Exception:
+        return False
+
+
 def encode_tiles(
     features: DataFrame,
     max_per_tile: int | None = None,
@@ -600,18 +628,20 @@ def encode_tiles(
         # a constant layer string costs len(name) bytes PER ROW through the
         # row->Arrow feed (~14% of feed time measured at 20M rows): drop it
         # and re-inject the name worker-side. Guard against silently
-        # re-labeling a multi-layer frame: one column-pruned aggregate pass
-        # proves the column is the single expected constant (for the common
-        # lit(name) column Catalyst folds this to a near-free count-style
-        # scan; callers on hot 100TB paths can pre-drop the column instead).
-        bounds = features.agg(
-            F.min("layer").alias("lo"), F.max("layer").alias("hi")
-        ).first()
-        if bounds.lo is not None and (bounds.lo != single_layer or bounds.hi != single_layer):
-            raise ValueError(
-                f"encode_tiles(single_layer={single_layer!r}): input has layer "
-                f"values in [{bounds.lo!r}, {bounds.hi!r}]; refusing to re-label"
-            )
+        # re-labeling a multi-layer frame: if the analyzed plan shows the
+        # column IS the expected constant literal (the point_features case),
+        # the proof is free; otherwise one column-pruned min/max pass checks
+        # the data (callers on hot 100TB paths should pass a literal layer
+        # or pre-drop the column to skip that scan).
+        if not _layer_is_expected_literal(features, single_layer):
+            bounds = features.agg(
+                F.min("layer").alias("lo"), F.max("layer").alias("hi")
+            ).first()
+            if bounds.lo is not None and (bounds.lo != single_layer or bounds.hi != single_layer):
+                raise ValueError(
+                    f"encode_tiles(single_layer={single_layer!r}): input has layer "
+                    f"values in [{bounds.lo!r}, {bounds.hi!r}]; refusing to re-label"
+                )
         features = features.drop("layer")
     if max_per_tile is not None:
         features = cap_features_per_tile(features, max_per_tile)

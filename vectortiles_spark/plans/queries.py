@@ -736,6 +736,112 @@ ORDER BY tile_x, tile_y, layer
 """
 
 
+def q_raster_contours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster->vector contour tracing (D7) under the oracle gate: 32x32
+    grids carrying 1-2 deterministic filled rectangles derived from integer
+    keys are traced to polygon features; per-tile aggregates over the
+    emitted command streams (int counts, stream sums) and area metadata are
+    checked against closed-form SQL. Gates the trace start vertex, winding
+    direction, perimeter walk, extent scaling (128 px/cell), and the
+    smallest-area-first polygon ordering (via fid-weighted area)."""
+    import pyarrow as pa
+
+    from vectortiles_spark.operators.raster import raster_to_features
+
+    GRID = 32  # extent 4096 -> scale 128
+    (cust,) = load(spark, sf_dir, "customer")
+    keys = cust.select(
+        F.col("c_custkey").alias("k"),
+        (F.col("c_custkey") % 16).cast("int").alias("tile_x"),
+        ((F.col("c_custkey") / 16).cast("long") % 16).cast("int").alias("tile_y"),
+    )
+
+    def synth(batches):
+        import numpy as np
+
+        for b in batches:
+            ks = b["k"].to_numpy()
+            px = []
+            for k in ks:
+                g = np.zeros((GRID, GRID), np.uint8)
+                rx, ry = int(k % 8), int((k // 8) % 8)
+                w, h = int(4 + k % 5), int(4 + (k // 5) % 5)
+                g[ry:ry + h, rx:rx + w] = 255
+                if k % 3 == 0:
+                    g[20:22, 20:22] = 255  # disjoint second component
+                px.append(g.tobytes())
+            n = len(ks)
+            yield pa.record_batch({
+                "tile_z": pa.array([4] * n, pa.int32()),
+                "tile_x": pa.array(b["tile_x"].to_numpy(), pa.int32()),
+                "tile_y": pa.array(b["tile_y"].to_numpy(), pa.int32()),
+                "w": pa.array([GRID] * n, pa.int32()),
+                "h": pa.array([GRID] * n, pa.int32()),
+                "px": pa.array(px, pa.binary()),
+            })
+
+    rasters = keys.mapInArrow(
+        synth, "tile_z int, tile_x int, tile_y int, w int, h int, px binary"
+    )
+    feats = raster_to_features(rasters, extent=4096)
+    area = F.element_at(F.col("meta"), 1).getField("d")
+    return (
+        feats.groupBy("tile_x", "tile_y")
+        .agg(
+            F.count("*").alias("n_features"),
+            F.sum(F.size("geom_cmds")).cast("bigint").alias("n_cmd_ints"),
+            F.sum(
+                F.aggregate("geom_cmds", F.lit(0).cast("bigint"), lambda a, x: a + x)
+            ).alias("sum_cmds"),
+            F.round(F.sum(area), 1).alias("sum_area"),
+            F.round(F.sum(F.col("feature_id").cast("double") * area), 1).alias(
+                "fid_weighted_area"
+            ),
+        )
+        .orderBy("tile_x", "tile_y")
+    )
+
+
+# closed-form expectations (scale s=128, so 2s=256, 2s-1=255): an axis-
+# aligned rect (rx, ry, w, h) traces to an UNSIMPLIFIED unit-step ring of
+# P = 2(w+h) points starting at the top-left corner going right:
+#   ints  = 3 (MoveTo) + 1 + 2(P-1) (LineTo) + 1 (ClosePath) = 4(w+h) + 3
+#   sum   = 9 + 256(rx+ry) + (8(P-1)+2)
+#           + 256w (right) + 256h (down) + 255w (left) + 255(h-1) (up) + 15
+#   area  = w*h*s^2 = 16384*w*h   (exterior positive)
+# second component (k%3==0): constant 2x2 rect at (20,20): ints 19,
+# sum 12111, area 65536; smallest-area-first ordering puts it at fid 0, so
+# fid_weighted_area = area of the big rect exactly when ordering is right.
+Q_RASTER_CONTOURS_SQL = """
+WITH derived AS (
+  SELECT c_custkey AS k,
+         cast(c_custkey % 16 AS INT) AS tile_x,
+         cast((c_custkey // 16) % 16 AS INT) AS tile_y,
+         c_custkey % 8 AS rx, (c_custkey // 8) % 8 AS ry,
+         4 + c_custkey % 5 AS w, 4 + (c_custkey // 5) % 5 AS h,
+         (c_custkey % 3) = 0 AS two
+  FROM customer
+), per AS (
+  SELECT tile_x, tile_y,
+         CASE WHEN two THEN 2 ELSE 1 END AS nf,
+         (4 * (w + h) + 3) + CASE WHEN two THEN 19 ELSE 0 END AS n_ints,
+         (9 + 256 * (rx + ry) + (8 * (2 * (w + h) - 1) + 2)
+            + 256 * w + 256 * h + 255 * w + 255 * (h - 1) + 15)
+           + CASE WHEN two THEN 12111 ELSE 0 END AS ssum,
+         16384.0 * w * h + CASE WHEN two THEN 65536.0 ELSE 0.0 END AS area,
+         CASE WHEN two THEN 16384.0 * w * h ELSE 0.0 END AS fwa
+  FROM derived
+)
+SELECT tile_x, tile_y,
+       sum(nf)::BIGINT AS n_features,
+       sum(n_ints)::BIGINT AS n_cmd_ints,
+       sum(ssum)::BIGINT AS sum_cmds,
+       round(sum(area), 1) AS sum_area,
+       round(sum(fwa), 1) AS fid_weighted_area
+FROM per GROUP BY tile_x, tile_y ORDER BY tile_x, tile_y
+"""
+
+
 def q_cell_colocate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spatial equi-join on cell id: customer/supplier pairs per tile —
     the 'spatial predicate as hash join' pattern (SURVEY.md §4.1)."""

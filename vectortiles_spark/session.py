@@ -72,6 +72,13 @@ def get_spark(
             "spark.driver.extraJavaOptions",
             f"-XX:+AlwaysPreTouch -Xms{os.environ.get('SPARK_DRIVER_MEMORY', '16g')} -XX:+UseParallelGC",
         )
+        # same treatment for EXECUTOR JVMs (local-cluster / real clusters;
+        # inert in local mode where there is no separate executor JVM):
+        # ParallelGC never uncommits, so the fault path is paid once
+        .config(
+            "spark.executor.extraJavaOptions",
+            "-XX:+AlwaysPreTouch -XX:+UseParallelGC",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
