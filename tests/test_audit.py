@@ -60,3 +60,37 @@ def test_encode_shuffle_count(spark):
     pts = cust.select("c_custkey", lon_of(F.col("c_custkey")), lat_of(F.col("c_custkey")))
     feats = tiling.point_features(pts, z=6, layer="c")
     assert audit.count_shuffles(tiling.encode_tiles(feats)) == 1
+
+
+def test_ivf_assignment_no_exchange_on_candidates(spark):
+    """IVF cell assignment must not shuffle or row-amplify the candidate
+    side: the only Exchange in the full ivf_topk plan is the final
+    per-query top-k window (plus AQE bookkeeping), never an n x n_cells
+    blowup before it."""
+    import numpy as np
+
+    from vectortiles_spark.operators.similarity import ivf_topk
+
+    rng = np.random.Generator(np.random.PCG64(3))
+    cand = spark.createDataFrame(
+        [(i, rng.normal(size=8).tolist()) for i in range(64)],
+        "vec_id long, embedding array<double>",
+    )
+    qs = spark.createDataFrame(
+        [(i, rng.normal(size=8).tolist()) for i in range(2)],
+        "query_id long, q_emb array<double>",
+    )
+    res = ivf_topk(qs, cand, k=3, n_cells=4, nprobe=2)
+    plan = audit.plan_of(res)
+    audit.assert_no_cartesian(res)
+    # assignment side: candidates flow scan -> pandas UDF -> join with the
+    # broadcast probes; the first Exchange must be the top-k window's
+    # hashpartitioning on query_id, not anything keyed by vec_id/centroid
+    first_exchange = None
+    for line in plan.splitlines():
+        if "Exchange" in line and "Reused" not in line:
+            first_exchange = line
+            break
+    assert first_exchange is not None and "query_id" in first_exchange, (
+        "first Exchange is not the per-query top-k:\n" + plan[:1500]
+    )

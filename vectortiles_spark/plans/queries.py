@@ -658,8 +658,17 @@ def q_mvt_roundtrip_geoms(spark: SparkSession, sf_dir: str) -> DataFrame:
     hole = F.array(
         pt(hx, hy), pt(hx, hy + hs), pt(hx + hs, hy + hs), pt(hx + hs, hy), pt(hx, hy)
     )
-    poly_geom = F.when(k % 4 == 0, F.array(F.array(ext, hole))).otherwise(
-        F.array(F.array(ext))
+    # second PART (k % 8 == 2): a disjoint square 64 to the right — two
+    # positive rings in one feature must decode as two polygons (ring
+    # grouping, Internal.hs:202-206) with the cursor carrying across parts
+    ox2 = ox + 64
+    ext2 = F.array(
+        pt(ox2, oy), pt(ox2 + s, oy), pt(ox2 + s, oy + s), pt(ox2, oy + s), pt(ox2, oy)
+    )
+    poly_geom = (
+        F.when(k % 4 == 0, F.array(F.array(ext, hole)))
+        .when(k % 8 == 2, F.array(F.array(ext), F.array(ext2)))
+        .otherwise(F.array(F.array(ext)))
     )
     ax = 8 * (k % 9)
     ay = 8 * ((k / 9).cast("long") % 9) + 4
@@ -702,6 +711,9 @@ def q_mvt_roundtrip_geoms(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   + hole (cursor carries from exterior's last vertex (ox, oy+s)):
 #                        [9, s/2, 3s/2-1, 26, 0,s, s,0, 0,s-1, 15] -> 11,
 #                        sum += 48 + 5s
+#   + second part at (ox+64, oy) (cursor carry (64, -s) -> zig 128, 2s-1):
+#                        [9, 128, 2s-1, 26, 2s,0, 0,2s, 2s-1,0, 15] -> 11,
+#                        sum += 176 + 8s
 Q_MVT_ROUNDTRIP_GEOMS_SQL = """
 WITH derived AS (
   SELECT c_custkey AS k,
@@ -709,6 +721,7 @@ WITH derived AS (
          cast((c_custkey // 16) % 16 AS INT) AS tile_y,
          (c_custkey % 2) = 0 AS is_poly,
          (c_custkey % 4) = 0 AS has_hole,
+         (c_custkey % 8) = 2 AS two_part,
          16 * (c_custkey % 7) + 16 AS ox,
          16 * ((c_custkey // 7) % 7) + 16 AS oy,
          8 + (c_custkey % 5) * 8 AS s,
@@ -719,9 +732,12 @@ WITH derived AS (
 ), expected AS (
   SELECT k, tile_x, tile_y,
          CASE WHEN is_poly THEN 'polys' ELSE 'lines' END AS layer,
-         CASE WHEN NOT is_poly THEN 8 WHEN has_hole THEN 22 ELSE 11 END AS n_ints,
+         CASE WHEN NOT is_poly THEN 8
+              WHEN has_hole OR two_part THEN 22
+              ELSE 11 END AS n_ints,
          CASE WHEN NOT is_poly THEN 34 + 2 * ax + 2 * ay + 4 * d
               WHEN has_hole THEN 97 + 2 * ox + 2 * oy + 11 * s
+              WHEN two_part THEN 225 + 2 * ox + 2 * oy + 14 * s
               ELSE 49 + 2 * ox + 2 * oy + 6 * s END AS stream_sum
   FROM derived
 )
