@@ -143,7 +143,11 @@ def test_knn_exact_matches_global_bruteforce(spark):
         "lat": rng.uniform(-80, 80, 6),
     })
     rows = knn_join_exact(
-        spark.createDataFrame(q_pdf), spark.createDataFrame(cand_pdf), k=3, z=6
+        # z=4 keeps the sparse-region expansion (multiple doubling rounds on
+        # a 16x16 grid) while bounding the round count — exactness is
+        # z-independent, and z=6 tripled suite wall-clock for no extra
+        # coverage
+        spark.createDataFrame(q_pdf), spark.createDataFrame(cand_pdf), k=3, z=4
     ).collect()
     # global brute force with the same wrapped-lon metric
     def d2(qlon, qlat, clon, clat):
@@ -170,5 +174,5 @@ def test_knn_exact_polar_sparse(spark):
     c = spark.createDataFrame(pd.DataFrame(
         {"cand_id": [1, 2, 3], "lon": [12.0, -170.0, 100.0], "lat": [-60.0, 70.0, 82.5]}
     ))
-    rows = sorted(knn_join_exact(q, c, k=3, z=5).collect(), key=lambda r: r.rank)
+    rows = sorted(knn_join_exact(q, c, k=3, z=3).collect(), key=lambda r: r.rank)
     assert [r.cand_id for r in rows] == [3, 1, 2]

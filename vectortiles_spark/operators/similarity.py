@@ -106,12 +106,19 @@ def lsh_topk(
     at 10^12 scale the bucket join replaces the full cross product."""
     qb = with_lsh_buckets(queries, q_emb, dim, n_bits, n_tables)
     cb = with_lsh_buckets(candidates, emb, dim, n_bits, n_tables)
-    cand_pairs = (
-        F.broadcast(qb.select(query_id, q_emb, "table_id", "bucket"))
-        .join(cb.select(cand_id, emb, "table_id", "bucket"), ["table_id", "bucket"])
-        .select(query_id, q_emb, cand_id, emb)
+    # dedupe on the ID PAIR only — pushing the embedding arrays (~0.5-1 KB
+    # per row) through the distinct's shuffle would move 100x more bytes
+    # than the ids; the vectors are joined back after the dedupe (queries
+    # re-broadcast, candidates one hash join on cand_id)
+    pair_ids = (
+        F.broadcast(qb.select(query_id, "table_id", "bucket"))
+        .join(cb.select(cand_id, "table_id", "bucket"), ["table_id", "bucket"])
+        .select(query_id, cand_id)
         .distinct()
     )
+    cand_pairs = pair_ids.join(
+        F.broadcast(queries.select(query_id, q_emb)), query_id
+    ).join(candidates.select(cand_id, emb), cand_id)
     scored = cand_pairs.withColumn(
         "cosine", _dot(F.col(q_emb), F.col(emb)) / (_norm(F.col(q_emb)) * _norm(F.col(emb)))
     )
@@ -209,10 +216,15 @@ def embedding_near_dups(
     """Near-duplicate vector pairs (cosine >= threshold) via LSH-bucketed
     self-join + exact verification. High-threshold pairs collide in some
     table with probability (1 - acos(cos)/pi)^bits per table."""
-    b = with_lsh_buckets(df.select(id_col, emb), emb, dim, n_bits, n_tables)
+    base = df.select(id_col, emb)
+    b = with_lsh_buckets(base, emb, dim, n_bits, n_tables).select(
+        id_col, "table_id", "bucket"
+    )
     left = b.alias("a")
     right = b.alias("b")
-    cand = (
+    # ids-only through the bucket join + distinct (vectors would multiply
+    # the shuffled bytes ~100x); embeddings rejoin after the dedupe
+    pair_ids = (
         left.join(
             right,
             (F.col("a.table_id") == F.col("b.table_id"))
@@ -222,10 +234,13 @@ def embedding_near_dups(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col(f"a.{emb}").alias("emb_a"),
-            F.col(f"b.{emb}").alias("emb_b"),
         )
         .distinct()
+    )
+    cand = pair_ids.join(
+        base.select(F.col(id_col).alias("id_a"), F.col(emb).alias("emb_a")), "id_a"
+    ).join(
+        base.select(F.col(id_col).alias("id_b"), F.col(emb).alias("emb_b")), "id_b"
     )
     scored = cand.withColumn(
         "cosine", _dot(F.col("emb_a"), F.col("emb_b")) / (_norm(F.col("emb_a")) * _norm(F.col("emb_b")))
