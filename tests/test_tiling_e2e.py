@@ -168,3 +168,25 @@ def test_single_layer_mode_identical_bytes(spark):
         for r in tiling.encode_tiles(feats, single_layer="images").collect()
     }
     assert normal == fast
+
+
+def test_bytes_invariant_to_partitioning(spark):
+    """Tile bytes must not depend on Arrow batch boundaries: the same
+    features encoded under different partition counts (different batch
+    compositions, different batch-level dictionaries) yield byte-identical
+    tiles. Pins the dictionary fast path's proven-coverage guard — an
+    unconditional batch-dictionary emit would differ between layouts."""
+    imgs = images_df(spark, N, seed=42)
+
+    def tiles(parts):
+        feats = tiling.point_features(
+            imgs, z=Z, layer="images",
+            feature_id=F.xxhash64("image_id"),
+            meta={"caption": F.col("caption"), "phash": F.col("phash")},
+        )
+        return {
+            (r.tile_x, r.tile_y): bytes(r.mvt)
+            for r in tiling.encode_tiles(feats, partitions=parts).collect()
+        }
+
+    assert tiles(2) == tiles(7)

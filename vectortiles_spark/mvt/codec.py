@@ -367,15 +367,18 @@ def encode_layer_columnar(
     tag_lists: list[list[int]] = [[] for _ in range(n)]
     val_parts: list[bytes] = []
     n_vals = 0
+    emit_order = order.tolist()
     for k_idx, (key, codes, fbuf, foff) in enumerate(meta_cols):
-        uniq = np.unique(codes)
+        # dictionary in first-appearance order over the EMITTED feature
+        # order (tile-local; matches the vectorized paths byte-for-byte)
         base_of: dict[int, int] = {}
-        for u in uniq.tolist():
-            if u >= 0:
-                base_of[u] = n_vals
-                n_vals += 1
-                val_parts.append(fbuf[foff[u]:foff[u + 1]].tobytes())
         codes_list = codes.tolist()
+        for i in emit_order:
+            c = codes_list[i]
+            if c >= 0 and c not in base_of:
+                base_of[c] = n_vals
+                n_vals += 1
+                val_parts.append(fbuf[foff[c]:foff[c + 1]].tobytes())
         for i in range(n):
             c = codes_list[i]
             if c >= 0:
@@ -462,29 +465,23 @@ def encode_layer_columnar_vec(
         for k_idx, (key, codes, fbuf, foff) in enumerate(meta_cols):
             codes = np.asarray(codes) if order is None else np.asarray(codes)[order]
             n_dict = len(foff) - 1
-            full = False
-            if codes.size >= n_dict:
-                # fast path ONLY when the codes provably cover the whole
-                # dictionary (O(n) boolean scatter, cheaper than the sort):
-                # emitting the full batch-level dictionary for a tile that
-                # uses a few codes would bloat tiles and make output bytes
-                # depend on Arrow batch boundaries
-                seen = np.zeros(n_dict, dtype=bool)
-                seen[codes] = True
-                full = bool(seen.all())
-            if full:
-                uniq = wire._arange(n_dict)
-                inv = codes
-            else:
-                uniq, inv = np.unique(codes, return_inverse=True)
+            # per-tile dictionary in FIRST-APPEARANCE order over the emitted
+            # feature order — a tile-LOCAL canonical order, so tile bytes
+            # cannot depend on Arrow batch boundaries (batch-level code
+            # order varies with partitioning). O(n + n_dict) via the
+            # reverse-assignment trick: last write wins, so writing
+            # positions in reverse leaves each slot's FIRST occurrence.
+            pos = np.full(n_dict, -1, dtype=np.int64)
+            pos[codes[::-1]] = np.arange(codes.size - 1, -1, -1, dtype=np.int64)
+            present = np.flatnonzero(pos >= 0)
+            uniq = present[np.argsort(pos[present], kind="stable")]
+            rank = np.empty(n_dict, dtype=np.int64)
+            rank[uniq] = np.arange(uniq.size)
+            inv = rank[codes]
             base = n_vals
             n_vals += len(uniq)
-            # ragged-gather the framed value bytes of the local uniques
-            # (identity slice when the whole dictionary is used)
-            if full:
-                val_chunks.append(fbuf[: foff[n_dict]])
-            else:
-                val_chunks.append(wire.ragged_gather(fbuf, foff[uniq], foff[uniq + 1] - foff[uniq]))
+            # ragged-gather the framed value bytes in dictionary order
+            val_chunks.append(wire.ragged_gather(fbuf, foff[uniq], foff[uniq + 1] - foff[uniq]))
             tag_mat[:, 2 * k_idx] = k_idx
             tag_mat[:, 2 * k_idx + 1] = base + inv
         tbuf, tvlens = wire.encode_varints_with_lens(tag_mat.ravel())
@@ -551,9 +548,10 @@ def encode_multi_tile_batch(
 
     Per-run (tile, layer) value dictionaries are built vectorized with the
     run-keyed-unique trick: unique(run_id * K + code) yields every run's
-    ascending-code dictionary and searchsorted recovers each row's local
-    index — the same ascending order np.unique gives the per-tile paths,
-    so outputs stay decode-identical.
+    code set, a per-run permutation reorders each segment to
+    FIRST-APPEARANCE order (the tile-local canonical order every encode
+    path uses), and rank/searchsorted recover each row's local index — so
+    tile bytes are identical across paths AND across Arrow batch layouts.
 
     Returns (list_of_mvt_bytes_per_tile, tile_starts_rows, n_runs_per_tile)
     aligned with the unique tiles in row order.
@@ -585,17 +583,26 @@ def encode_multi_tile_batch(
         for k_idx, (key, codes, fbuf, foff) in enumerate(meta_cols):
             K = np.int64(len(foff) - 1)
             rkey = rid * (K + 1) + codes
-            u = np.unique(rkey)
+            u, first_idx, inv_u = np.unique(rkey, return_index=True, return_inverse=True)
             # first position of each run inside u
-            run_first = np.searchsorted(u, run_starts_key := rid[run_starts] * (K + 1))
-            local = np.searchsorted(u, rkey) - run_first[rid]
+            run_first = np.searchsorted(u, rid[run_starts] * (K + 1))
+            # reorder each run's dictionary segment to FIRST-APPEARANCE
+            # order (tile-local canonical — identical to the per-tile
+            # paths, independent of the batch-level code assignment);
+            # lexsort keeps segments contiguous per run, so run_first
+            # offsets stay valid for the permuted order
+            run_of_u = (u // (K + 1)).astype(np.int64)
+            perm = np.lexsort((first_idx, run_of_u))
+            rank = np.empty(len(u), dtype=np.int64)
+            rank[perm] = np.arange(len(u))
+            local = rank[inv_u] - run_first[rid]
             tag_mat[:, 2 * k_idx] = k_idx
             tag_mat[:, 2 * k_idx + 1] = (cnt_prev[rid] + local).astype(np.uint64)
             # per-run unique counts
             run_cnt = np.concatenate([run_first[1:], [len(u)]]) - run_first
             cnt_prev = cnt_prev + run_cnt
             # gather framed value bytes of u's codes (per-run dict blocks)
-            ucodes = (u % (K + 1)).astype(np.int64)
+            ucodes = (u[perm] % (K + 1)).astype(np.int64)
             vb = wire.ragged_gather(fbuf, foff[ucodes], foff[ucodes + 1] - foff[ucodes])
             run_val_bytes.append((vb, ucodes, run_first))
         tbuf, tvlens = wire.encode_varints_with_lens(tag_mat.ravel())
