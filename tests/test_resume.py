@@ -90,3 +90,25 @@ def test_resume_filter_on_empty_checkpoint(spark, tmp_path):
     feats = tiling.point_features(imgs, z=4, layer="x")
     ckpt = IcebergLiteTable(spark, str(tmp_path / "empty"))
     assert resume.resume_filter(feats, ckpt).count() == feats.count()
+
+
+def test_iceberg_lite_crashed_commit_invisible(spark, tmp_path):
+    """A writer that died between the manifest write and the snapshots
+    write must leave no trace for readers: files()/read() only surface
+    manifest rows whose snapshot id committed to snapshots.parquet."""
+    t = IcebergLiteTable(spark, str(tmp_path / "tbl"))
+    t.append(spark.range(0, 50))
+    # simulate the torn commit: phantom manifest rows for snapshot 2
+    # without the matching snapshots row
+    m = t.manifest()
+    phantom = m.iloc[[0]].copy()
+    phantom["snapshot_id"] = 2
+    phantom["file_path"] = str(tmp_path / "tbl/data/snap-2/nonexistent.parquet")
+    pd.concat([m, phantom], ignore_index=True).to_parquet(t._manifest_path, index=False)
+
+    assert t.current_snapshot() == 1
+    assert all("snap-2" not in f for f in t.files())
+    assert t.read().count() == 50
+    # the next append commits cleanly on top
+    t.append(spark.range(50, 80))
+    assert t.read().count() == 80

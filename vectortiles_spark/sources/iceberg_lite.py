@@ -98,7 +98,13 @@ class IcebergLiteTable:
                     "operation": operation,
                 }
             )
-        new_manifest = pd.concat([self.manifest(), pd.DataFrame(entries)], ignore_index=True)
+        # inherit only COMMITTED manifest rows: phantom rows left by a
+        # writer that crashed mid-commit (manifest written, snapshots not)
+        # must not be legitimized by this commit's snapshot append
+        prior = self.manifest()
+        committed = set(self.snapshots().snapshot_id.tolist())
+        prior = prior[prior.snapshot_id.isin(committed)]
+        new_manifest = pd.concat([prior, pd.DataFrame(entries)], ignore_index=True)
         snaps = self.snapshots()
         parent = self.current_snapshot()
         total = int(new_manifest.row_count.sum())
