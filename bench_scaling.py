@@ -17,8 +17,8 @@ pairs anchored above N=1 measure the host, not the dataflow. The script
 also runs the ceiling probe at local[16] and reports it alongside, so the
 evidence shows both the clean N->4N scaling and where the box tops out.
 
-Usage: python bench_scaling.py [n_small] [n_images] [--probe]
-    (defaults: 1, 20000000, probe on)
+Usage: python bench_scaling.py [n_small] [n_images] [--no-probe]
+    (defaults: 1, 20000000, local[16] ceiling probe on)
 Writes BENCH/scaling_last_run.json and prints one JSON line.
 """
 
@@ -90,13 +90,19 @@ def main():
         write_images_table(spark, images, n_images, light=light)
         spark.stop()
 
-    # interleave the levels (4N, N, 4N) so host drift between measurements
-    # can't fake or hide scaling; each 4N number is its own fresh JVM
+    # interleave the levels (4N, N, 4N, N) so host drift between
+    # measurements can't fake or hide scaling, and take best-of SYMMETRIC
+    # runs per level (best-of-2 each side) so the estimator isn't biased
+    # toward whichever level got more chances at a quiet window; each run
+    # is its own fresh JVM
     big = run_level(n_small * 4, images)
     small = run_level(n_small, images)
     big2 = run_level(n_small * 4, images)
+    small2 = run_level(n_small, images)
     if big2["sec"] < big["sec"]:
         big = big2
+    if small2["sec"] < small["sec"]:
+        small = small2
     speedup = small["sec"] / big["sec"]
     efficiency = speedup / 4.0
     result = {

@@ -141,3 +141,49 @@ def test_grouped_encoder_accepts_canonical_features(spark):
         for r in tiling.encode_tiles(feats).collect()
     }
     assert grouped == stream
+
+
+def test_single_layer_guard_rejects_union_and_nulls(spark):
+    """The literal-constancy fast path must not false-prove through a Union
+    (whose output reuses only the first child's expr ids), and the data
+    guard must reject NULL layer values that min/max alone would skip."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from vectortiles_spark.operators import tiling
+    from vectortiles_spark.sources.synth import images_df
+
+    imgs = images_df(spark, 40, seed=7)
+    a = tiling.point_features(imgs, z=4, layer="images", feature_id=F.xxhash64("image_id"))
+    b = tiling.point_features(imgs, z=4, layer="roads", feature_id=F.xxhash64("image_id"))
+    u = a.union(b)
+    assert not tiling._layer_is_expected_literal(u, "images")
+    with pytest.raises(ValueError, match="refusing to re-label"):
+        tiling.encode_tiles(u, single_layer="images").collect()
+
+    nulled = a.withColumn(
+        "layer", F.when(F.col("feature_id") % 2 == 0, F.col("layer"))
+    )
+    with pytest.raises(ValueError, match="refusing to re-label"):
+        tiling.encode_tiles(nulled, single_layer="images").collect()
+
+
+def test_ivf_topk_empty_and_zero_norm(spark):
+    import numpy as np
+
+    from vectortiles_spark.operators.similarity import ivf_topk
+
+    rng = np.random.Generator(np.random.PCG64(5))
+    qs = spark.createDataFrame(
+        [(i, rng.normal(size=8).tolist()) for i in range(2)],
+        "query_id long, q_emb array<double>",
+    )
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert ivf_topk(qs, empty, k=3, n_cells=4).count() == 0
+
+    # a zero vector among the seed centroids must not NaN-funnel every
+    # candidate into one cell: results still rank by true cosine
+    rows = [(0, [0.0] * 8)] + [(i, rng.normal(size=8).tolist()) for i in range(1, 40)]
+    cand = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = ivf_topk(qs, cand, k=3, n_cells=4, nprobe=4).collect()
+    assert len(got) == 6 and all(not np.isnan(r.cosine) for r in got if r.vec_id != 0)

@@ -32,6 +32,14 @@ def _norm(c):
     return F.sqrt(_dot(c, c))
 
 
+def _cosine(a, b):
+    """Cosine similarity, NULL when either vector has zero norm (undefined;
+    NULL sorts last under desc, and ANSI mode would otherwise hard-error
+    on the divide)."""
+    den = _norm(a) * _norm(b)
+    return F.when(den > 0, _dot(a, b) / den)
+
+
 def cosine_topk(
     queries: DataFrame,
     candidates: DataFrame,
@@ -43,7 +51,7 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k by cosine: candidates stream once past broadcast queries."""
     joined = candidates.crossJoin(F.broadcast(queries)).withColumn(
-        "cosine", _dot(F.col(q_emb), F.col(emb)) / (_norm(F.col(q_emb)) * _norm(F.col(emb)))
+        "cosine", _cosine(F.col(q_emb), F.col(emb))
     )
     w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(cand_id).asc())
     return (
@@ -103,7 +111,11 @@ def lsh_topk(
 ) -> DataFrame:
     """Approximate top-k: equi-join on (table_id, bucket), exact re-rank of
     the (small) candidate union. The full candidate table is hashed once;
-    at 10^12 scale the bucket join replaces the full cross product."""
+    at 10^12 scale the bucket join replaces the full cross product.
+
+    `query_id`/`cand_id` must be KEYS (one row per id): the pair dedupe
+    runs on ids alone so the rejoin can't collapse duplicate-id rows —
+    the same precondition cosine_topk's crossJoin implicitly assumes."""
     qb = with_lsh_buckets(queries, q_emb, dim, n_bits, n_tables)
     cb = with_lsh_buckets(candidates, emb, dim, n_bits, n_tables)
     # dedupe on the ID PAIR only — pushing the embedding arrays (~0.5-1 KB
@@ -119,9 +131,7 @@ def lsh_topk(
     cand_pairs = pair_ids.join(
         F.broadcast(queries.select(query_id, q_emb)), query_id
     ).join(candidates.select(cand_id, emb), cand_id)
-    scored = cand_pairs.withColumn(
-        "cosine", _dot(F.col(q_emb), F.col(emb)) / (_norm(F.col(q_emb)) * _norm(F.col(emb)))
-    )
+    scored = cand_pairs.withColumn("cosine", _cosine(F.col(q_emb), F.col(emb)))
     w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(cand_id).asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -163,9 +173,19 @@ def ivf_topk(
         .limit(n_cells)
     )
     cent_rows = cent.collect()
+    if not cent_rows:
+        # empty candidate table: empty result with the usual schema
+        return queries.select(F.col(query_id)).limit(0).select(
+            query_id,
+            F.lit(None).cast(candidates.schema[cand_id].dataType).alias(cand_id),
+            F.lit(None).cast("double").alias("cosine"),
+            F.lit(None).cast("int").alias("rank"),
+        )
     cent_ids = np.asarray([r.centroid_id for r in cent_rows])
     cent_mat = np.asarray([np.asarray(r.c_emb, dtype=np.float64) for r in cent_rows])
-    cent_unit = cent_mat / np.linalg.norm(cent_mat, axis=1, keepdims=True)
+    cent_norms = np.linalg.norm(cent_mat, axis=1, keepdims=True)
+    cent_norms[cent_norms == 0.0] = 1.0  # zero-vector centroid: no NaN cells
+    cent_unit = cent_mat / cent_norms
 
     @F.pandas_udf(T.LongType())
     def assign_cell(col):
@@ -185,7 +205,7 @@ def ivf_topk(
     w_probe = Window.partitionBy(query_id).orderBy(F.col("sim").desc(), F.col("centroid_id").asc())
     probes = (
         queries.crossJoin(F.broadcast(cent))
-        .withColumn("sim", _dot(F.col(q_emb), F.col("c_emb")) / (_norm(F.col(q_emb)) * _norm(F.col("c_emb"))))
+        .withColumn("sim", _cosine(F.col(q_emb), F.col("c_emb")))
         .withColumn("__r", F.row_number().over(w_probe))
         .filter(F.col("__r") <= nprobe)
         .select(query_id, q_emb, "centroid_id")
@@ -194,7 +214,7 @@ def ivf_topk(
         query_id, q_emb, cand_id, emb
     )
     scored = cand_pairs.withColumn(
-        "cosine", _dot(F.col(q_emb), F.col(emb)) / (_norm(F.col(q_emb)) * _norm(F.col(emb)))
+        "cosine", _cosine(F.col(q_emb), F.col(emb))
     )
     w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(cand_id).asc())
     return (
@@ -215,7 +235,11 @@ def embedding_near_dups(
 ) -> DataFrame:
     """Near-duplicate vector pairs (cosine >= threshold) via LSH-bucketed
     self-join + exact verification. High-threshold pairs collide in some
-    table with probability (1 - acos(cos)/pi)^bits per table."""
+    table with probability (1 - acos(cos)/pi)^bits per table.
+
+    `id_col` must be a KEY (one row per id): pair dedupe runs on the id
+    pair alone, so duplicate-id input rows would re-multiply after the
+    embedding rejoin instead of collapsing."""
     base = df.select(id_col, emb)
     b = with_lsh_buckets(base, emb, dim, n_bits, n_tables).select(
         id_col, "table_id", "bucket"
@@ -243,7 +267,7 @@ def embedding_near_dups(
         base.select(F.col(id_col).alias("id_b"), F.col(emb).alias("emb_b")), "id_b"
     )
     scored = cand.withColumn(
-        "cosine", _dot(F.col("emb_a"), F.col("emb_b")) / (_norm(F.col("emb_a")) * _norm(F.col("emb_b")))
+        "cosine", _cosine(F.col("emb_a"), F.col("emb_b"))
     )
     return (
         scored.filter(F.col("cosine") >= threshold)

@@ -598,6 +598,11 @@ def _layer_is_expected_literal(features: DataFrame, name: str) -> bool:
         if expr_id is None:
             return False
         plan = analyzed.toString()
+        # a Union's output reuses the FIRST child's expression ids while its
+        # VALUES come from every child — a literal alias in child one proves
+        # nothing about the rest, so never fast-path a plan containing one
+        if re.search(r"\bUnion\b", plan):
+            return False
         # match the DEFINING alias of this exact output attribute (by expr
         # id), so a stale literal alias shadowed by a later withColumn can't
         # produce a false proof
@@ -635,12 +640,21 @@ def encode_tiles(
         # or pre-drop the column to skip that scan).
         if not _layer_is_expected_literal(features, single_layer):
             bounds = features.agg(
-                F.min("layer").alias("lo"), F.max("layer").alias("hi")
+                F.min("layer").alias("lo"),
+                F.max("layer").alias("hi"),
+                F.count(F.lit(1)).alias("n"),
+                F.count("layer").alias("n_nonnull"),
             ).first()
-            if bounds.lo is not None and (bounds.lo != single_layer or bounds.hi != single_layer):
+            ok = bounds.n == 0 or (
+                bounds.n_nonnull == bounds.n
+                and bounds.lo == single_layer
+                and bounds.hi == single_layer
+            )
+            if not ok:
                 raise ValueError(
                     f"encode_tiles(single_layer={single_layer!r}): input has layer "
-                    f"values in [{bounds.lo!r}, {bounds.hi!r}]; refusing to re-label"
+                    f"values in [{bounds.lo!r}, {bounds.hi!r}] with "
+                    f"{bounds.n - bounds.n_nonnull} NULLs; refusing to re-label"
                 )
         features = features.drop("layer")
     if max_per_tile is not None:
