@@ -106,6 +106,7 @@ def knn_join(
     ring: int = 1,
     query_id: str = "query_id",
     cand_id: str = "cand_id",
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Bounded-radius kNN: k nearest candidates within the (2*ring+1)^2
     tile neighborhood of each query (SURVEY.md §2.D6).
@@ -114,7 +115,10 @@ def knn_join(
     the candidate's tile against the query's exploded neighbor tiles;
     refinement is a squared-equirect distance + per-query top-k window.
     Candidates are shuffled ONCE on (tile_x, tile_y); queries are usually
-    the small side and broadcast."""
+    the small side and broadcast — pass ``broadcast_queries=False`` when
+    the query set is too large for executor memory after the
+    (2*ring+1)^2 explode (the join then falls back to a shuffled hash
+    join on the tile key)."""
     n = 1 << z
     cand = candidates.select(
         F.col(cand_id),
@@ -148,7 +152,8 @@ def knn_join(
     # plain products, not pow(): IEEE multiply is correctly rounded in every
     # engine, so dist2 is bit-identical to a SQL oracle computing the same
     # expression — ranking ties then break identically on cand_id
-    joined = F.broadcast(probe).join(cand, ["tile_x", "tile_y"]).withColumn(
+    probe_side = F.broadcast(probe) if broadcast_queries else probe
+    joined = probe_side.join(cand, ["tile_x", "tile_y"]).withColumn(
         "dist2", dlon * dlon + dlat * dlat
     )
     w = Window.partitionBy(query_id).orderBy(F.col("dist2").asc(), F.col(cand_id).asc())
