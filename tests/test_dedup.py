@@ -128,3 +128,18 @@ def test_cap_does_not_change_planted_dup_recall(spark):
     base = {(r.doc_a, r.doc_b) for r in dedup.minhash_near_dups(docs, threshold=0.5, band_cap=10**9).collect()}
     capped = {(r.doc_a, r.doc_b) for r in dedup.minhash_near_dups(docs, threshold=0.5).collect()}
     assert base == capped
+
+
+def test_simhash_pair_blocks_guarantee_and_fallback(spark):
+    """Pair-block keys: planted near-identical docs still collide (pigeonhole
+    over block pairs for hamming <= n_blocks-2), and the fallback single-
+    block path engages when max_hamming is too large for pairs."""
+    pdf, planted = _corpus()
+    docs = spark.createDataFrame(pdf)
+    got = {(r.doc_a, r.doc_b) for r in dedup.simhash_near_dups(docs, max_hamming=6).collect()}
+    for pair in planted:
+        assert pair in got, f"planted near-dup {pair} missed by pair-block LSH"
+    # fallback path (max_hamming = n_blocks - 1): still catches exact clones
+    clone = pd.DataFrame({"doc_id": [0, 1], "text": ["xyzzy plugh foo bar"] * 2})
+    got2 = dedup.simhash_near_dups(spark.createDataFrame(clone), max_hamming=7).collect()
+    assert [(r.doc_a, r.doc_b, r.hamming) for r in got2] == [(0, 1, 0)]

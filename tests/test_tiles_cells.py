@@ -156,3 +156,16 @@ def test_hilbert_cell_column_matches_numpy_and_joins(spark):
     hj = {(r[0], r[1]) for r in a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.pid") < F.col("b.pid"))).select("a.pid", "b.pid").collect()}
     mj = {(r[0], r[1]) for r in a.join(b, (F.col("a.m") == F.col("b.m")) & (F.col("a.pid") < F.col("b.pid"))).select("a.pid", "b.pid").collect()}
     assert hj == mj and len(hj) > 0
+
+
+def test_hilbert_cell_null_propagation(spark):
+    pdf = pd.DataFrame({"pid": [1, 2, 3], "lon": [10.0, None, 20.0], "lat": [None, 5.0, 6.0]})
+    from vectortiles_spark.functions.cells import hilbert_cell
+
+    got = (
+        spark.createDataFrame(pdf)
+        .select("pid", hilbert_cell(F.col("lon"), F.col("lat"), 4).alias("h"))
+        .orderBy("pid")
+        .collect()
+    )
+    assert got[0].h is None and got[1].h is None and got[2].h is not None

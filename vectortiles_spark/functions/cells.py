@@ -145,10 +145,17 @@ def hilbert_cell(lon: Column, lat: Column, level: int) -> Column:
     the (tx, ty) tile)."""
     @F.pandas_udf("long")
     def _h(lo: pd.Series, la: pd.Series) -> pd.Series:
-        return pd.Series(
-            hilbert_cell_np(
-                lo.to_numpy(dtype=np.float64), la.to_numpy(dtype=np.float64), level
-            )
+        lo_np = lo.to_numpy(dtype=np.float64)
+        la_np = la.to_numpy(dtype=np.float64)
+        # propagate NULL coordinates as NULL cells (quad_cell's Column
+        # semantics) — NaN would otherwise cast to a garbage int32 tile and
+        # equi-join unrelated NULL rows onto the same cell id
+        bad = np.isnan(lo_np) | np.isnan(la_np)
+        cells = hilbert_cell_np(
+            np.where(bad, 0.0, lo_np), np.where(bad, 0.0, la_np), level
         )
+        out = pd.Series(cells, dtype="Int64")
+        out[bad] = pd.NA
+        return out
 
     return _h(lon, lat)

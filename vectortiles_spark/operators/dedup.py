@@ -170,26 +170,36 @@ def simhash_fingerprints(
 def simhash_near_dups(
     docs: DataFrame, max_hamming: int = 6, n_blocks: int = 8, block_cap: int = 200
 ) -> DataFrame:
-    """SimHash near-dups via block-permutation LSH: split the 64-bit
-    fingerprint into n_blocks 8-bit blocks; by pigeonhole, any pair within
-    max_hamming <= n_blocks - 1 bits shares at least one exact block —
-    equi-join per block, then exact popcount filter. Blocks shared by more
-    than `block_cap` docs are deterministically truncated (see
-    _cap_buckets) — the pigeonhole guarantee then holds within the kept
-    subset, which is the scale-safety trade every planet-scale deduper
-    makes for degenerate boilerplate clusters."""
+    """SimHash near-dups via block-permutation LSH over BLOCK PAIRS: split
+    the 64-bit fingerprint into n_blocks 8-bit blocks and join on every
+    pair of blocks (C(n_blocks,2) keys of 16 bits). By pigeonhole, any
+    pair within max_hamming <= n_blocks - 2 bits leaves >= 2 blocks
+    untouched, so at least one block PAIR matches exactly; the exact
+    popcount filter then verifies. Pair keys have a 2^16 value space per
+    key (vs 2^8 for single blocks), so random buckets stay tiny at
+    planet scale and the `block_cap` truncation guard (see _cap_buckets)
+    only ever bites degenerate mass-duplicate clusters, not honest
+    buckets. Requires max_hamming <= n_blocks - 2; falls back to single
+    blocks (guarantee max_hamming <= n_blocks - 1, small-corpus only)
+    otherwise."""
     fp = simhash_fingerprints(docs).cache()
+    blk = lambda i: F.shiftrightunsigned(F.col("simhash"), i * 8).bitwiseAND(F.lit(255))
+    if max_hamming <= n_blocks - 2:
+        keys = [
+            F.struct(
+                F.lit(i * n_blocks + j).alias("block_id"),
+                F.shiftleft(blk(i), 8).bitwiseOR(blk(j)).alias("block_val"),
+            )
+            for i in range(n_blocks)
+            for j in range(i + 1, n_blocks)
+        ]
+    else:
+        keys = [
+            F.struct(F.lit(i).alias("block_id"), blk(i).alias("block_val"))
+            for i in range(n_blocks)
+        ]
     blocks = fp.select(
-        "doc_id", "simhash",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(i).alias("block_id"),
-                    F.shiftrightunsigned(F.col("simhash"), i * 8).bitwiseAND(F.lit(255)).alias("block_val"),
-                )
-                for i in range(n_blocks)
-            ])
-        ).alias("blk"),
+        "doc_id", "simhash", F.explode(F.array(*keys)).alias("blk")
     ).select("doc_id", "simhash", "blk.block_id", "blk.block_val")
     blocks = _cap_buckets(blocks, ["block_id", "block_val"], block_cap)
     a, b = blocks.alias("a"), blocks.alias("b")

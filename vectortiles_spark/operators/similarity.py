@@ -128,9 +128,13 @@ def lsh_topk(
         .select(query_id, cand_id)
         .distinct()
     )
+    # pair_ids is bounded by the probe fan-out (queries x buckets), so
+    # broadcasting it keeps the big candidate table shuffle-free in the
+    # embedding rejoin even when AQE or stats would have picked sort-merge
     cand_pairs = pair_ids.join(
         F.broadcast(queries.select(query_id, q_emb)), query_id
-    ).join(candidates.select(cand_id, emb), cand_id)
+    )
+    cand_pairs = F.broadcast(cand_pairs).join(candidates.select(cand_id, emb), cand_id)
     scored = cand_pairs.withColumn("cosine", _cosine(F.col(q_emb), F.col(emb)))
     w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(cand_id).asc())
     return (
@@ -181,18 +185,21 @@ def ivf_topk(
             F.lit(None).cast("double").alias("cosine"),
             F.lit(None).cast("int").alias("rank"),
         )
-    cent_ids = np.asarray([r.centroid_id for r in cent_rows])
+    # ids may be any type (string keys included): carry them as an object
+    # array and type the UDF from the candidate schema
+    id_type = candidates.schema[cand_id].dataType
+    cent_ids = np.asarray([r.centroid_id for r in cent_rows], dtype=object)
     cent_mat = np.asarray([np.asarray(r.c_emb, dtype=np.float64) for r in cent_rows])
     cent_norms = np.linalg.norm(cent_mat, axis=1, keepdims=True)
     cent_norms[cent_norms == 0.0] = 1.0  # zero-vector centroid: no NaN cells
     cent_unit = cent_mat / cent_norms
 
-    @F.pandas_udf(T.LongType())
+    @F.pandas_udf(id_type)
     def assign_cell(col):
         import pandas as pd
 
         if not len(col):
-            return pd.Series([], dtype="int64")
+            return pd.Series([], dtype=object)
         mat = np.asarray([np.asarray(v, dtype=np.float64) for v in col])
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
         norms[norms == 0.0] = 1.0
@@ -202,9 +209,14 @@ def ivf_topk(
     assigned = candidates.select(
         cand_id, emb, assign_cell(F.col(emb)).alias("centroid_id")
     )
+    # probes use the SAME collected centroid rows as the assignment UDF —
+    # re-executing `cent` against a nondeterministic candidates source
+    # (sample(), rand() filters) could yield a different centroid set and
+    # orphan probe cells no candidate was assigned to
+    cent_local = queries.sparkSession.createDataFrame(cent_rows, schema=cent.schema)
     w_probe = Window.partitionBy(query_id).orderBy(F.col("sim").desc(), F.col("centroid_id").asc())
     probes = (
-        queries.crossJoin(F.broadcast(cent))
+        queries.crossJoin(F.broadcast(cent_local))
         .withColumn("sim", _cosine(F.col(q_emb), F.col("c_emb")))
         .withColumn("__r", F.row_number().over(w_probe))
         .filter(F.col("__r") <= nprobe)

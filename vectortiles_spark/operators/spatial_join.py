@@ -151,7 +151,9 @@ def knn_join(
     dlat = F.col("c_lat") - F.col("q_lat")
     # plain products, not pow(): IEEE multiply is correctly rounded in every
     # engine, so dist2 is bit-identical to a SQL oracle computing the same
-    # expression — ranking ties then break identically on cand_id
+    # expression — PROVIDED the oracle also mirrors Pmod's branch (return
+    # the non-negative fmod remainder as-is; see Q_KNN_EXACT_SQL) — and
+    # ranking ties then break identically on cand_id
     probe_side = F.broadcast(probe) if broadcast_queries else probe
     joined = probe_side.join(cand, ["tile_x", "tile_y"]).withColumn(
         "dist2", dlon * dlon + dlat * dlat

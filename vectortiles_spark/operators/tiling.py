@@ -600,8 +600,11 @@ def _layer_is_expected_literal(features: DataFrame, name: str) -> bool:
         plan = analyzed.toString()
         # a Union's output reuses the FIRST child's expression ids while its
         # VALUES come from every child — a literal alias in child one proves
-        # nothing about the rest, so never fast-path a plan containing one
-        if re.search(r"\bUnion\b", plan):
+        # nothing about the rest. An outer join can NULL out the literal
+        # side's attributes for unmatched rows, so "layer == literal" only
+        # holds modulo NULL there. Never fast-path either shape; the data
+        # scan fallback handles both (and rejects the NULLs).
+        if re.search(r"\bUnion\b|LeftOuter|RightOuter|FullOuter|ExistenceJoin", plan):
             return False
         # match the DEFINING alias of this exact output attribute (by expr
         # id), so a stale literal alias shadowed by a later withColumn can't
@@ -774,5 +777,5 @@ def tile_stats(features: DataFrame, salt_buckets: int = 16) -> DataFrame:
         F.sum("partial_n").alias("n_features"),
         F.size(
             F.array_distinct(F.flatten(F.collect_list("partial_layer_set")))
-        ).alias("n_layers_approx"),
+        ).alias("n_layers"),  # exact (set-union merge), not an approximation
     )

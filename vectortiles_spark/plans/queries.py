@@ -608,11 +608,18 @@ WITH cand AS (
 ), queries AS (
   SELECT s_suppkey, {_sql_lon('s_suppkey')} AS q_lon, {_sql_lat('s_suppkey')} AS q_lat
   FROM supplier
-), scored AS (
+), wrapped AS (
+  -- mirror Spark's Pmod BRANCH exactly: the non-negative remainder is
+  -- returned as-is (adding 360 and re-fmod'ing perturbs the last ulp)
   SELECT s_suppkey, c_custkey,
-         fmod(fmod(lon - q_lon + 180.0, 360.0) + 360.0, 360.0) - 180.0 AS dlon,
+         fmod(lon - q_lon + 180.0, 360.0) AS r,
          lat - q_lat AS dlat
   FROM queries CROSS JOIN cand
+), scored AS (
+  SELECT s_suppkey, c_custkey,
+         (CASE WHEN r < 0 THEN fmod(r + 360.0, 360.0) ELSE r END) - 180.0 AS dlon,
+         dlat
+  FROM wrapped
 ), ranked AS (
   SELECT s_suppkey, c_custkey, dlon * dlon + dlat * dlat AS dist2,
          row_number() OVER (
