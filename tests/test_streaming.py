@@ -69,3 +69,24 @@ def test_sessionize_stream_closes_sessions(spark, events_dir):
         for s in sessions:
             assert s.n_events >= 1
             assert s.first_ts <= s.last_ts
+
+
+def test_sessionize_stream_out_of_order_batches(spark, events_dir):
+    """files_per_trigger=1 delivers each user's events out of global ts
+    order across micro-batches; the sessionizer must never corrupt session
+    boundaries (first_ts > last_ts) — far-late events surface as marked
+    session_id=-1 rows instead of dragging the open session backwards."""
+    stream = ev.read_events_stream(spark, events_dir, files_per_trigger=1)
+    sess = ev.sessionize_stream(stream)
+    ev.run_stream_to_memory(sess, "sess_ooo_out", output_mode="append")
+    rows = spark.sql("SELECT * FROM sess_ooo_out").collect()
+    assert rows, "stream emitted nothing"
+    for r in rows:
+        assert r.first_ts <= r.last_ts, (
+            f"corrupted session: {r.user_id} s{r.session_id} "
+            f"first={r.first_ts} last={r.last_ts}"
+        )
+        if r.session_id >= 0:
+            assert r.n_events >= 1
+        else:
+            assert r.n_events == 1  # late marker rows are single events

@@ -147,15 +147,22 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
 
 
 def _resize_block_mean(gray: np.ndarray, size: int = 32) -> np.ndarray:
-    """Deterministic area-style resize via bucketed block means."""
+    """Deterministic area-style resize via integral-image box means.
+
+    Works in BOTH directions: every target cell maps to a non-empty source
+    box (hi >= lo+1), so upscaling repeats source pixels instead of the
+    old scatter's zero-filled buckets (which blacked out 3/4 of an 8->16
+    upscale and made phash fingerprint the zero grid, not the image)."""
     h, w = gray.shape
-    ys = (np.arange(h) * size // h).astype(np.int64)
-    xs = (np.arange(w) * size // w).astype(np.int64)
-    sums = np.zeros((size, size), dtype=np.float64)
-    counts = np.zeros((size, size), dtype=np.float64)
-    np.add.at(sums, (ys[:, None].repeat(w, 1), xs[None, :].repeat(h, 0)), gray)
-    np.add.at(counts, (ys[:, None].repeat(w, 1), xs[None, :].repeat(h, 0)), 1.0)
-    return sums / np.maximum(counts, 1.0)
+    ii = np.zeros((h + 1, w + 1), dtype=np.float64)
+    ii[1:, 1:] = np.cumsum(np.cumsum(gray.astype(np.float64), axis=0), axis=1)
+    yb = (np.arange(size + 1) * h) // size
+    xb = (np.arange(size + 1) * w) // size
+    y0, y1 = yb[:-1], np.maximum(yb[1:], yb[:-1] + 1)
+    x0, x1 = xb[:-1], np.maximum(xb[1:], xb[:-1] + 1)
+    box = ii[y1][:, x1] - ii[y0][:, x1] - ii[y1][:, x0] + ii[y0][:, x0]
+    area = (y1 - y0)[:, None] * (x1 - x0)[None, :]
+    return box / area
 
 
 def phash64(img: np.ndarray) -> int:

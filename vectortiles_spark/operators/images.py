@@ -98,7 +98,9 @@ def verify_invariants(images: DataFrame, min_psnr: float = 40.0) -> DataFrame:
                     img = ic.decode_image(raw, fmt)
                     re_img = ic.decode_image(ic.encode_image(img, fmt), fmt)
                     psnr = ic.psnr(img, re_img)
-                    ham = ic.hamming64(ph, ic.phash64(img))
+                    # a missing carried phash is reported as a hash miss
+                    # (hamming NULL, not a decode failure)
+                    ham = ic.hamming64(ph, ic.phash64(img)) if ph is not None else None
                     rows["decode_ok"].append(True)
                     rows["reencode_psnr"].append(min(psnr, 1e9))
                     rows["psnr_ok"].append(psnr >= min_psnr)
@@ -109,9 +111,14 @@ def verify_invariants(images: DataFrame, min_psnr: float = 40.0) -> DataFrame:
                     rows["psnr_ok"].append(False)
                     rows["phash_hamming"].append(None)
                 rows["image_id"].append(iid)
-                rows["caption_preserved"].append(
-                    cap is not None and cap == cap.encode("utf-8").decode("utf-8")
-                )
+                # "caption survives transport" = it still utf-8 roundtrips;
+                # unencodable captions (lone surrogates from upstream
+                # corruption) must report False, not kill the task
+                try:
+                    ok_cap = cap is not None and cap == cap.encode("utf-8").decode("utf-8")
+                except UnicodeError:
+                    ok_cap = False
+                rows["caption_preserved"].append(ok_cap)
             yield pa.record_batch(
                 {
                     "image_id": pa.array(rows["image_id"], pa.string()),
@@ -137,16 +144,23 @@ def resize_images(images: DataFrame, size: int = 16, out_fmt: str = "ppm") -> Da
             ids = b["image_id"].to_pylist()
             payloads = b["bytes"].to_pylist()
             fmts = b["fmt"].to_pylist()
-            out_ids, out_bytes = [], []
+            out_ids, out_bytes, out_ok = [], [], []
             for iid, raw, fmt in zip(ids, payloads, fmts):
-                img = ic.decode_image(raw, fmt)
-                small = np.stack(
-                    [ic._resize_block_mean(img[:, :, c].astype(np.float64), size) for c in range(3)],
-                    axis=-1,
-                )
-                small = np.clip(np.round(small), 0, 255).astype(np.uint8)
+                # one corrupt payload in a billion rows must not fail the
+                # job: degrade to ok=False like the sibling operators
+                try:
+                    img = ic.decode_image(raw, fmt)
+                    small = np.stack(
+                        [ic._resize_block_mean(img[:, :, c].astype(np.float64), size) for c in range(3)],
+                        axis=-1,
+                    )
+                    small = np.clip(np.round(small), 0, 255).astype(np.uint8)
+                    payload, ok = ic.encode_image(small, out_fmt), True
+                except Exception:
+                    payload, ok = None, False
                 out_ids.append(iid)
-                out_bytes.append(ic.encode_image(small, out_fmt))
+                out_bytes.append(payload)
+                out_ok.append(ok)
             yield pa.record_batch(
                 {
                     "image_id": pa.array(out_ids, pa.string()),
@@ -154,11 +168,12 @@ def resize_images(images: DataFrame, size: int = 16, out_fmt: str = "ppm") -> Da
                     "w": pa.array([size] * len(out_ids), pa.int32()),
                     "h": pa.array([size] * len(out_ids), pa.int32()),
                     "fmt": pa.array([out_fmt] * len(out_ids), pa.string()),
+                    "ok": pa.array(out_ok, pa.bool_()),
                 }
             )
 
     return images.select("image_id", "bytes", "fmt").mapInArrow(
-        run, "image_id string, bytes binary, w int, h int, fmt string"
+        run, "image_id string, bytes binary, w int, h int, fmt string, ok boolean"
     )
 
 
@@ -183,18 +198,18 @@ def sample_video_frames(videos: DataFrame, every_ms: int = 1000) -> DataFrame:
             for mid, raw in zip(b["media_id"].to_pylist(), b["bytes"].to_pylist()):
                 yield from _decode_frames(mid, raw, every_ms)
 
-    return videos.select(
-        videos.columns[0], videos.columns[1]
-    ).toDF("media_id", "bytes").mapInArrow(run, FRAME_SCHEMA)
+    return videos.select("media_id", "bytes").mapInArrow(run, FRAME_SCHEMA)
 
 
 AUDIO_FEATURES_SCHEMA = "media_id string, duration_s double, rms double, zero_crossings long"
 
 
-def extract_audio_features(audio: DataFrame) -> DataFrame:
+def extract_audio_features(audio: DataFrame, sample_rate: int = 16000) -> DataFrame:
     """Audio feature extraction over raw PCM16 binary columns. PCM parsing
     is real NumPy (no external lib needed for raw PCM); container formats
-    (mp3/ogg) would need a decoder and raise NotImplementedError."""
+    (any ID3-tagged mp3, bare mp3 frame sync, ogg, flac) would need a
+    decoder and raise NotImplementedError rather than parse the compressed
+    bitstream as samples."""
 
     def run(batches):
         for b in batches:
@@ -202,11 +217,16 @@ def extract_audio_features(audio: DataFrame) -> DataFrame:
             raws = b["bytes"].to_pylist()
             out = {"media_id": [], "duration_s": [], "rms": [], "zero_crossings": []}
             for mid, raw in zip(ids, raws):
-                if raw[:4] in (b"ID3\x03", b"OggS", b"fLaC"):
+                if (
+                    raw[:3] == b"ID3"          # any ID3v2.x-tagged mp3
+                    or raw[:4] in (b"OggS", b"fLaC", b"RIFF")
+                    or (len(raw) >= 2 and raw[0] == 0xFF and (raw[1] & 0xE0) == 0xE0)  # bare mp3/aac frame sync
+                ):
                     raise NotImplementedError("compressed audio needs a codec lib")
-                pcm = np.frombuffer(raw, dtype=np.int16).astype(np.float64)
+                # raw PCM16: an odd trailing byte is truncation, not samples
+                pcm = np.frombuffer(raw[: len(raw) - (len(raw) % 2)], dtype=np.int16).astype(np.float64)
                 out["media_id"].append(mid)
-                out["duration_s"].append(len(pcm) / 16000.0)
+                out["duration_s"].append(len(pcm) / float(sample_rate))
                 out["rms"].append(float(np.sqrt(np.mean(pcm**2))) if len(pcm) else 0.0)
                 s = np.sign(pcm)
                 s = s[s != 0]  # exact zeros would double-count a crossing

@@ -52,15 +52,23 @@ def resume_filter(features: DataFrame, table: IcebergLiteTable) -> DataFrame:
     return features.join(F.broadcast(done), TILE_KEY, "left_anti")
 
 
-def run_with_resume(features: DataFrame, table: IcebergLiteTable, encode_fn, **encode_kw) -> int:
+def run_with_resume(
+    features: DataFrame,
+    table: IcebergLiteTable,
+    encode_fn,
+    source_snapshot: int | None = None,
+    **encode_kw,
+) -> int:
     """One resumable unit of work: filter done tiles, encode the rest,
     checkpoint. Returns the new snapshot id (or the current one if there
-    was nothing left to do)."""
+    was nothing left to do). ``source_snapshot`` threads provenance (e.g.
+    a streaming epoch id) into the committed lineage, matching what
+    versions-mode ingest records."""
     todo = resume_filter(features, table)
     tiles = encode_fn(todo, **encode_kw).persist()
     try:
         if tiles.isEmpty():  # persist: the emptiness probe must not re-run
             return table.current_snapshot() or 0  # the encode for the write
-        return checkpoint_tiles(tiles, table)
+        return checkpoint_tiles(tiles, table, source_snapshot=source_snapshot)
     finally:
         tiles.unpersist()

@@ -52,7 +52,11 @@ def _splitmix64(x: np.ndarray) -> np.ndarray:
 
 def _u01(ids: np.ndarray, seed: int, stream: int) -> np.ndarray:
     """Uniform [0,1) per row id, stable across any batching."""
-    h = _splitmix64(ids.astype(_U64) ^ _splitmix64(np.full(len(ids), seed * 1315423911 + stream, dtype=_U64)))
+    # hash the (seed, stream) scalar ONCE and XOR-broadcast — elementwise
+    # identical to hashing a constant array, at half the hash work (the
+    # 1-element array keeps numpy's wrapping-multiply silent, unlike 0-d)
+    mix = _splitmix64(np.array([seed * 1315423911 + stream], dtype=_U64))
+    h = _splitmix64(ids.astype(_U64) ^ mix)
     return (h >> _U64(11)).astype(np.float64) / float(1 << 53)
 
 
@@ -98,16 +102,17 @@ def images_pdf_for_ids(ids: np.ndarray, seed: int = 42, light: bool = False) -> 
     word_idx = np.stack([(_u01(ids, seed, 10 + j) * len(_WORDS)).astype(np.int64) for j in range(6)], axis=1)
     captions = [" ".join(_WORDS[j] for j in row) for row in word_idx]
 
-    hue = np.stack([(_u01(ids, seed, 20 + c) * 255).astype(np.int64) for c in range(3)], axis=1)
-    cx = _u01(ids, seed, 23)
-    cy = _u01(ids, seed, 24)
-    rad = 0.15 + _u01(ids, seed, 25) * 0.25
-
     payloads: list[bytes] = []
     hashes = np.zeros(n, dtype=np.int64)
     if light:
         payloads = [b""] * n
         hashes = (_splitmix64(ids.astype(_U64)) >> _U64(1)).astype(np.int64)
+    else:
+        # payload-only random streams — skipped entirely in light mode
+        hue = np.stack([(_u01(ids, seed, 20 + c) * 255).astype(np.int64) for c in range(3)], axis=1)
+        cx = _u01(ids, seed, 23)
+        cy = _u01(ids, seed, 24)
+        rad = 0.15 + _u01(ids, seed, 25) * 0.25
     for i in range(0 if light else n):
         w, h = int(sizes_w[i]), int(sizes_h[i])
         yy, xx = np.mgrid[0:h, 0:w]

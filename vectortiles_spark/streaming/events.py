@@ -62,6 +62,21 @@ def _sessionize_fn(key, pdfs, state: GroupState):
     else:
         sid, n, first_ts, last_ts = 0, 0, None, None
     for ts in rows["ts"]:
+        if last_ts is not None and ts < last_ts:
+            # cross-batch OUT-OF-ORDER event: never move the session cursor
+            # backwards (doing so corrupts boundaries — first_ts > last_ts).
+            # Within the open session's span (or gap-adjacent before it):
+            # absorb, extending first_ts. Older than that: its session
+            # closed long ago — emit it immediately as a standalone session
+            # marked session_id=-1 so consumers can distinguish late data.
+            if (first_ts - ts).total_seconds() <= SESSION_GAP_S:
+                n += 1
+                if ts < first_ts:
+                    first_ts = ts
+            else:
+                closed.append({"user_id": user_id, "session_id": -1,
+                               "n_events": 1, "first_ts": ts, "last_ts": ts})
+            continue
         if last_ts is not None and (ts - last_ts).total_seconds() > SESSION_GAP_S:
             closed.append({"user_id": user_id, "session_id": sid, "n_events": n,
                            "first_ts": first_ts, "last_ts": last_ts})

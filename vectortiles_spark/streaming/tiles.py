@@ -41,6 +41,7 @@ def stream_tiles_to_checkpoint(
     layer: str = "images",
     max_per_tile: int | None = None,
     mode: str = "versions",
+    checkpoint_dir: str | None = None,
 ):
     from pyspark.sql import functions as F
 
@@ -53,6 +54,7 @@ def stream_tiles_to_checkpoint(
         if mode == "first_wins":
             resume.run_with_resume(
                 feats, checkpoint_table, tiling.encode_tiles,
+                source_snapshot=epoch_id,
                 max_per_tile=max_per_tile, single_layer=layer,
             )
         else:
@@ -63,11 +65,14 @@ def stream_tiles_to_checkpoint(
             finally:
                 tiles.unpersist()
 
-    return (
-        images_stream.writeStream.outputMode("append")
-        .foreachBatch(process)
-        .start()
-    )
+    # a STREAMING checkpoint dir makes source progress durable: without
+    # it a restarted query replays every file, and versions mode (no
+    # anti-join by design) would re-append every tile version. first_wins
+    # mode is restart-safe either way (the Iceberg-lite anti-join dedupes)
+    writer = images_stream.writeStream.outputMode("append").foreachBatch(process)
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
 
 
 def compact_tiles(checkpoint_table: IcebergLiteTable, snapshot_id: int | None = None) -> DataFrame:
