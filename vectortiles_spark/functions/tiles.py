@@ -45,11 +45,20 @@ def tile_y(lat: Column, z: int | Column) -> Column:
     ).cast("int")
 
 
+def _edge_clamp(n: Column, z: int | Column) -> Column:
+    """Largest double strictly below n=2^z: an ABSOLUTE epsilon (n - 1e-9)
+    is a no-op once 1e-9 < ulp(2^z)/2 (z >= 25), sending lon=180 to pixel
+    0 of the wrong tile instead of the east edge of the last one."""
+    if isinstance(z, int):
+        return F.lit(math.nextafter(float(1 << z), 0.0))
+    return n - F.lit(1e-9)  # Column z: callers use z <= 24 here
+
+
 def tile_px(lon: Column, z: int | Column, extent: int = DEFAULT_EXTENT) -> Column:
     """Tile-local x pixel in [0, extent) on the reference's discrete grid."""
     n = F.pow(F.lit(2.0), z).cast("double")
     fx = _norm_x(lon) * n
-    fx = F.least(fx, n - F.lit(1e-9))  # lon=180 lands in the east edge of the last tile
+    fx = F.least(fx, _edge_clamp(n, z))  # lon=180: east edge of the last tile
     return F.least(
         F.floor((fx - F.floor(fx)) * F.lit(float(extent))), F.lit(extent - 1).cast("long")
     ).cast("int")
@@ -58,7 +67,7 @@ def tile_px(lon: Column, z: int | Column, extent: int = DEFAULT_EXTENT) -> Colum
 def tile_py(lat: Column, z: int | Column, extent: int = DEFAULT_EXTENT) -> Column:
     n = F.pow(F.lit(2.0), z).cast("double")
     fy = _norm_y(lat) * n
-    fy = F.greatest(F.lit(0.0), F.least(fy, n - F.lit(1e-9)))
+    fy = F.greatest(F.lit(0.0), F.least(fy, _edge_clamp(n, z)))
     return F.least(
         F.floor((fy - F.floor(fy)) * F.lit(float(extent))), F.lit(extent - 1).cast("long")
     ).cast("int")
@@ -102,11 +111,12 @@ def tile_pixel_np(
     lon: np.ndarray, lat: np.ndarray, z: int, extent: int = DEFAULT_EXTENT
 ) -> tuple[np.ndarray, np.ndarray]:
     n = float(2**z)
+    edge = np.nextafter(n, 0.0)  # see _edge_clamp: relative, z-safe
     fx = (np.asarray(lon, np.float64) + 180.0) / 360.0 * n
-    fx = np.minimum(fx, n - 1e-9)
+    fx = np.minimum(fx, edge)
     rad = np.radians(np.asarray(lat, np.float64))
     fy = (1.0 - np.arcsinh(np.tan(rad)) / math.pi) / 2.0 * n
-    fy = np.clip(fy, 0.0, n - 1e-9)
+    fy = np.clip(fy, 0.0, edge)
     px = np.minimum(np.floor((fx - np.floor(fx)) * extent), extent - 1).astype(np.int32)
     py = np.minimum(np.floor((fy - np.floor(fy)) * extent), extent - 1).astype(np.int32)
     return px, py

@@ -102,6 +102,11 @@ def minhash_near_dups(
     `band_cap` are deterministically truncated (see _cap_buckets).
 
     Output: (doc_a, doc_b, est_jaccard) with doc_a < doc_b.
+
+    Note: the signature table is .cache()'d (it feeds the band join AND
+    both verify joins); the cache lives until the app ends or the caller
+    runs spark.catalog.clearCache() — relevant for long driver loops
+    deduping many corpora in one session.
     """
     sig = minhash_signatures(docs, id_col, text_col, k).cache()
     band_rows = [
@@ -157,7 +162,7 @@ def simhash_fingerprints(
         F.sum(
             F.when(F.shiftrightunsigned(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"s{i}")
-        for i in range(64)
+        for i in range(63)  # bit 63 stays clear in the fingerprint: no dead agg
     ]
     sums = hashed.groupBy("doc_id").agg(*bit_aggs)
     fp = sum(

@@ -79,10 +79,25 @@ def pip_join(
 
     polygons schema: (polygon_id string, rings ARRAY<ARRAY<ARRAY<DOUBLE>>>)
     — rings in lon/lat, ring 0 exterior, later rings holes (even-odd).
+    Polygons must NOT cross the antimeridian (the GeoJSON RFC 7946
+    contract: split seam-crossing shapes first) — the bbox explode and the
+    raw-lon ray-cast both assume lon_min <= lon_max, so a crossing polygon
+    would match the wrong hemisphere. Validated here (polygons are the
+    small side; one cheap aggregate) rather than silently mis-joining.
     """
-    tiled_polys = polygons_with_tiles(
-        polygons.select(F.col(polygon_id).alias("__pid"), "rings"), z
+    dim = polygons.select(F.col(polygon_id).alias("__pid"), "rings")
+    ext = F.col("rings")[0]
+    span = F.array_max(F.transform(ext, lambda p: p[0])) - F.array_min(
+        F.transform(ext, lambda p: p[0])
     )
+    offender = dim.where(span > 180.0).select("__pid").first()
+    if offender is not None:
+        raise ValueError(
+            f"pip_join: polygon {offender[0]!r} spans >180 deg of longitude — "
+            "it likely crosses the antimeridian; split it at the seam first "
+            "(RFC 7946 s3.1.9)"
+        )
+    tiled_polys = polygons_with_tiles(dim, z)
     pts = points.withColumns(
         {"tile_x": tile_x(F.col(lon), z), "tile_y": tile_y(F.col(lat), z)}
     )
@@ -174,6 +189,7 @@ def knn_join_exact(
     max_ring: int | None = None,
     query_id: str = "query_id",
     cand_id: str = "cand_id",
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """TRUE kNN via expanding ring search: start at ring 1 and double the
     ring for queries that (a) found fewer than k candidates, or (b) whose
@@ -203,6 +219,7 @@ def knn_join_exact(
         found = knn_join(
             remaining, candidates, k=k, z=z, ring=ring,
             query_id=query_id, cand_id=cand_id,
+            broadcast_queries=broadcast_queries,
         ).localCheckpoint(eager=True)  # truncate per-round lineage
         # a query is RESOLVED when it has k hits and the k-th distance fits
         # inside the radius this ring PROVABLY covered. x coverage is

@@ -277,7 +277,12 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics expressed as batch windows."""
     (events,) = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))) > 1800
+    # FRACTIONAL epoch seconds (cast chain, not unix_timestamp which
+    # truncates to whole seconds): DuckDB's epoch() keeps fractions, so a
+    # 1800.4s gap must open a new session on BOTH sides. TIMESTAMP_NTZ
+    # needs the hop through TIMESTAMP (session tz is pinned UTC).
+    ep = F.col("ts").cast("timestamp").cast("double")
+    gap = (ep - F.lag(ep).over(w)) > 1800
     sess = events.withColumn("new_sess", F.when(gap, 1).otherwise(0)).withColumn(
         "session_id", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0))
     )
@@ -563,7 +568,12 @@ def q_mvt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # the oracle replays the exact tile assignment in SQL: tile_x from lon,
-# tile_y from the scaled equirect latitude used above
+# tile_y via MIRRORED TRIG (DuckDB ln/tan/sqrt vs Spark asinh/tan) — NOT
+# the pure-arithmetic bit-identity contract the other oracles use. Parity
+# holds because no lat residue of this fixed key formula lands within
+# libm-ulp of a 1/64 tile boundary (measured margin ~5.4e-5, ~1e10 ulps);
+# if you change z, the 2.125 scale, or the lat formula, RE-CHECK that
+# margin — a residue on a boundary can flip floor() between engines
 Q_MVT_ROUNDTRIP_SQL = f"""
 WITH pts AS (
   SELECT c_custkey, {_sql_lon('c_custkey')} AS lon,

@@ -176,7 +176,8 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup detection by word-3-gram Jaccard over a shingle-bucketed
     self-join: explode distinct shingles, equi-join on shingle (the
     candidate generator — only docs sharing a shingle ever meet), then
-    exact Jaccard = |∩| / (|A| + |B| - |∩|) >= 0.5.
+    exact Jaccard = |∩| / (|A| + |B| - |∩|) >= 0.2 (low threshold so the
+    sf-scaled corpus yields a stable non-trivial pair set).
 
     This is the scalable exact-Jaccard plan: the join key is the shingle,
     so the shuffle is linear in total shingles, not quadratic in docs."""
@@ -334,15 +335,6 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     At scale: the broadcast side is the queries (small); candidates stream;
     the only shuffle is the per-query top-k, which AQE keeps tiny."""
     (emb,) = load(spark, sf_dir, "embeddings")
-    qs = emb.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
-    )
-    cand = emb.select("vec_id", "embedding")
-    dot = F.aggregate(
-        F.zip_with("q_emb", "embedding", lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
     norm = lambda c: F.sqrt(
         F.aggregate(
             F.transform(c, lambda x: x.cast("double") * x.cast("double")),
@@ -350,10 +342,24 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, v: acc + v,
         )
     )
+    # norms are PRECOMPUTED one-per-row on each side — folding them inside
+    # the joined expression would re-run two d-length array folds per
+    # (query, candidate) pair instead of (Q + C) total
+    qs = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        norm(F.col("embedding")).alias("q_norm"),
+    )
+    cand = emb.select("vec_id", "embedding", norm(F.col("embedding")).alias("c_norm"))
+    dot = F.aggregate(
+        F.zip_with("q_emb", "embedding", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
     joined = (
         cand.crossJoin(F.broadcast(qs))
         .filter(F.col("vec_id") != F.col("query_id"))
-        .withColumn("cosine", F.round(dot / (norm(F.col("q_emb")) * norm(F.col("embedding"))), 6))
+        .withColumn("cosine", F.round(dot / (F.col("q_norm") * F.col("c_norm")), 6))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
     return (
