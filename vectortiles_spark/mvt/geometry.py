@@ -209,6 +209,10 @@ def polygon_from_commands(cmds: list[tuple[int, np.ndarray]]) -> list[list[np.nd
             or cmds[i][0] != CMD_MOVETO
             or len(cmds[i][1]) < 1
             or cmds[i + 1][0] != CMD_LINETO
+            # a ring needs LineTo(n>=2): MoveTo + 1 LineTo point re-closes
+            # to a degenerate 2-point "ring" with zero area — reject like
+            # the linestring path rejects empty LineTo
+            or len(cmds[i + 1][1]) < 2
             or cmds[i + 2][0] != CMD_CLOSEPATH
         ):
             raise ValueError(f"Polygon decode: Invalid command sequence given: {cmds}")
