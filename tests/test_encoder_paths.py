@@ -114,3 +114,35 @@ def test_empty_geometry_rows_dropped():
     assert out[0]["n_features"][0].as_py() == 1
     layers = codec.decode_tile(out[0]["mvt"][0].as_py())
     assert [f.feature_id for f in layers["l"].features] == [8]
+
+
+def test_batch_and_per_tile_paths_byte_identical():
+    """The whole-batch vectorized path and the per-tile fallback (taken
+    when a batch contains any null meta code / empty geom) must emit
+    BYTE-identical tiles — field order included — or tile bytes would
+    depend on which rows happened to share an Arrow batch."""
+    rng = np.random.default_rng(17)
+    rows, _ = _random_rows(rng, n_tiles=12, max_feats=6, with_nulls=False)
+    clean = _batch(rows)
+    # per-tile fallback is forced by appending one null-meta row in its
+    # own EXTRA tile: the shared tiles' bytes must not change
+    rows_dirty = {k: list(v) for k, v in rows.items()}
+    rows_dirty["tile_z"].append(10); rows_dirty["tile_x"].append(999)
+    rows_dirty["tile_y"].append(999); rows_dirty["layer"].append("alpha")
+    rows_dirty["geom_type"].append(1); rows_dirty["feature_id"].append(1)
+    rows_dirty["geom_cmds"].append([9, 2, 2])
+    rows_dirty["caption"].append(None); rows_dirty["score"].append(None)
+    dirty = _batch(rows_dirty)
+
+    def tiles_of(batch):
+        out = {}
+        for rb in _encode_stream(iter([batch])):
+            for i in range(rb.num_rows):
+                key = (rb["tile_x"][i].as_py(), rb["tile_y"][i].as_py())
+                out[key] = rb["mvt"][i].as_py()
+        return out
+
+    a, b = tiles_of(clean), tiles_of(dirty)
+    assert (999, 999) in b
+    for key, mvt in a.items():
+        assert b[key] == mvt, f"tile {key}: bytes differ between encode paths"

@@ -79,7 +79,11 @@ def neighbor_cells(lon: Column, lat: Column, level: int, ring: int = 1) -> Colum
                 (ny >= 0) & (ny < n), quad_cell_from_xy(nx, ny, level)
             )  # null when off the top/bottom of the world
             cells.append(cell)
-    return F.array_compact(F.array(*cells))
+    # distinct as well as compact: when 2*ring+1 > 2^level the x wrap
+    # aliases offsets onto the same tile, and duplicate cells would yield
+    # duplicate join candidates (the same neighbor filling several kNN
+    # slots)
+    return F.array_distinct(F.array_compact(F.array(*cells)))
 
 
 # ---------------- NumPy twins ----------------
@@ -115,6 +119,8 @@ def hilbert_d_np(tx: np.ndarray, ty: np.ndarray, level: int) -> np.ndarray:
     x = tx.astype(np.int64).copy()
     y = ty.astype(np.int64).copy()
     d = np.zeros(x.shape, dtype=np.int64)
+    if level == 0:  # whole-world single cell: curve position 0 (quad twin parity)
+        return d
     s = np.int64(1 << (level - 1))
     while s > 0:
         rx = ((x & s) > 0).astype(np.int64)

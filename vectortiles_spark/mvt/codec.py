@@ -117,12 +117,18 @@ def _parse_value(buf: memoryview) -> tuple:
         fnum, wt, pos = wire.read_tag(buf, pos)
         if fnum == VAL_STRING and wt == wire.WT_LEN:
             n, pos = wire.read_varint(buf, pos)
+            if pos + n > end:
+                raise ValueError("Value string overruns buffer")
             out = (VAL_STRING, bytes(buf[pos:pos + n]).decode("utf-8"))
             pos += n
         elif fnum == VAL_FLOAT and wt == wire.WT_FIXED32:
+            if pos + 4 > end:
+                raise ValueError("Value float truncated")
             out = (VAL_FLOAT, struct.unpack("<f", buf[pos:pos + 4])[0])
             pos += 4
         elif fnum == VAL_DOUBLE and wt == wire.WT_FIXED64:
+            if pos + 8 > end:
+                raise ValueError("Value double truncated")
             out = (VAL_DOUBLE, struct.unpack("<d", buf[pos:pos + 8])[0])
             pos += 8
         elif fnum == VAL_INT and wt == wire.WT_VARINT:
@@ -320,13 +326,28 @@ def encode_layer_from_streams(
     """
     keys: dict[str, int] = {}
     values: dict[tuple, int] = {}
+    value_list: list[tuple] = []
+
+    def _vkey(tv: tuple) -> tuple:
+        # dedupe by BIT PATTERN for floats: Python's 0.0 == -0.0 would
+        # fold two distinct wire values into one slot (and diverge from
+        # the columnar paths' bitwise Arrow dictionaries)
+        tag, v = tv
+        return (tag, struct.pack("<d", v)) if isinstance(v, float) else tv
+
     feats = sorted(feats, key=lambda f: f[2])  # pts, lines, polys; stable
     encoded_feats: list[bytes] = []
     for fid, meta, geom_type, stream in feats:
         tag_list: list[int] = []
         for k, v in meta.items():
             tag_list.append(keys.setdefault(k, len(keys)))
-            tag_list.append(values.setdefault(v, len(values)))
+            vk = _vkey(v)
+            idx = values.get(vk)
+            if idx is None:
+                idx = len(value_list)
+                values[vk] = idx
+                value_list.append(v)
+            tag_list.append(idx)
         encoded_feats.append(
             _encode_feature(fid, np.asarray(tag_list, dtype=np.uint32), geom_type, stream)
         )
@@ -334,7 +355,7 @@ def encode_layer_from_streams(
     body += b"".join(encoded_feats)
     for k in keys:
         body += wire.len_delimited(3, k.encode("utf-8"))
-    for (tag, v) in values:
+    for (tag, v) in value_list:
         body += wire.len_delimited(4, _encode_value(tag, v))
     body += wire.tag_bytes(5, wire.WT_VARINT) + wire.encode_varint(int(extent))
     body += wire.tag_bytes(15, wire.WT_VARINT) + wire.encode_varint(int(version))
@@ -641,16 +662,25 @@ def encode_multi_tile_batch(
             wire.tag_bytes(5, wire.WT_VARINT) + wire.encode_varint(int(extent))
             + wire.tag_bytes(15, wire.WT_VARINT) + wire.encode_varint(int(version))
         )
-        name_blocks.append((np.frombuffer(head, np.uint8), np.frombuffer(keys_block + tail, np.uint8)))
+        name_blocks.append((
+            np.frombuffer(head, np.uint8),
+            np.frombuffer(keys_block, np.uint8),
+            np.frombuffer(tail, np.uint8),
+        ))
     run_lcode = lcodes[run_starts]
     head_lens = np.array([len(b[0]) for b in name_blocks], dtype=np.int64)[run_lcode]
-    tail_lens = np.array([len(b[1]) for b in name_blocks], dtype=np.int64)[run_lcode]
+    keys_lens = np.array([len(b[1]) for b in name_blocks], dtype=np.int64)[run_lcode]
+    tail_lens = np.array([len(b[2]) for b in name_blocks], dtype=np.int64)[run_lcode]
     head_cat = (
         np.concatenate([name_blocks[c][0] for c in run_lcode.tolist()])
         if n_runs else np.zeros(0, np.uint8)
     )
-    tail_cat = (
+    keys_cat = (
         np.concatenate([name_blocks[c][1] for c in run_lcode.tolist()])
+        if n_runs else np.zeros(0, np.uint8)
+    )
+    tail_cat = (
+        np.concatenate([name_blocks[c][2] for c in run_lcode.tolist()])
         if n_runs else np.zeros(0, np.uint8)
     )
     # per-run feature-bytes length
@@ -669,7 +699,10 @@ def encode_multi_tile_batch(
     else:
         vals_cat = np.zeros(0, np.uint8)
 
-    layer_body_lens = head_lens + run_feat_lens + run_val_lens + tail_lens
+    # field order matches the per-tile paths exactly — name, features,
+    # KEYS, values, extent, version — so a tile's bytes cannot depend on
+    # which encode path its Arrow batch happened to route through
+    layer_body_lens = head_lens + run_feat_lens + keys_lens + run_val_lens + tail_lens
     llen_buf, llen_lens = wire.encode_varints_with_lens(layer_body_lens.astype(np.uint64))
     run_ones = np.ones(n_runs, dtype=np.int64)
     layer_buf, layer_lens = wire.ragged_stitch(
@@ -678,6 +711,7 @@ def encode_multi_tile_batch(
             (llen_buf, llen_lens),
             (head_cat, head_lens),
             (feat_buf, run_feat_lens),
+            (keys_cat, keys_lens),
             (vals_cat, run_val_lens),
             (tail_cat, tail_lens),
         ]

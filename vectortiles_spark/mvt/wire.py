@@ -182,7 +182,9 @@ def decode_varints(buf: bytes | np.ndarray) -> np.ndarray:
 
 
 def read_varint(buf: memoryview, pos: int) -> tuple[int, int]:
-    """Read one varint at pos; return (value, new_pos)."""
+    """Read one varint at pos; return (value, new_pos). Wraps mod 2^64
+    like the vectorized decode_varints — a 10-byte varint's spare high
+    bits (up to 70) must not leak into the value."""
     result = 0
     shift = 0
     while True:
@@ -190,7 +192,7 @@ def read_varint(buf: memoryview, pos: int) -> tuple[int, int]:
         pos += 1
         result |= (byte & 0x7F) << shift
         if not byte & 0x80:
-            return result, pos
+            return result & 0xFFFFFFFFFFFFFFFF, pos
         shift += 7
         if shift > 63:
             raise ValueError("varint too long")

@@ -39,11 +39,21 @@ def assert_read_schema_only(df: DataFrame, columns: set[str]):
     for line in plan.splitlines():
         if "ReadSchema" in line:
             schema_part = line.split("ReadSchema:")[1]
-            read = {
-                c.split(":")[0].strip()
-                for c in schema_part.strip().removeprefix("struct<").rstrip(">").split(",")
-                if c.strip()
-            }
+            body = schema_part.strip().removeprefix("struct<").rstrip(">")
+            # depth-aware top-level split: nested struct/array/map/decimal
+            # types contain commas that a naive split would misparse
+            fields, depth, start = [], 0, 0
+            for i, ch in enumerate(body):
+                if ch == "<":
+                    depth += 1
+                elif ch == ">":
+                    depth -= 1
+                elif ch == "," and depth == 0:
+                    fields.append(body[start:i])
+                    start = i + 1
+            if body[start:].strip():
+                fields.append(body[start:])
+            read = {c.split(":")[0].strip() for c in fields if c.strip()}
             assert read == columns, f"scan reads {read}, wanted {columns}"
             return
     raise AssertionError("no ReadSchema in plan")
@@ -62,7 +72,12 @@ def assert_no_cartesian(df: DataFrame):
 
 
 def count_shuffles(df: DataFrame) -> int:
-    return plan_of(df).count("Exchange")
+    """Count SHUFFLE exchanges only — 'Exchange' as a substring also
+    matches BroadcastExchange and ReusedExchange nodes, which are not
+    shuffles."""
+    import re
+
+    return len(re.findall(r"\bExchange (hash|range|Single|rebalance)", plan_of(df)))
 
 
 def has_whole_stage_codegen(df: DataFrame) -> bool:

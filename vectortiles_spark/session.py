@@ -22,8 +22,12 @@ def _tune_malloc():
     NumPy's large allocations otherwise mmap/munmap per call, so every
     Arrow batch and codec buffer pays the cold-page cost and, worse,
     page-fault contention serializes parallel Python workers. Must be set
-    before the JVM (and therefore the python workers it forks) starts;
-    harmless where memory is normal."""
+    before the JVM starts: the tuning reaches the FORKED processes (the
+    JVM and the python workers it spawns — where the hot path runs); the
+    CURRENT driver process's glibc read these knobs at startup, so
+    driver-side allocations only benefit when the launching shell
+    exported them (bench harnesses should). Harmless where memory is
+    normal."""
     os.environ.setdefault("MALLOC_MMAP_MAX_", "0")
     os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "1000000000")
     os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1000000000")
@@ -46,6 +50,12 @@ def get_spark(
     if shuffle_partitions is None:
         n = cpus if cpus != "*" else os.cpu_count() or 8
         shuffle_partitions = int(master[6:-1]) if master.startswith("local[") and master[6:-1].isdigit() else int(n)
+    # resolve driver memory BEFORE building java options: extra_conf may
+    # override spark.driver.memory, and -Xms (AlwaysPreTouch) larger than
+    # the overridden -Xmx would kill the JVM at startup
+    driver_mem = (extra_conf or {}).get(
+        "spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g")
+    )
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -56,7 +66,7 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        .config("spark.driver.memory", driver_mem)
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # propagate the malloc tuning to executor-forked python workers on
@@ -70,7 +80,7 @@ def get_spark(
         # page-fault path on every growth cycle
         .config(
             "spark.driver.extraJavaOptions",
-            f"-XX:+AlwaysPreTouch -Xms{os.environ.get('SPARK_DRIVER_MEMORY', '16g')} -XX:+UseParallelGC",
+            f"-XX:+AlwaysPreTouch -Xms{driver_mem} -XX:+UseParallelGC",
         )
         # same treatment for EXECUTOR JVMs (local-cluster / real clusters;
         # inert in local mode where there is no separate executor JVM):
