@@ -53,15 +53,6 @@ def _q_mvt_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: MinHash+LSH near-dup candidate pairs (verified against a
-    brute-force Jaccard oracle in tests/test_dedup.py)."""
-    from vectortiles_spark.operators.dedup import minhash_near_dups
-
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return minhash_near_dups(docs, threshold=0.5)
-
-
 def _q_image_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: per-row image invariant gate (decode/re-encode PSNR>=40,
     phash match, caption preserved) over a deterministic synthetic image
@@ -135,6 +126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_text_quality": QT.q_text_quality,
         "q_langid": QT.q_langid,
         "q_ngram_jaccard": QT.q_ngram_jaccard,
+        "q_minhash_near_dups": QT.q_minhash_near_dups,
         "q_rolling_fingerprint": QT.q_rolling_fingerprint,
         "q_token_bpe": QT.q_token_bpe,
         "q_json_props": QT.q_json_props,
@@ -146,7 +138,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # non-SQL-expressible (rows-only checks)
         "q_mvt_tiles": _q_mvt_tiles,
         "q_image_invariants": _q_image_invariants,
-        "q_minhash_near_dups": _q_minhash_near_dups,
         "q_simhash_buckets": _q_simhash_buckets,
         "q_ivf_topk": _q_ivf_topk,
     }
@@ -181,6 +172,7 @@ def oracle_sql() -> dict[str, str]:
         "q_text_quality": QT.Q_TEXT_QUALITY_SQL,
         "q_langid": QT.Q_LANGID_SQL,
         "q_ngram_jaccard": QT.Q_NGRAM_JACCARD_SQL,
+        "q_minhash_near_dups": QT.Q_MINHASH_SQL,
         "q_rolling_fingerprint": QT.Q_ROLLING_FP_SQL,
         "q_token_bpe": QT.Q_TOKEN_BPE_SQL,
         "q_json_props": QT.Q_JSON_PROPS_SQL,

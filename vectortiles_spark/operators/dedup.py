@@ -36,7 +36,30 @@ def _hash_params(n: int, seed: int = 1234567):
     return out
 
 
-def shingle_docs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3) -> DataFrame:
+def default_hasher(c):
+    """31-bit shingle hash via xxhash64 — the fast production path."""
+    return F.xxhash64(c).bitwiseAND(F.lit(0x7FFFFFFF))
+
+
+def portable_hasher(c):
+    """31-bit shingle hash reproducible in ANY SQL engine (md5 is
+    bit-identical everywhere): conv(substr(md5(s),1,8),16,10) & (2^31-1).
+    Slower than xxhash64 — use when the pipeline must be replayed or
+    audited outside Spark (the driver's DuckDB oracle does exactly this)."""
+    return (
+        F.conv(F.substring(F.md5(c), 1, 8), 16, 10)
+        .cast("long")
+        .bitwiseAND(F.lit(0x7FFFFFFF))
+    )
+
+
+def shingle_docs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    hasher=None,
+) -> DataFrame:
     """(doc_id, shingle_hash64) — distinct word-k-gram shingles, hashed JVM-side."""
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     shingles = F.when(
@@ -51,15 +74,21 @@ def shingle_docs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     return (
         docs.select(F.col(id_col).alias("doc_id"), F.explode(shingles).alias("shingle"))
         .filter(F.col("shingle") != "")
-        .select("doc_id", (F.xxhash64("shingle").bitwiseAND(F.lit(0x7FFFFFFF))).alias("h31"))
+        .select("doc_id", (hasher or default_hasher)(F.col("shingle")).alias("h31"))
         .distinct()
     )
 
 
-def minhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3) -> DataFrame:
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    hasher=None,
+) -> DataFrame:
     """MinHash signature as H columns mh0..mh{H-1}: one groupBy over the
     exploded shingle relation, H min() aggregates (map-side combinable)."""
-    sh = shingle_docs(docs, id_col, text_col, k)
+    sh = shingle_docs(docs, id_col, text_col, k, hasher=hasher)
     params = _hash_params(_H)
     aggs = [
         F.min(F.pmod(F.col("h31") * F.lit(a) + F.lit(b), F.lit(_P))).alias(f"mh{i}")
@@ -92,6 +121,7 @@ def minhash_near_dups(
     threshold: float = 0.5,
     k: int = 3,
     band_cap: int = 200,
+    hasher=None,
 ) -> DataFrame:
     """Near-duplicate pairs via LSH banding + signature-similarity filter.
 
@@ -108,7 +138,7 @@ def minhash_near_dups(
     runs spark.catalog.clearCache() — relevant for long driver loops
     deduping many corpora in one session.
     """
-    sig = minhash_signatures(docs, id_col, text_col, k).cache()
+    sig = minhash_signatures(docs, id_col, text_col, k, hasher=hasher).cache()
     band_rows = [
         F.struct(
             F.lit(b).alias("band_id"),

@@ -216,6 +216,59 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs under the FULL value oracle: the portable
+    md5-based shingle hash makes every stage SQL-replayable — 64 universal-
+    hash permutations, min-aggregates, 16x4 banding (band collision ==
+    "all 4 minhashes equal", which is what the xxhash64 band key encodes),
+    signature-agreement estimate, threshold filter."""
+    from vectortiles_spark.operators.dedup import minhash_near_dups, portable_hasher
+
+    (docs,) = load(spark, sf_dir, "documents")
+    return minhash_near_dups(docs, threshold=0.5, hasher=portable_hasher)
+
+
+def _minhash_oracle_sql() -> str:
+    from vectortiles_spark.operators.dedup import _BANDS, _H, _P, _ROWS, _hash_params
+
+    params = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(_hash_params(_H)))
+    return rf"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, len(regexp_split_to_array(lower(trim(text)), '\s+')) - 2),
+           i -> regexp_split_to_array(lower(trim(text)), '\s+')[i] || ' ' ||
+                regexp_split_to_array(lower(trim(text)), '\s+')[i+1] || ' ' ||
+                regexp_split_to_array(lower(trim(text)), '\s+')[i+2]
+         )) AS shingles
+  FROM documents
+), h AS (
+  SELECT DISTINCT doc_id,
+         ('0x' || substr(md5(shingle), 1, 8))::BIGINT & 2147483647 AS h31
+  FROM (SELECT doc_id, unnest(shingles) AS shingle FROM sh WHERE len(shingles) > 0)
+), params(i, a, b) AS (
+  VALUES {params}
+), mh AS (
+  SELECT doc_id, i, min((h31 * a + b) % {_P}) AS m
+  FROM h CROSS JOIN params GROUP BY doc_id, i
+), pair_band AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, x.i // {_ROWS} AS band,
+         count(*) FILTER (WHERE x.m = y.m) AS agree,
+         (count(*) FILTER (WHERE x.m = y.m) = {_ROWS})::INT AS collide
+  FROM mh x JOIN mh y ON x.i = y.i AND x.doc_id < y.doc_id
+  GROUP BY 1, 2, 3
+)
+SELECT doc_a, doc_b, round(sum(agree) / {_H}.0, 6) AS est_jaccard
+FROM pair_band
+GROUP BY doc_a, doc_b
+HAVING max(collide) = 1 AND round(sum(agree) / {_H}.0, 6) >= 0.5
+ORDER BY doc_a, doc_b
+"""
+
+
+Q_MINHASH_SQL = _minhash_oracle_sql()
+
+
 Q_NGRAM_JACCARD_SQL = r"""
 WITH sh AS (
   SELECT doc_id,
