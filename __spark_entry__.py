@@ -69,19 +69,6 @@ def _q_image_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("decode_ok", "psnr_ok", "caption_preserved")
 
 
-def _q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: SimHash fingerprints + bucket sizes."""
-    from vectortiles_spark.operators.dedup import simhash_fingerprints
-
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    fp = simhash_fingerprints(docs)
-    return (
-        fp.groupBy(F.shiftrightunsigned(F.col("simhash"), 48).alias("bucket"))
-        .agg(F.count("*").alias("n_docs"))
-        .orderBy("bucket")
-    )
-
-
 def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: IVF-flat ANN top-k (recall vs the exact baseline is
     asserted in tests/test_similarity.py; assignment is a shuffle-free
@@ -127,6 +114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_langid": QT.q_langid,
         "q_ngram_jaccard": QT.q_ngram_jaccard,
         "q_minhash_near_dups": QT.q_minhash_near_dups,
+        "q_simhash_buckets": QT.q_simhash_buckets,
         "q_rolling_fingerprint": QT.q_rolling_fingerprint,
         "q_token_bpe": QT.q_token_bpe,
         "q_json_props": QT.q_json_props,
@@ -138,7 +126,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # non-SQL-expressible (rows-only checks)
         "q_mvt_tiles": _q_mvt_tiles,
         "q_image_invariants": _q_image_invariants,
-        "q_simhash_buckets": _q_simhash_buckets,
         "q_ivf_topk": _q_ivf_topk,
     }
 
@@ -173,6 +160,7 @@ def oracle_sql() -> dict[str, str]:
         "q_langid": QT.Q_LANGID_SQL,
         "q_ngram_jaccard": QT.Q_NGRAM_JACCARD_SQL,
         "q_minhash_near_dups": QT.Q_MINHASH_SQL,
+        "q_simhash_buckets": QT.Q_SIMHASH_SQL,
         "q_rolling_fingerprint": QT.Q_ROLLING_FP_SQL,
         "q_token_bpe": QT.Q_TOKEN_BPE_SQL,
         "q_json_props": QT.Q_JSON_PROPS_SQL,

@@ -53,6 +53,19 @@ def portable_hasher(c):
     )
 
 
+def portable_hasher63(c):
+    """63-bit portable hash from two md5 halves, ANSI-overflow-safe on both
+    engines: (hi & 2^31-1) * 2^32 + lo < 2^63. Bit 63 is always clear —
+    exactly the bit simhash keeps clear anyway."""
+    hi = (
+        F.conv(F.substring(F.md5(c), 1, 8), 16, 10)
+        .cast("long")
+        .bitwiseAND(F.lit(0x7FFFFFFF))
+    )
+    lo = F.conv(F.substring(F.md5(c), 9, 8), 16, 10).cast("long")
+    return hi * F.lit(4294967296) + lo
+
+
 def shingle_docs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -178,16 +191,17 @@ def minhash_near_dups(
 
 
 def simhash_fingerprints(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", hasher=None
 ) -> DataFrame:
-    """64-bit SimHash per doc: explode tokens, hash once, then 64
+    """64-bit SimHash per doc: explode tokens, hash once, then 63
     sign-sum aggregates recombined into one BIGINT — single shuffle,
-    map-side partial aggregation on every bit column."""
+    map-side partial aggregation on every bit column. `hasher` defaults
+    to xxhash64; pass portable_hasher63 for SQL-replayable fingerprints."""
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     tok = docs.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("t")).filter(
         F.col("t") != ""
     )
-    hashed = tok.select("doc_id", F.xxhash64("t").alias("h"))
+    hashed = tok.select("doc_id", (hasher or F.xxhash64)(F.col("t")).alias("h"))
     bit_aggs = [
         F.sum(
             F.when(F.shiftrightunsigned(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)

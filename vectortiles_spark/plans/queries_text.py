@@ -269,6 +269,46 @@ ORDER BY doc_a, doc_b
 Q_MINHASH_SQL = _minhash_oracle_sql()
 
 
+def q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints + 16-bit-prefix bucket sizes under the full
+    value oracle: with the portable 63-bit token hash, DuckDB replays
+    tokenization, per-bit sign sums, fingerprint reassembly, and the
+    bucket prefix aggregation bit-for-bit."""
+    from vectortiles_spark.operators.dedup import portable_hasher63, simhash_fingerprints
+
+    (docs,) = load(spark, sf_dir, "documents")
+    fp = simhash_fingerprints(docs, hasher=portable_hasher63)
+    return (
+        fp.groupBy(F.shiftrightunsigned(F.col("simhash"), 48).alias("bucket"))
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("bucket")
+    )
+
+
+Q_SIMHASH_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+  FROM documents
+), h AS (
+  SELECT doc_id,
+         (('0x' || substr(md5(t), 1, 8))::BIGINT & 2147483647) * 4294967296
+           + ('0x' || substr(md5(t), 9, 8))::BIGINT AS h
+  FROM toks WHERE t != ''
+), bits AS (
+  SELECT doc_id, i,
+         sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM h CROSS JOIN generate_series(0, 62) AS g(i)
+  GROUP BY 1, 2
+), fp AS (
+  SELECT doc_id,
+         sum(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0 END)::BIGINT AS simhash
+  FROM bits GROUP BY 1
+)
+SELECT simhash >> 48 AS bucket, count(*) AS n_docs
+FROM fp GROUP BY 1 ORDER BY 1
+"""
+
+
 Q_NGRAM_JACCARD_SQL = r"""
 WITH sh AS (
   SELECT doc_id,
