@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_case_pivot": Q.q_case_pivot,
         # geo (D3, D5, D6)
         "q_tile_assign": Q.q_tile_assign,
+        "q_tile_pyramid": Q.q_tile_pyramid,
         "q_pip_rect": Q.q_pip_rect,
         "q_knn_ring": Q.q_knn_ring,
         "q_knn_exact": Q.q_knn_exact,
@@ -119,6 +120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_token_bpe": QT.q_token_bpe,
         "q_json_props": QT.q_json_props,
         "q_cosine_topk": QT.q_cosine_topk,
+        "q_ivf_assign": QT.q_ivf_assign,
         "q_label_centroids": QT.q_label_centroids,
         "q_mvt_roundtrip": Q.q_mvt_roundtrip,
         "q_mvt_roundtrip_geoms": Q.q_mvt_roundtrip_geoms,
@@ -148,6 +150,7 @@ def oracle_sql() -> dict[str, str]:
         "q_case_pivot": Q.Q_CASE_PIVOT_SQL,
         "q_mvt_roundtrip": Q.Q_MVT_ROUNDTRIP_SQL,
         "q_tile_assign": Q.Q_TILE_ASSIGN_SQL,
+        "q_tile_pyramid": Q.Q_TILE_PYRAMID_SQL,
         "q_pip_rect": Q.Q_PIP_RECT_SQL,
         "q_knn_ring": Q.Q_KNN_SQL,
         "q_knn_exact": Q.Q_KNN_EXACT_SQL,
@@ -165,5 +168,6 @@ def oracle_sql() -> dict[str, str]:
         "q_token_bpe": QT.Q_TOKEN_BPE_SQL,
         "q_json_props": QT.Q_JSON_PROPS_SQL,
         "q_cosine_topk": QT.Q_COSINE_TOPK_SQL,
+        "q_ivf_assign": QT.Q_IVF_ASSIGN_SQL,
         "q_label_centroids": QT.Q_LABEL_CENTROIDS_SQL,
     }

@@ -100,3 +100,40 @@ def test_decode_tiles_roundtrip(spark, imgs):
         meta = {m["key"]: m for m in r.meta}
         assert set(meta) == {"caption", "phash"}
         assert meta["phash"]["i"] is not None
+
+
+def test_phash_near_dups_complete_vs_brute_force(spark):
+    """Block-pair LSH phash dedup finds EXACTLY the pairs brute force
+    finds at max_hamming <= n_blocks - 2 (pigeonhole completeness), on a
+    table of random phashes with planted near-duplicates."""
+    import numpy as np
+
+    from vectortiles_spark.operators.images import phash_near_dups
+
+    rng = np.random.Generator(np.random.PCG64(17))
+    base = rng.integers(-(2**63), 2**63, size=60, dtype=np.int64)
+    ids = [f"a{i:03d}" for i in range(60)]
+    phashes = list(base)
+    # plant near-dups at hamming 1..6 off the first ten originals
+    for i in range(10):
+        flipped = base[i]
+        for b in rng.choice(64, size=(i % 6) + 1, replace=False):
+            flipped = np.int64(flipped ^ np.int64(1) << np.int64(b))
+        ids.append(f"b{i:03d}")
+        phashes.append(flipped)
+    df = spark.createDataFrame(
+        [(i, int(p)) for i, p in zip(ids, phashes)], "image_id string, phash bigint"
+    )
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in phash_near_dups(df, max_hamming=6).collect()
+    }
+    want = set()
+    arr = np.asarray(phashes, dtype=np.int64)
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            ham = bin(int(np.uint64(arr[i]) ^ np.uint64(arr[j]))).count("1")
+            if ham <= 6:
+                a, b = sorted((ids[i], ids[j]))
+                want.add((a, b, ham))
+    assert got == want and len(want) >= 10

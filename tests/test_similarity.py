@@ -107,3 +107,19 @@ def test_ivf_topk_recall(spark):
     for r in rows:
         true_cos = float(cn[ids[r.query_id]] @ cn[ids[r.vec_id]])
         assert abs(r.cosine - true_cos) < 1e-9
+
+
+def test_ivf_assign_matches_numpy_argmax(spark):
+    """The production batch-matmul assignment UDF reproduces the NumPy
+    reference argmax (cosine to the 16 lowest-id seed centroids, ties to
+    the lowest centroid id) on every row."""
+    pdf = _vecs(300)
+    cand = spark.createDataFrame(pdf)
+    assigned, cent_rows = similarity.ivf_assign(cand, n_cells=16)
+    got = {r.vec_id: r.centroid_id for r in assigned.collect()}
+    assert [r.centroid_id for r in cent_rows] == list(range(16))
+    cm = np.array(pdf.embedding.tolist(), dtype=np.float64)
+    cn = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+    sims = cn @ cn[:16].T
+    want = np.argmax(sims, axis=1)
+    assert got == {int(v): int(c) for v, c in zip(pdf.vec_id, want)}

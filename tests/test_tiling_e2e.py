@@ -190,3 +190,35 @@ def test_bytes_invariant_to_partitioning(spark):
         }
 
     assert tiles(2) == tiles(7)
+
+
+def test_tile_pyramid_rollup(spark):
+    """Every ancestor level of the pyramid conserves the leaf totals, and
+    each parent equals the sum of its (<=4) children."""
+    import pandas as pd
+
+    from vectortiles_spark.operators.tiling import tile_pyramid
+
+    rng = np.random.Generator(np.random.PCG64(3))
+    n = 400
+    leaf_pdf = pd.DataFrame({
+        "tile_z": 6,
+        "tile_x": rng.integers(0, 64, n),
+        "tile_y": rng.integers(0, 64, n),
+        "n_features": rng.integers(1, 50, n),
+    }).groupby(["tile_z", "tile_x", "tile_y"], as_index=False).sum()
+    leaf = spark.createDataFrame(leaf_pdf)
+    out = tile_pyramid(leaf, leaf_z=6, min_z=0).toPandas()
+    total = leaf_pdf.n_features.sum()
+    for z in range(0, 7):
+        lvl = out[out.tile_z == z]
+        assert lvl.n_features.sum() == total, z
+        assert not lvl.duplicated(["tile_x", "tile_y"]).any()
+    # parent == sum of children, spot-checked exhaustively at z=5
+    kids = out[out.tile_z == 6].copy()
+    kids["px"], kids["py"] = kids.tile_x // 2, kids.tile_y // 2
+    want = kids.groupby(["px", "py"]).n_features.sum()
+    lvl5 = out[out.tile_z == 5].set_index(["tile_x", "tile_y"]).n_features
+    assert lvl5.sort_index().equals(want.sort_index().rename_axis(["tile_x", "tile_y"]))
+    with pytest.raises(ValueError):
+        tile_pyramid(leaf, leaf_z=6, min_z=7)

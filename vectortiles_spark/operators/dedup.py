@@ -110,16 +110,18 @@ def minhash_signatures(
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def _cap_buckets(rows: DataFrame, key_cols: list[str], cap: int) -> DataFrame:
+def _cap_buckets(
+    rows: DataFrame, key_cols: list[str], cap: int, order_col: str = "doc_id"
+) -> DataFrame:
     """Deterministic LSH bucket-size guard: keep only the first `cap` docs
-    (by doc_id) in any bucket. A degenerate hot bucket (mass-duplicated
+    (by `order_col`) in any bucket. A degenerate hot bucket (mass-duplicated
     boilerplate hashing to one band key) would otherwise go QUADRATIC
     inside the self-join at 100 TB; capping bounds any bucket's pair count
     at cap^2 while an honest near-dup cluster of any size still surfaces
     through its first `cap` members (and exact dedup catches the identical
     mass separately). The window shuffles on the same key as the join, so
     the exchange is reused."""
-    w = Window.partitionBy(*key_cols).orderBy("doc_id")
+    w = Window.partitionBy(*key_cols).orderBy(order_col)
     return (
         rows.withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") <= cap)
@@ -216,13 +218,19 @@ def simhash_fingerprints(
     return sums.select("doc_id", fp.alias("simhash"))
 
 
-def simhash_near_dups(
-    docs: DataFrame, max_hamming: int = 6, n_blocks: int = 8, block_cap: int = 200
+def hamming_near_dups(
+    fps: DataFrame,
+    max_hamming: int = 6,
+    n_blocks: int = 8,
+    block_cap: int = 200,
+    id_col: str = "doc_id",
+    fp_col: str = "fingerprint",
 ) -> DataFrame:
-    """SimHash near-dups via block-permutation LSH over BLOCK PAIRS: split
-    the 64-bit fingerprint into n_blocks 8-bit blocks and join on every
-    pair of blocks (C(n_blocks,2) keys of 16 bits). By pigeonhole, any
-    pair within max_hamming <= n_blocks - 2 bits leaves >= 2 blocks
+    """Near-dup pairs over ANY 64-bit fingerprint column (SimHash, image
+    phash, ...) via block-permutation LSH over BLOCK PAIRS: split the
+    fingerprint into n_blocks 8-bit blocks and join on every pair of
+    blocks (C(n_blocks,2) keys of 16 bits). By pigeonhole, any pair
+    within max_hamming <= n_blocks - 2 bits leaves >= 2 blocks
     untouched, so at least one block PAIR matches exactly; the exact
     popcount filter then verifies. Pair keys have a 2^16 value space per
     key (vs 2^8 for single blocks), so random buckets stay tiny at
@@ -230,9 +238,9 @@ def simhash_near_dups(
     only ever bites degenerate mass-duplicate clusters, not honest
     buckets. Requires max_hamming <= n_blocks - 2; falls back to single
     blocks (guarantee max_hamming <= n_blocks - 1, small-corpus only)
-    otherwise."""
-    fp = simhash_fingerprints(docs).cache()
-    blk = lambda i: F.shiftrightunsigned(F.col("simhash"), i * 8).bitwiseAND(F.lit(255))
+    otherwise. Output: (id_a, id_b, hamming), id_a < id_b."""
+    fp = fps.select(F.col(id_col).alias("__id"), F.col(fp_col).alias("__fp"))
+    blk = lambda i: F.shiftrightunsigned(F.col("__fp"), i * 8).bitwiseAND(F.lit(255))
     if max_hamming <= n_blocks - 2:
         keys = [
             F.struct(
@@ -248,22 +256,22 @@ def simhash_near_dups(
             for i in range(n_blocks)
         ]
     blocks = fp.select(
-        "doc_id", "simhash", F.explode(F.array(*keys)).alias("blk")
-    ).select("doc_id", "simhash", "blk.block_id", "blk.block_val")
-    blocks = _cap_buckets(blocks, ["block_id", "block_val"], block_cap)
+        "__id", "__fp", F.explode(F.array(*keys)).alias("blk")
+    ).select("__id", "__fp", "blk.block_id", "blk.block_val")
+    blocks = _cap_buckets(blocks, ["block_id", "block_val"], block_cap, order_col="__id")
     a, b = blocks.alias("a"), blocks.alias("b")
     cand = (
         a.join(
             b,
             (F.col("a.block_id") == F.col("b.block_id"))
             & (F.col("a.block_val") == F.col("b.block_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.__id") < F.col("b.__id")),
         )
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("ha"),
-            F.col("b.simhash").alias("hb"),
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.col("a.__fp").alias("ha"),
+            F.col("b.__fp").alias("hb"),
         )
         .distinct()
     )
@@ -271,6 +279,20 @@ def simhash_near_dups(
     return (
         cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
-        .orderBy("doc_a", "doc_b")
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a", "id_b")
+    )
+
+
+def simhash_near_dups(
+    docs: DataFrame, max_hamming: int = 6, n_blocks: int = 8, block_cap: int = 200
+) -> DataFrame:
+    """SimHash near-dups: fingerprint (single shuffle), then the generic
+    block-pair LSH join (see hamming_near_dups for the pigeonhole/cap
+    guarantees). Output: (doc_a, doc_b, hamming)."""
+    fp = simhash_fingerprints(docs).cache()
+    return hamming_near_dups(
+        fp, max_hamming, n_blocks, block_cap, id_col="doc_id", fp_col="simhash"
+    ).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "hamming"
     )

@@ -241,3 +241,34 @@ def extract_audio_features(audio: DataFrame, sample_rate: int = 16000) -> DataFr
             )
 
     return audio.mapInArrow(run, AUDIO_FEATURES_SCHEMA)
+
+
+def phash_near_dups(
+    images: DataFrame,
+    max_hamming: int = 6,
+    n_blocks: int = 8,
+    block_cap: int = 200,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+) -> DataFrame:
+    """Near-duplicate IMAGE pairs by perceptual-hash hamming distance —
+    the image-table twin of SimHash dedup, over the ``phash:int64`` column
+    the input-table schema carries (no pixel decode in the pair search).
+
+    Scale shape: the block-pair LSH join (hamming_near_dups) sees only
+    (id, phash) — the BINARY payload column is pruned at the scan and
+    never shuffles; the pair space is bucketed, not all-pairs. Use
+    verify_invariants/decode_stats to (re)compute phash from pixels when
+    ingesting untrusted payloads. Output: (id_a, id_b, hamming), id_a <
+    id_b, complete for pairs within max_hamming <= n_blocks - 2.
+    """
+    from .dedup import hamming_near_dups
+
+    return hamming_near_dups(
+        images.select(id_col, phash_col),
+        max_hamming,
+        n_blocks,
+        block_cap,
+        id_col=id_col,
+        fp_col=phash_col,
+    )

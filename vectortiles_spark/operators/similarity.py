@@ -144,30 +144,25 @@ def lsh_topk(
     )
 
 
-def ivf_topk(
-    queries: DataFrame,
+def ivf_assign(
     candidates: DataFrame,
-    k: int = 10,
     n_cells: int = 16,
-    nprobe: int = 4,
-    query_id: str = "query_id",
     cand_id: str = "vec_id",
-    q_emb: str = "q_emb",
     emb: str = "embedding",
-) -> DataFrame:
-    """IVF-flat approximate top-k: partition candidates into `n_cells`
-    Voronoi cells around deterministic seed centroids (every
-    len//n_cells-th candidate by id — k-means-free IVF baseline), probe
-    the `nprobe` nearest cells per query, exact-cosine re-rank inside.
+) -> tuple[DataFrame, list]:
+    """IVF coarse-quantizer step, standalone: assign every candidate row to
+    its nearest seed centroid by cosine (argmax ties break to the lowest
+    centroid id). Returns ``(assigned_df, cent_rows)`` where assigned_df is
+    ``candidates.select(cand_id, emb)`` plus a ``centroid_id`` column and
+    cent_rows are the collected ``(centroid_id, c_emb)`` seed rows — reuse
+    them for probe-side work so a nondeterministic source can't yield a
+    different centroid set on re-execution.
 
     Scale shape: centroids live on the DRIVER (a coarse quantizer is tiny
     by definition) and ride to executors inside the assignment UDF closure;
     each candidate row computes its argmax cell with one BLAS matmul per
-    Arrow batch — ZERO shuffle and zero row amplification on the big side
-    (the previous crossJoin+window argmax materialized n x n_cells rows and
-    full-shuffled them). The only shuffle left is the final per-query
-    top-k. At 10^12 vectors this is the classic coarse-quantizer layout —
-    swap the seed centroids for trained ones without touching the dataflow."""
+    Arrow batch — ZERO shuffle and zero row amplification on the big side.
+    """
     # deterministic seed centroids (every candidate table has >= n_cells
     # rows in practice; tiny driver-side collect, ordered so np.argmax's
     # first-max tie-break equals (sim desc, centroid_id asc))
@@ -178,13 +173,9 @@ def ivf_topk(
     )
     cent_rows = cent.collect()
     if not cent_rows:
-        # empty candidate table: empty result with the usual schema
-        return queries.select(F.col(query_id)).limit(0).select(
-            query_id,
-            F.lit(None).cast(candidates.schema[cand_id].dataType).alias(cand_id),
-            F.lit(None).cast("double").alias("cosine"),
-            F.lit(None).cast("int").alias("rank"),
-        )
+        return candidates.select(cand_id, emb).limit(0).withColumn(
+            "centroid_id", F.lit(None).cast(candidates.schema[cand_id].dataType)
+        ), cent_rows
     # ids may be any type (string keys included): carry them as an object
     # array and type the UDF from the candidate schema
     id_type = candidates.schema[cand_id].dataType
@@ -209,11 +200,51 @@ def ivf_topk(
     assigned = candidates.select(
         cand_id, emb, assign_cell(F.col(emb)).alias("centroid_id")
     )
+    return assigned, cent_rows
+
+
+def ivf_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    query_id: str = "query_id",
+    cand_id: str = "vec_id",
+    q_emb: str = "q_emb",
+    emb: str = "embedding",
+) -> DataFrame:
+    """IVF-flat approximate top-k: partition candidates into `n_cells`
+    Voronoi cells around deterministic seed centroids (every
+    len//n_cells-th candidate by id — k-means-free IVF baseline), probe
+    the `nprobe` nearest cells per query, exact-cosine re-rank inside.
+
+    Assignment is :func:`ivf_assign` (driver-held centroids, batch-matmul
+    pandas UDF, zero shuffle on the candidate side — the previous
+    crossJoin+window argmax materialized n x n_cells rows and full-shuffled
+    them). The only shuffle left is the final per-query top-k. At 10^12
+    vectors this is the classic coarse-quantizer layout — swap the seed
+    centroids for trained ones without touching the dataflow."""
+    assigned, cent_rows = ivf_assign(candidates, n_cells, cand_id, emb)
+    if not cent_rows:
+        # empty candidate table: empty result with the usual schema
+        return queries.select(F.col(query_id)).limit(0).select(
+            query_id,
+            F.lit(None).cast(candidates.schema[cand_id].dataType).alias(cand_id),
+            F.lit(None).cast("double").alias("cosine"),
+            F.lit(None).cast("int").alias("rank"),
+        )
     # probes use the SAME collected centroid rows as the assignment UDF —
-    # re-executing `cent` against a nondeterministic candidates source
-    # (sample(), rand() filters) could yield a different centroid set and
-    # orphan probe cells no candidate was assigned to
-    cent_local = queries.sparkSession.createDataFrame(cent_rows, schema=cent.schema)
+    # re-executing the seed select against a nondeterministic candidates
+    # source (sample(), rand() filters) could yield a different centroid
+    # set and orphan probe cells no candidate was assigned to
+    cent_schema = T.StructType(
+        [
+            T.StructField("centroid_id", candidates.schema[cand_id].dataType),
+            T.StructField("c_emb", candidates.schema[emb].dataType),
+        ]
+    )
+    cent_local = queries.sparkSession.createDataFrame(cent_rows, schema=cent_schema)
     w_probe = Window.partitionBy(query_id).orderBy(F.col("sim").desc(), F.col("centroid_id").asc())
     probes = (
         queries.crossJoin(F.broadcast(cent_local))

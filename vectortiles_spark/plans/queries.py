@@ -349,6 +349,52 @@ ORDER BY tile_x, tile_y
 """
 
 
+_PYR_Z = 8
+
+
+def q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zoom pyramid rollup: per-tile counts + exact integer-cent balance
+    sums at leaf z=8, rolled up to z=0 bottom-up (each level aggregated
+    from the previous level's 4x-smaller output — tile_pyramid operator).
+    Money rides as integer cents so every level's sum is exact and
+    engine-portable."""
+    from ..operators.tiling import tile_pyramid
+
+    (cust,) = load(spark, sf_dir, "customer")
+    leaf = (
+        cust.select(
+            eq_tile_x(lon_of(F.col("c_custkey")), _PYR_Z).alias("tile_x"),
+            eq_tile_y(lat_of(F.col("c_custkey")), _PYR_Z).alias("tile_y"),
+            F.round(F.col("c_acctbal") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy(F.lit(_PYR_Z).cast("int").alias("tile_z"), "tile_x", "tile_y")
+        .agg(F.count("*").alias("n_pts"), F.sum("cents").alias("sum_cents"))
+    )
+    pyr = tile_pyramid(leaf, leaf_z=_PYR_Z, min_z=0, sum_cols=("n_pts", "sum_cents"))
+    return pyr.orderBy("tile_z", "tile_x", "tile_y")
+
+
+Q_TILE_PYRAMID_SQL = f"""
+WITH pts AS (
+  SELECT {_sql_lon('c_custkey')} AS lon, {_sql_lat('c_custkey')} AS lat,
+         round(c_acctbal * 100)::BIGINT AS cents
+  FROM customer
+), leaf AS (
+  SELECT {_sql_eq_tile_x('lon', _PYR_Z)} AS tile_x,
+         {_sql_eq_tile_y('lat', _PYR_Z)} AS tile_y,
+         count(*) AS n_pts, sum(cents)::BIGINT AS sum_cents
+  FROM pts GROUP BY 1, 2
+)
+SELECT z::INT AS tile_z,
+       (tile_x >> ({_PYR_Z} - z))::INT AS tile_x,
+       (tile_y >> ({_PYR_Z} - z))::INT AS tile_y,
+       sum(n_pts)::BIGINT AS n_pts, sum(sum_cents)::BIGINT AS sum_cents
+FROM leaf CROSS JOIN (SELECT unnest(generate_series(0, {_PYR_Z})) AS z) zs
+GROUP BY 1, 2, 3
+ORDER BY tile_z, tile_x, tile_y
+"""
+
+
 def q_pip_rect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-polygon join against a broadcast set of axis-aligned boxes
     (the coarse stage of the spatial hash join; exact ray-cast refinement

@@ -485,6 +485,56 @@ ORDER BY query_id, rank
 """
 
 
+def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer assignment under the value oracle: every
+    embedding -> nearest of the 16 seed centroids, via the PRODUCTION
+    batch-matmul pandas UDF (ivf_assign — zero shuffle on the candidate
+    side), plus the JVM-fold cosine to the assigned centroid.
+
+    Portability: the SQL oracle replays the argmax with DuckDB
+    list_dot_product over DOUBLE[]; summation-order noise is ~1e-15 while
+    the measured min top-2 cosine gap on the test tables is >=1.1e-5
+    (sf0.001/0.01/0.1), so the argmax — and hence the assignment — cannot
+    flip between engines on this data."""
+    from ..operators.similarity import _cosine, ivf_assign
+
+    (emb,) = load(spark, sf_dir, "embeddings")
+    cand = emb.select("vec_id", "embedding")
+    assigned, cent_rows = ivf_assign(cand, n_cells=16)
+    cent_local = spark.createDataFrame(
+        cent_rows, "centroid_id bigint, c_emb array<float>"
+    )
+    return (
+        assigned.join(F.broadcast(cent_local), "centroid_id")
+        .select(
+            "vec_id",
+            "centroid_id",
+            F.round(_cosine(F.col("embedding"), F.col("c_emb")), 6).alias("cosine"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+Q_IVF_ASSIGN_SQL = """
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding AS c_emb
+  FROM embeddings ORDER BY vec_id LIMIT 16
+), scored AS (
+  SELECT e.vec_id, c.centroid_id,
+         list_dot_product(e.embedding::DOUBLE[], c.c_emb::DOUBLE[]) /
+         (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+          sqrt(list_dot_product(c.c_emb::DOUBLE[], c.c_emb::DOUBLE[]))) AS cos_raw
+  FROM embeddings e CROSS JOIN cent c
+)
+SELECT vec_id, centroid_id, round(cos_raw, 6) AS cosine FROM (
+  SELECT vec_id, centroid_id, cos_raw,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cos_raw DESC, centroid_id ASC) AS rn
+  FROM scored
+) WHERE rn = 1
+ORDER BY vec_id
+"""
+
+
 def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector aggregate: per-label centroid norms — posexplode + groupBy
     (the embedding-stats shape: unnest once, aggregate columnar)."""
