@@ -94,3 +94,16 @@ def test_ivf_assignment_no_exchange_on_candidates(spark):
     assert first_exchange is not None and "query_id" in first_exchange, (
         "first Exchange is not the per-query top-k:\n" + plan[:1500]
     )
+
+
+def test_tile_pyramid_single_shuffle(spark):
+    """The pyramid rollup is ONE shuffle regardless of level count
+    (level-exploded keys + map-side partial agg) — never a shuffle per
+    zoom, and never a recomputed leaf lineage per union branch."""
+    leaf = spark.createDataFrame(
+        [(6, x, y, 1) for x in range(8) for y in range(8)],
+        "tile_z int, tile_x int, tile_y int, n_features long",
+    )
+    pyr = tiling.tile_pyramid(leaf, leaf_z=6, min_z=2)
+    audit.assert_no_cartesian(pyr)
+    assert audit.count_shuffles(pyr) == 1

@@ -795,31 +795,32 @@ def tile_pyramid(
     pre-aggregation every planet-scale tiler ships).
 
     Input: one row per leaf tile at zoom ``leaf_z`` with columns
-    ``tile_z/tile_x/tile_y`` plus additive ``sum_cols`` (counts / sums —
-    the output of :func:`tile_stats` or any per-tile aggregate). Additive
-    is a requirement: each level is computed from the PREVIOUS LEVEL'S
-    OUTPUT, not from the leaves, so the work is a geometric series
-    (~4/3 of one leaf pass) and each level's shuffle input shrinks 4x.
-    The alternative — re-grouping raw features once per ancestor zoom —
-    re-shuffles the full feature set (leaf_z - min_z) times and is the
-    difference between minutes and hours at 100 TB.
+    ``tile_x/tile_y`` plus additive ``sum_cols`` (counts / sums — the
+    output of :func:`tile_stats` or any per-tile aggregate; they come
+    back as BIGINT). Additive is a requirement — partial aggregation
+    must merge.
+
+    Plan shape — ONE shuffle, not one per level: each leaf row explodes
+    into its (leaf_z - min_z + 1) ancestor keys, then a single
+    groupBy(z, x>>shift, y>>shift). Map-side partial aggregation
+    collapses each input partition to its distinct ancestor tiles before
+    the exchange, so the shuffled bytes equal what a bottom-up
+    level-by-level rollup would move IN TOTAL (sum over z of #tiles(z))
+    — but in one stage. The textbook bottom-up form (level z-1 from
+    level z's output) is a trap in Spark unless every level is
+    materialized: the final union's branches each re-derive their whole
+    lineage, turning Z levels into Z(Z+1)/2 shuffles of the leaf scan.
+    Leaf rows are already per-tile AGGREGATES — never feed raw features
+    through this; aggregate to the leaf zoom first.
     """
     if not min_z <= leaf_z:
         raise ValueError(f"min_z={min_z} must be <= leaf_z={leaf_z}")
-    keep = ["tile_z", "tile_x", "tile_y", *sum_cols]
-    cur = per_tile.select(*keep)
-    levels = [cur]
-    for z in range(leaf_z, min_z, -1):
-        cur = (
-            cur.groupBy(
-                F.lit(z - 1).alias("tile_z"),
-                F.shiftright("tile_x", 1).alias("tile_x"),
-                F.shiftright("tile_y", 1).alias("tile_y"),
-            )
-            .agg(*[F.sum(c).alias(c) for c in sum_cols])
-        )
-        levels.append(cur)
-    out = levels[0]
-    for lvl in levels[1:]:
-        out = out.unionByName(lvl)
-    return out
+    zs = F.explode(
+        F.array(*[F.lit(z).cast("int") for z in range(min_z, leaf_z + 1)])
+    ).alias("z")
+    exploded = per_tile.select("tile_x", "tile_y", *sum_cols, zs)
+    return exploded.groupBy(
+        F.col("z").alias("tile_z"),
+        F.expr(f"shiftright(tile_x, {leaf_z} - z)").alias("tile_x"),
+        F.expr(f"shiftright(tile_y, {leaf_z} - z)").alias("tile_y"),
+    ).agg(*[F.sum(c).alias(c) for c in sum_cols])
