@@ -73,19 +73,29 @@ def shingle_docs(
     k: int = 3,
     hasher=None,
 ) -> DataFrame:
-    """(doc_id, shingle_hash64) — distinct word-k-gram shingles, hashed JVM-side."""
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    """(doc_id, shingle_hash64) — distinct word-k-gram shingles, hashed JVM-side.
+
+    The token split is MATERIALIZED as its own column before the shingle
+    lambdas touch it: referencing the split expression from inside
+    transform() would inline a fresh regex split per shingle index
+    (O(words x shingles) splits per doc — measured 4-7x slower at sf0.1).
+    CollapseProject keeps the boundary because the non-cheap split is
+    referenced more than once. Per-array dedup is skipped on purpose —
+    the row-level distinct on (doc_id, h31) below already collapses
+    repeated shingles with map-side combine."""
+    toked = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("__toks"),
+    )
     shingles = F.when(
-        F.size(toks) >= k,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks) - k),
-                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
-            )
+        F.size("__toks") >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size("__toks") - k),
+            lambda i: F.concat_ws(" ", F.slice("__toks", i + 1, k)),
         ),
     ).otherwise(F.array().cast("array<string>"))  # docs shorter than k have no k-shingles
     return (
-        docs.select(F.col(id_col).alias("doc_id"), F.explode(shingles).alias("shingle"))
+        toked.select("doc_id", F.explode(shingles).alias("shingle"))
         .filter(F.col("shingle") != "")
         .select("doc_id", (hasher or default_hasher)(F.col("shingle")).alias("h31"))
         .distinct()

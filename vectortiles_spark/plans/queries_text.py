@@ -182,17 +182,22 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the scalable exact-Jaccard plan: the join key is the shingle,
     so the shuffle is linear in total shingles, not quadratic in docs."""
     (docs,) = load(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    # tokens materialized as a column: referencing the split from inside
+    # transform() would inline one regex split per shingle index (see
+    # dedup.shingle_docs — measured 4-7x)
+    toked = docs.select(
+        "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("__toks")
+    )
     shingles = F.when(
-        F.size(toks) >= 3,
+        F.size("__toks") >= 3,
         F.array_distinct(
             F.transform(
-                F.sequence(F.lit(0), F.size(toks) - 3),
-                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
+                F.sequence(F.lit(0), F.size("__toks") - 3),
+                lambda i: F.concat_ws(" ", F.slice("__toks", i + 1, 3)),
             )
         ),
     ).otherwise(F.array().cast("array<string>"))  # <3 tokens: no 3-grams (matches the oracle's generate_series)
-    sh = docs.select("doc_id", shingles.alias("shingles")).filter(F.size("shingles") > 0)
+    sh = toked.select("doc_id", shingles.alias("shingles")).filter(F.size("shingles") > 0)
     sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
     exploded = sh.select("doc_id", F.explode("shingles").alias("shingle"))
     a = exploded.alias("a")
