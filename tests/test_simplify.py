@@ -1,0 +1,147 @@
+"""Douglas-Peucker generalization: kernel vs recursive reference,
+invariants (endpoints, deviation bound, idempotence, ring closure),
+and the distributed pass through the encode pipeline."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vectortiles_spark.mvt import codec
+from vectortiles_spark.mvt.geometry import GEOM_LINESTRING, GEOM_POLYGON
+from vectortiles_spark.operators import tiling
+from vectortiles_spark.operators.simplify import (
+    dp_keep_mask,
+    simplify_geoms,
+    simplify_parts,
+)
+
+
+def _dp_reference(pts: np.ndarray, tol: float) -> np.ndarray:
+    """Textbook recursive DP, independent of the kernel under test."""
+    P = pts.astype(np.float64)
+
+    def rec(i, j, keep):
+        if j <= i + 1:
+            return
+        d = P[j] - P[i]
+        l2 = float(d @ d)
+        best, bi = -1.0, -1
+        for k in range(i + 1, j):
+            if l2 == 0.0:
+                dist2 = float(((P[k] - P[i]) ** 2).sum())
+            else:
+                cr = (P[k, 0] - P[i, 0]) * d[1] - (P[k, 1] - P[i, 1]) * d[0]
+                dist2 = cr * cr / l2
+            if dist2 > best:
+                best, bi = dist2, k
+        if best > tol * tol:
+            keep[bi] = True
+            rec(i, bi, keep)
+            rec(bi, j, keep)
+
+    keep = np.zeros(len(pts), dtype=bool)
+    keep[0] = keep[-1] = True
+    rec(0, len(pts) - 1, keep)
+    return keep
+
+
+def test_kernel_matches_recursive_reference():
+    rng = np.random.Generator(np.random.PCG64(5))
+    for trial in range(30):
+        n = int(rng.integers(3, 120))
+        pts = rng.integers(0, 4096, size=(n, 2)).astype(np.int64)
+        tol = float(rng.uniform(0, 200))
+        assert np.array_equal(dp_keep_mask(pts, tol), _dp_reference(pts, tol)), (
+            trial, n, tol,
+        )
+
+
+def test_collinear_points_removed_exactly():
+    pts = np.array([[0, 0], [10, 0], [20, 0], [30, 0], [30, 40]], dtype=np.int64)
+    keep = dp_keep_mask(pts, 0.5)
+    assert keep.tolist() == [True, False, False, True, True]
+
+
+def test_deviation_bound_and_idempotence():
+    """Every removed vertex lies within tol of the chord that replaced
+    it, and re-simplifying the output is a no-op."""
+    rng = np.random.Generator(np.random.PCG64(11))
+    walk = np.cumsum(rng.integers(-30, 31, size=(200, 2)), axis=0) + 2048
+    tol = 25.0
+    keep = dp_keep_mask(walk, tol)
+    kept_idx = np.flatnonzero(keep)
+    P = walk.astype(np.float64)
+    for a, b in zip(kept_idx[:-1], kept_idx[1:]):
+        seg = P[a + 1 : b]
+        if not len(seg):
+            continue
+        d = P[b] - P[a]
+        l2 = float(d @ d)
+        if l2 == 0.0:
+            dist = np.sqrt(((seg - P[a]) ** 2).sum(axis=1))
+        else:
+            dist = np.abs((seg[:, 0] - P[a, 0]) * d[1] - (seg[:, 1] - P[a, 1]) * d[0]) / np.sqrt(l2)
+        assert float(dist.max()) <= tol + 1e-9
+    again = dp_keep_mask(walk[keep], tol)
+    assert again.all()
+
+
+def test_ring_rules():
+    # a closed square survives with its corners at small tol
+    square = [[0, 0], [100, 0], [100, 100], [0, 100], [0, 0]]
+    wiggly = [[0, 0], [50, 2], [100, 0], [100, 100], [0, 100], [0, 0]]
+    out = simplify_parts(GEOM_POLYGON, [[wiggly]], tol=5.0)
+    assert out == [[square]]
+    # a near-degenerate sliver collapses -> part dropped entirely
+    sliver = [[0, 0], [100, 1], [200, 0], [0, 0]]
+    assert simplify_parts(GEOM_POLYGON, [[sliver]], tol=5.0) == []
+    # hole collapses but exterior survives
+    hole = [[40, 40], [60, 41], [50, 42], [40, 40]]
+    out = simplify_parts(GEOM_POLYGON, [[wiggly, hole]], tol=5.0)
+    assert out == [[square]]
+    # exterior collapses -> the hole cannot stand alone
+    assert simplify_parts(GEOM_POLYGON, [[sliver, hole]], tol=5.0) == []
+
+
+def test_linestring_endpoints_and_validity():
+    zigzag = [[0, 0], [10, 1], [20, 0], [30, 1], [4000, 0]]
+    out = simplify_parts(GEOM_LINESTRING, [[zigzag]], tol=3.0)
+    assert out == [[[[0, 0], [4000, 0]]]]
+    # 2-point lines pass through
+    assert simplify_parts(GEOM_LINESTRING, [[[[0, 0], [5, 5]]]], tol=100.0) == [
+        [[[0, 0], [5, 5]]]
+    ]
+
+
+def test_simplify_geoms_e2e_through_encode(spark):
+    """simplify -> geom_features -> encode_tiles -> decode: vertex counts
+    shrink, kept vertices are a subset of the originals, tiles stay
+    reference-decodable."""
+    rng = np.random.Generator(np.random.PCG64(23))
+    rows = []
+    for i in range(40):
+        walk = np.cumsum(rng.integers(-40, 41, size=(60, 2)), axis=0) + 2048
+        walk = np.clip(walk, 0, 4095)
+        rows.append((6, i % 4, i // 4 % 4, "roads", GEOM_LINESTRING, i, [[walk.tolist()]]))
+    df = spark.createDataFrame(
+        rows,
+        "tile_z int, tile_x int, tile_y int, layer string, geom_type int, "
+        "feature_id long, geom array<array<array<array<int>>>>",
+    )
+    simp = simplify_geoms(df, tolerance=20.0)
+    # row-level check: subset + shrink
+    orig = {r.feature_id: r.geom for r in df.collect()}
+    for r in simp.collect():
+        o = [tuple(p) for p in orig[r.feature_id][0][0]]
+        s = [tuple(p) for p in r.geom[0][0]]
+        assert set(s) <= set(o) and 2 <= len(s) < len(o)
+        assert s[0] == o[0] and s[-1] == o[-1]
+    # distributed: encode both, simplified tiles must be smaller yet decodable
+    plain = tiling.encode_tiles(tiling.geom_features(df)).collect()
+    small = tiling.encode_tiles(tiling.geom_features(simp)).collect()
+    assert sum(len(t.mvt) for t in small) < sum(len(t.mvt) for t in plain)
+    n_feats = 0
+    for t in small:
+        for layer in codec.decode_tile(t.mvt).values():
+            n_feats += len(layer.features)
+    assert n_feats == 40

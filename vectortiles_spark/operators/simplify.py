@@ -1,0 +1,144 @@
+"""Zoom-dependent geometry generalization: Douglas-Peucker simplification.
+
+The reference codec encodes whatever vertices it is given (there is no
+generalization pass in fosskers/vectortiles); a tiling ENGINE needs one —
+re-encoding a z=14 road at z=6 without thinning wastes tile bytes and
+decoder time on sub-pixel vertices. This operator simplifies the engine's
+nested-array geometry (parts x rings x points x [x, y], tile-local
+integers) with classic Douglas-Peucker before command-stream encoding:
+
+* tolerance is in tile-local units (extent px) — pick ~extent/512 for
+  "invisible at this zoom" thinning, larger for aggressive generalization;
+* every surviving vertex is an ORIGINAL vertex (no resampling), endpoints
+  always survive, removed vertices lie within tolerance of the chord that
+  replaced them (the DP guarantee), and simplification is idempotent;
+* closed polygon rings stay closed; rings that collapse below 4 points
+  (closure included — the MVT minimum, LineTo count >= 2) are dropped,
+  and a part whose exterior ring collapses is dropped whole (consistent
+  with the decoder's degenerate-ring rejection, Internal.hs:202-206);
+* points pass through untouched.
+
+Scale shape: a per-row NumPy kernel inside ``mapInArrow`` — embarrassingly
+parallel, no shuffle, runs wherever the feature rows already are (slot it
+between the geometry source and ``geom_features``). The stack loop splits
+at most once per SURVIVING vertex; each split's distance scan is one
+vectorized pass, so a ring that simplifies to k points costs O(k) NumPy
+calls over shrinking slices, not O(n^2) Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame
+
+from ..mvt.geometry import GEOM_LINESTRING, GEOM_POINT, GEOM_POLYGON
+
+
+def dp_keep_mask(pts: np.ndarray, tol: float) -> np.ndarray:
+    """Boolean keep-mask of Douglas-Peucker at `tol` over an (n, 2) array.
+    Endpoints are always kept. A degenerate chord (first == last, e.g. a
+    closed ring) measures point distance to the anchor, which makes the
+    first split land on the farthest vertex — the standard ring anchor."""
+    n = len(pts)
+    keep = np.zeros(n, dtype=bool)
+    if n == 0:
+        return keep
+    keep[0] = keep[-1] = True
+    if n <= 2:
+        return keep
+    P = pts.astype(np.float64)
+    t2 = float(tol) * float(tol)
+    stack = [(0, n - 1)]
+    while stack:
+        i, j = stack.pop()
+        if j <= i + 1:
+            continue
+        seg = P[i + 1 : j]
+        d = P[j] - P[i]
+        l2 = float(d @ d)
+        if l2 == 0.0:
+            dist2 = ((seg - P[i]) ** 2).sum(axis=1)
+        else:
+            cross = (seg[:, 0] - P[i, 0]) * d[1] - (seg[:, 1] - P[i, 1]) * d[0]
+            dist2 = cross * cross / l2
+        kmax = int(np.argmax(dist2))
+        if dist2[kmax] > t2:
+            k = i + 1 + kmax
+            keep[k] = True
+            stack.append((i, k))
+            stack.append((k, j))
+    return keep
+
+
+def simplify_ring(ring: list, tol: float, closed: bool) -> list | None:
+    """Simplify one point list. Returns None when the result is too
+    degenerate to encode (ring < 4 closed points / line < 2 points)."""
+    pts = np.asarray(ring, dtype=np.int64).reshape(-1, 2)
+    if len(pts) <= 2:
+        return ring if (not closed and len(pts) >= 2) else None
+    kept = pts[dp_keep_mask(pts, tol)]
+    if closed:
+        # input rings are closed (first == last); DP keeps both endpoints,
+        # so closure survives by construction
+        if len(kept) < 4:
+            return None
+    elif len(kept) < 2:
+        return None
+    return kept.tolist()
+
+
+def simplify_parts(geom_type: int, parts: list | None, tol: float) -> list:
+    """Apply DP to every ring of a nested-array geometry; enforce the
+    drop rules described in the module docstring."""
+    parts = parts or []
+    if geom_type == GEOM_POINT:
+        return parts
+    out_parts = []
+    if geom_type == GEOM_LINESTRING:
+        for part in parts:
+            if not part or not part[0]:
+                continue
+            line = simplify_ring(part[0], tol, closed=False)
+            if line is not None:
+                out_parts.append([line])
+        return out_parts
+    if geom_type == GEOM_POLYGON:
+        for part in parts:
+            rings = [simplify_ring(r, tol, closed=True) for r in part]
+            if not rings or rings[0] is None:
+                continue  # exterior collapsed: the whole part goes
+            out_parts.append([r for r in rings if r is not None])
+        return out_parts
+    raise ValueError("Geometry type of UNKNOWN given.")
+
+
+def simplify_geoms(
+    df: DataFrame,
+    tolerance: float,
+    geom_type_col: str = "geom_type",
+    geom_col: str = "geom",
+) -> DataFrame:
+    """DataFrame pass: simplify the nested-array geometry column in place
+    (schema unchanged). Parts/rings that collapse below the MVT minimums
+    are dropped; a row whose geometry empties entirely is kept with an
+    empty parts array — geom_features then emits an empty command stream
+    and the sink drops the feature, mirroring its degenerate-input path."""
+    if tolerance < 0:
+        raise ValueError(f"tolerance must be >= 0, got {tolerance}")
+
+    def run(batches):
+        for b in batches:
+            gts = b[geom_type_col].to_pylist()
+            geoms = b[geom_col].to_pylist()
+            new = [simplify_parts(gt, parts, tolerance) for gt, parts in zip(gts, geoms)]
+            cols = {}
+            for name in b.schema.names:
+                cols[name] = (
+                    pa.array(new, type=b.schema.field(geom_col).type)
+                    if name == geom_col
+                    else b[name]
+                )
+            yield pa.record_batch(cols)
+
+    return df.mapInArrow(run, df.schema)

@@ -395,6 +395,50 @@ ORDER BY tile_z, tile_x, tile_y
 """
 
 
+def q_simplify_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Douglas-Peucker generalization under the value oracle, via a
+    closed-form construction: each customer key builds a 9-vertex triangle
+    polyline — peak amplitude A = 4*(key mod 11) at x=2000, leg interiors
+    exactly collinear with the legs (y = min(z, 8-z)*(key mod 11) at
+    x = 500z). At tolerance 20 DP provably keeps exactly the endpoints
+    plus the peak iff A > 20 (peak deviation from the base chord is A,
+    computed exactly in float64; leg interiors lie on their chords once
+    the peak splits, distance 0), so n_vertices = 3 when (key mod 11) > 5
+    else 2 — including the A == tol boundary, which removes (strict >).
+    The general algorithm is pinned against a recursive reference in
+    tests/test_simplify.py; this query gates the DISTRIBUTED pass."""
+    from ..operators.simplify import simplify_geoms
+
+    (cust,) = load(spark, sf_dir, "customer")
+    amp = F.pmod(F.col("c_custkey"), F.lit(11)).cast("int")
+    pts = F.array(
+        *[
+            F.array(F.lit(500 * z), (amp * min(z, 8 - z)).cast("int"))
+            for z in range(9)
+        ]
+    )
+    df = cust.select(
+        F.lit(4).cast("int").alias("tile_z"),
+        F.pmod(F.col("c_custkey"), F.lit(16)).cast("int").alias("tile_x"),
+        F.pmod(F.col("c_custkey"), F.lit(13)).cast("int").alias("tile_y"),
+        F.lit("tri").alias("layer"),
+        F.lit(2).cast("int").alias("geom_type"),
+        F.col("c_custkey").alias("feature_id"),
+        F.array(F.array(pts)).alias("geom"),
+    )
+    simp = simplify_geoms(df, tolerance=20.0)
+    return simp.select(
+        "feature_id", F.size(F.col("geom")[0][0]).alias("n_vertices")
+    ).orderBy("feature_id")
+
+
+Q_SIMPLIFY_LINES_SQL = """
+SELECT c_custkey AS feature_id,
+       CASE WHEN 4 * (c_custkey % 11) > 20 THEN 3 ELSE 2 END AS n_vertices
+FROM customer ORDER BY feature_id
+"""
+
+
 def q_pip_rect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-polygon join against a broadcast set of axis-aligned boxes
     (the coarse stage of the spatial hash join; exact ray-cast refinement
