@@ -176,3 +176,27 @@ def test_knn_exact_polar_sparse(spark):
     ))
     rows = sorted(knn_join_exact(q, c, k=3, z=3).collect(), key=lambda r: r.rank)
     assert [r.cand_id for r in rows] == [3, 1, 2]
+
+
+def test_knn_join_ring_wraps_whole_grid(spark):
+    """A ring wider than the grid (2*ring+1 > 2^z) wraps in x; the probe
+    dedupe must keep duplicate tile visits from displacing real top-k
+    entries. With every tile covered, bounded kNN == global kNN under the
+    operator's wrapped-longitude metric."""
+    cand_pdf = _points(120, seed=7).rename(columns={"pt_id": "cand_id"})
+    q_pdf = _points(6, seed=8).rename(columns={"pt_id": "query_id"})
+    got = knn_join(
+        spark.createDataFrame(q_pdf),
+        spark.createDataFrame(cand_pdf),
+        k=4, z=1, ring=2,
+    ).collect()
+    expected = {}
+    for qi in range(len(q_pdf)):
+        dlon = np.mod(cand_pdf.lon.values - q_pdf.lon.values[qi] + 180.0, 360.0) - 180.0
+        d2 = dlon**2 + (cand_pdf.lat.values - q_pdf.lat.values[qi]) ** 2
+        order = sorted((float(d2[j]), int(cand_pdf.cand_id.iloc[j])) for j in range(len(cand_pdf)))[:4]
+        expected[int(q_pdf.query_id.iloc[qi])] = [c for _, c in order]
+    got_by_q = {}
+    for r in got:
+        got_by_q.setdefault(r.query_id, []).append((r.rank, r.cand_id))
+    assert {q: [c for _, c in sorted(v)] for q, v in got_by_q.items()} == expected

@@ -156,10 +156,14 @@ def knn_join(
             (F.col("q_ty") + F.col("__off.dy")).alias("tile_y"),
         )
         .filter((F.col("tile_y") >= 0) & (F.col("tile_y") < n))
-        # rings wider than the grid wrap onto the same tiles: dedupe probes
-        # so no candidate joins twice and displaces a real top-k entry
-        .dropDuplicates([query_id, "tile_x", "tile_y"])
     )
+    if 2 * ring + 1 > n:
+        # rings wider than the grid wrap in x onto the same tiles: dedupe
+        # probes so no candidate joins twice and displaces a real top-k
+        # entry. Narrower rings can't collide (pmod of 2*ring+1 <= n
+        # consecutive x values is injective; y never wraps), so the
+        # common case skips this extra shuffle entirely
+        probe = probe.dropDuplicates([query_id, "tile_x", "tile_y"])
     # antimeridian-aware: wrap the lon difference into [-180, 180) so
     # candidates joined through the x-wrap rank by their true distance
     dlon = F.pmod(F.col("c_lon") - F.col("q_lon") + 180.0, F.lit(360.0)) - 180.0
