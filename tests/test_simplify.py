@@ -16,22 +16,32 @@ from vectortiles_spark.operators.simplify import (
 )
 
 
+def _seg_dist2(p, a, b):
+    """Scalar point-to-segment squared distance (independent formulation:
+    explicit endpoint branches instead of the kernel's clamp)."""
+    d = b - a
+    l2 = float(d @ d)
+    if l2 == 0.0:
+        return float(((p - a) ** 2).sum())
+    t = float((p - a) @ d) / l2
+    if t <= 0.0:
+        return float(((p - a) ** 2).sum())
+    if t >= 1.0:
+        return float(((p - b) ** 2).sum())
+    return float(((p - (a + t * d)) ** 2).sum())
+
+
 def _dp_reference(pts: np.ndarray, tol: float) -> np.ndarray:
-    """Textbook recursive DP, independent of the kernel under test."""
+    """Textbook recursive DP (segment-distance variant, as in JTS/GEOS),
+    independent of the kernel under test."""
     P = pts.astype(np.float64)
 
     def rec(i, j, keep):
         if j <= i + 1:
             return
-        d = P[j] - P[i]
-        l2 = float(d @ d)
         best, bi = -1.0, -1
         for k in range(i + 1, j):
-            if l2 == 0.0:
-                dist2 = float(((P[k] - P[i]) ** 2).sum())
-            else:
-                cr = (P[k, 0] - P[i, 0]) * d[1] - (P[k, 1] - P[i, 1]) * d[0]
-                dist2 = cr * cr / l2
+            dist2 = _seg_dist2(P[k], P[i], P[j])
             if dist2 > best:
                 best, bi = dist2, k
         if best > tol * tol:
@@ -72,18 +82,20 @@ def test_deviation_bound_and_idempotence():
     kept_idx = np.flatnonzero(keep)
     P = walk.astype(np.float64)
     for a, b in zip(kept_idx[:-1], kept_idx[1:]):
-        seg = P[a + 1 : b]
-        if not len(seg):
-            continue
-        d = P[b] - P[a]
-        l2 = float(d @ d)
-        if l2 == 0.0:
-            dist = np.sqrt(((seg - P[a]) ** 2).sum(axis=1))
-        else:
-            dist = np.abs((seg[:, 0] - P[a, 0]) * d[1] - (seg[:, 1] - P[a, 1]) * d[0]) / np.sqrt(l2)
-        assert float(dist.max()) <= tol + 1e-9
+        for m in range(a + 1, b):
+            assert _seg_dist2(P[m], P[a], P[b]) <= tol * tol + 1e-9
     again = dp_keep_mask(walk[keep], tol)
     assert again.all()
+
+
+def test_spur_beyond_chord_endpoints_survives():
+    """Segment (not infinite-line) distance: a long out-and-back spur past
+    the chord endpoints is far from the chord SEGMENT and must survive,
+    even though its lateral offset from the infinite line is tiny."""
+    spur = np.array([[0, 0], [3000, 5], [10, 0]], dtype=np.int64)
+    assert dp_keep_mask(spur, 20.0).tolist() == [True, True, True]
+    out = simplify_parts(GEOM_LINESTRING, [[spur.tolist()]], tol=20.0)
+    assert out == [[spur.tolist()]]
 
 
 def test_ring_rules():

@@ -215,9 +215,9 @@ def ivf_topk(
     emb: str = "embedding",
 ) -> DataFrame:
     """IVF-flat approximate top-k: partition candidates into `n_cells`
-    Voronoi cells around deterministic seed centroids (every
-    len//n_cells-th candidate by id — k-means-free IVF baseline), probe
-    the `nprobe` nearest cells per query, exact-cosine re-rank inside.
+    Voronoi cells around deterministic seed centroids (the n_cells
+    lowest-id candidates — k-means-free IVF baseline), probe the
+    `nprobe` nearest cells per query, exact-cosine re-rank inside.
 
     Assignment is :func:`ivf_assign` (driver-held centroids, batch-matmul
     pandas UDF, zero shuffle on the candidate side — the previous

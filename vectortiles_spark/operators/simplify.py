@@ -37,9 +37,13 @@ from ..mvt.geometry import GEOM_LINESTRING, GEOM_POINT, GEOM_POLYGON
 
 def dp_keep_mask(pts: np.ndarray, tol: float) -> np.ndarray:
     """Boolean keep-mask of Douglas-Peucker at `tol` over an (n, 2) array.
-    Endpoints are always kept. A degenerate chord (first == last, e.g. a
-    closed ring) measures point distance to the anchor, which makes the
-    first split land on the farthest vertex — the standard ring anchor."""
+    Endpoints are always kept. Distance is point-to-chord-SEGMENT (the
+    projection parameter is clamped to [0, 1], as in JTS/GEOS), not to the
+    infinite line — with the line metric an out-and-back spur thousands of
+    px past the chord endpoints measures only its lateral offset and
+    silently vanishes. A degenerate chord (first == last, e.g. a closed
+    ring) reduces to point distance to the anchor, which makes the first
+    split land on the farthest vertex — the standard ring anchor."""
     n = len(pts)
     keep = np.zeros(n, dtype=bool)
     if n == 0:
@@ -60,8 +64,9 @@ def dp_keep_mask(pts: np.ndarray, tol: float) -> np.ndarray:
         if l2 == 0.0:
             dist2 = ((seg - P[i]) ** 2).sum(axis=1)
         else:
-            cross = (seg[:, 0] - P[i, 0]) * d[1] - (seg[:, 1] - P[i, 1]) * d[0]
-            dist2 = cross * cross / l2
+            t = np.clip(((seg - P[i]) @ d) / l2, 0.0, 1.0)
+            proj = P[i] + t[:, None] * d
+            dist2 = ((seg - proj) ** 2).sum(axis=1)
         kmax = int(np.argmax(dist2))
         if dist2[kmax] > t2:
             k = i + 1 + kmax

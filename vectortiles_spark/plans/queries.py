@@ -354,8 +354,9 @@ _PYR_Z = 8
 
 def q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zoom pyramid rollup: per-tile counts + exact integer-cent balance
-    sums at leaf z=8, rolled up to z=0 bottom-up (each level aggregated
-    from the previous level's 4x-smaller output — tile_pyramid operator).
+    sums at leaf z=8, rolled up to z=0 in ONE shuffle (tile_pyramid
+    explodes each leaf row into its ancestor keys and aggregates once —
+    see its docstring for why the level-by-level form is a Spark trap).
     Money rides as integer cents so every level's sum is exact and
     engine-portable."""
     from ..operators.tiling import tile_pyramid

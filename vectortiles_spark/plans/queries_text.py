@@ -503,12 +503,21 @@ def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     flip between engines on this data."""
     from ..operators.similarity import _cosine, ivf_assign
 
+    from pyspark.sql import types as T
+
     (emb,) = load(spark, sf_dir, "embeddings")
     cand = emb.select("vec_id", "embedding")
     assigned, cent_rows = ivf_assign(cand, n_cells=16)
-    cent_local = spark.createDataFrame(
-        cent_rows, "centroid_id bigint, c_emb array<float>"
+    # schema derived from the candidate table (as ivf_topk does) — a
+    # hardcoded array<float> would silently down-cast if the table ever
+    # became array<double> and diverge from the DOUBLE[] oracle
+    cent_schema = T.StructType(
+        [
+            T.StructField("centroid_id", cand.schema["vec_id"].dataType),
+            T.StructField("c_emb", cand.schema["embedding"].dataType),
+        ]
     )
+    cent_local = spark.createDataFrame(cent_rows, schema=cent_schema)
     return (
         assigned.join(F.broadcast(cent_local), "centroid_id")
         .select(
