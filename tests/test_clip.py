@@ -1,0 +1,171 @@
+"""Geometry-to-tile clipping: kernel properties (exact rectangle overlap,
+polygon area conservation, line length conservation) and the distributed
+pass through the encode pipeline."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vectortiles_spark.mvt import codec
+from vectortiles_spark.mvt.geometry import GEOM_LINESTRING, GEOM_POINT, GEOM_POLYGON
+from vectortiles_spark.operators import tiling
+from vectortiles_spark.operators.clip import (
+    clip_features,
+    clip_polyline,
+    clip_ring,
+    project_equirect,
+)
+
+EXT = 4096
+
+
+def _shoelace(ring):
+    r = np.asarray(ring, dtype=np.float64)
+    x, y = r[:, 0], r[:, 1]
+    return 0.5 * abs(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+
+
+def _rect_ring(x0, y0, x1, y1):
+    return np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]], dtype=np.float64)
+
+
+def test_clip_ring_rect_overlap_exact():
+    """Axis-aligned rect clipped by a rect == the overlap rectangle."""
+    ring = _rect_ring(100, 200, 900, 700)
+    out = clip_ring(ring, 0, 0, 500, 500)
+    assert _shoelace(out) == (500 - 100) * (500 - 200)
+    # disjoint -> empty
+    assert len(clip_ring(ring, 2000, 2000, 3000, 3000)) == 0
+    # fully inside -> unchanged area
+    assert _shoelace(clip_ring(ring, 0, 0, 1000, 1000)) == 800 * 500
+
+
+def test_clip_ring_general_polygon_area_conservation():
+    """A convex polygon clipped by the 4 quadrants of a box conserves
+    total area (intersections are exact within fp tolerance)."""
+    rng = np.random.Generator(np.random.PCG64(9))
+    for _ in range(20):
+        pts = rng.uniform(0, 1000, size=(8, 2))
+        hull = pts[np.argsort(np.arctan2(*(pts - pts.mean(0)).T[::-1]))]
+        total = _shoelace(hull)
+        quads = [(0, 0, 500, 500), (500, 0, 1000, 500), (0, 500, 500, 1000), (500, 500, 1000, 1000)]
+        clipped = sum(
+            _shoelace(c) for q in quads if len(c := clip_ring(hull, *q)) >= 3
+        )
+        assert abs(clipped - total) < 1e-6 * max(total, 1.0)
+
+
+def test_clip_polyline_length_conservation_and_chaining():
+    """Segments inside the box keep their length; a line that exits and
+    re-enters splits into the right number of sub-lines."""
+    # M-shaped line crossing the box twice
+    line = np.array([[-100, 100], [200, 100], [200, -100], [300, -100], [300, 100], [600, 100]], dtype=np.float64)
+    subs = clip_polyline(line, 0, 0, 500, 500)
+    assert len(subs) == 2
+    lengths = [np.sqrt(((s[1:] - s[:-1]) ** 2).sum(1)).sum() for s in subs]
+    assert lengths[0] == pytest.approx(200 + 100)  # (0,100)->(200,100)->(200,0)
+    assert lengths[1] == pytest.approx(100 + 200)  # (300,0)->(300,100)->(500,100)
+    # fully inside: one sub-line, identical
+    inside = np.array([[10, 10], [50, 50], [90, 10]], dtype=np.float64)
+    subs = clip_polyline(inside, 0, 0, 100, 100)
+    assert len(subs) == 1 and np.allclose(subs[0], inside)
+    # fully outside (same slab): nothing
+    assert clip_polyline(np.array([[600.0, 0], [600, 400]]), 0, 0, 500, 500) == []
+
+
+def _px_to_lonlat(px, py, z):
+    span = (1 << z) * EXT
+    return px * 360.0 / span - 180.0, 85.0 - py * 170.0 / span
+
+
+def test_equirect_projection_roundtrips_lattice():
+    z = 3
+    rng = np.random.Generator(np.random.PCG64(2))
+    px = rng.integers(0, (1 << z) * EXT, 100).astype(np.float64)
+    py = rng.integers(0, (1 << z) * EXT, 100).astype(np.float64)
+    lon, lat = _px_to_lonlat(px, py, z)
+    bx, by = project_equirect(lon, lat, z, EXT)
+    assert np.array_equal(bx, px) and np.array_equal(by, py)
+
+
+def test_clip_features_distributed_rects_and_points(spark):
+    """Distributed pass: world rects on the exact pixel lattice at z=2 ->
+    per-tile area sums equal the integer overlap; clipped output encodes
+    and decodes through the reference-semantics sink."""
+    z = 2
+    rng = np.random.Generator(np.random.PCG64(31))
+    rows = []
+    truth = {}  # (fid, tx, ty) -> overlap area
+    for fid in range(25):
+        x0, y0 = rng.integers(0, 3 * EXT, 2)
+        w, h = rng.integers(100, int(1.5 * EXT), 2)
+        x1, y1 = min(int(x0 + w), 4 * EXT), min(int(y0 + h), 4 * EXT)
+        lons, lats = _px_to_lonlat(np.array([x0, x1], float), np.array([y0, y1], float), z)
+        lons, lats = [float(v) for v in lons], [float(v) for v in lats]
+        ring = [
+            [lons[0], lats[0]], [lons[1], lats[0]],
+            [lons[1], lats[1]], [lons[0], lats[1]], [lons[0], lats[0]],
+        ]
+        rows.append(("boxes", GEOM_POLYGON, fid, [[ring]]))
+        for tx in range(4):
+            for ty in range(4):
+                ox = max(0, min(x1, (tx + 1) * EXT) - max(x0, tx * EXT))
+                oy = max(0, min(y1, (ty + 1) * EXT) - max(y0, ty * EXT))
+                if ox > 0 and oy > 0:
+                    truth[(fid, tx, ty)] = ox * oy
+    df = spark.createDataFrame(
+        rows,
+        "layer string, geom_type int, feature_id long, geom array<array<array<array<double>>>>",
+    )
+    clipped = clip_features(df, z=z, projection="equirect")
+    got = {}
+    for r in clipped.collect():
+        assert r.tile_z == z
+        area = sum(_shoelace(ring) for part in r.geom for ring in part)
+        got[(r.feature_id, r.tile_x, r.tile_y)] = area
+    assert got == truth
+    # e2e: the clipped fragments are encodable + decodable
+    feats = tiling.geom_features(clipped)
+    tiles = tiling.encode_tiles(feats).collect()
+    n_feats = sum(
+        len(layer.features) for t in tiles for layer in codec.decode_tile(t.mvt).values()
+    )
+    assert n_feats == len(truth)
+
+
+def test_clip_features_buffer_duplicates_edge_geometry(spark):
+    """buffer_px > 0 duplicates near-edge geometry into the neighbor tile
+    (seam rendering); buffer 0 does not."""
+    z = 1
+    # a point 10px left of the tile-0/tile-1 boundary
+    lon, lat = _px_to_lonlat(np.array([EXT - 10.0]), np.array([EXT / 2.0]), z)
+    df = spark.createDataFrame(
+        [("pts", GEOM_POINT, 1, [[[[float(lon[0]), float(lat[0])]]]])],
+        "layer string, geom_type int, feature_id long, geom array<array<array<array<double>>>>",
+    )
+    no_buf = clip_features(df, z=z, projection="equirect", buffer_px=0).collect()
+    assert {(r.tile_x, r.tile_y) for r in no_buf} == {(0, 0)}
+    buf = clip_features(df, z=z, projection="equirect", buffer_px=64).collect()
+    assert {(r.tile_x, r.tile_y) for r in buf} == {(0, 0), (1, 0)}
+    # the duplicated copy sits in the neighbor's buffer zone (negative x)
+    by_tile = {(r.tile_x, r.tile_y): r.geom for r in buf}
+    assert by_tile[(1, 0)][0][0][0][0] == -10
+
+
+def test_clip_features_line_splits_into_parts(spark):
+    """A line that leaves and re-enters one tile arrives as 2 parts there."""
+    z = 1
+    px = np.array([100.0, EXT + 200, EXT + 200, 100.0, 100.0], float)
+    py = np.array([100.0, 100.0, 600.0, 600.0, 2000.0], float)
+    lon, lat = _px_to_lonlat(px, py, z)
+    line = [[float(lo), float(la)] for lo, la in zip(lon, lat)]
+    df = spark.createDataFrame(
+        [("roads", GEOM_LINESTRING, 7, [[line]])],
+        "layer string, geom_type int, feature_id long, geom array<array<array<array<double>>>>",
+    )
+    out = {(r.tile_x, r.tile_y): r.geom for r in clip_features(df, z=z, projection="equirect").collect()}
+    assert set(out) == {(0, 0), (1, 0)}
+    assert len(out[(0, 0)]) == 2  # exits through the right edge, comes back
+    assert len(out[(1, 0)]) == 1

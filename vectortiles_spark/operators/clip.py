@@ -1,0 +1,317 @@
+"""Geometry-to-tile clipping: world-space features -> per-tile tile-local
+features.
+
+The reference codec encodes tile-LOCAL geometry it is handed
+(lib/Geography/VectorTile/Geometry.hs:30-31 — the grid is per tile); how a
+world-space road or lake becomes N per-tile fragments is the tiler's job.
+This operator is that stage: project each feature to global pixel space at
+zoom z (tiles are then axis-aligned `extent`-sized squares), explode it
+over the tiles its bbox covers, clip against each (optionally buffered)
+tile rectangle, and emit tile-local integer geometry ready for
+``geom_features`` -> ``encode_tiles``.
+
+Algorithms (both the planet-standard choices for rectangular clips):
+* polygons: Sutherland-Hodgman against the 4 half-planes, each pass a
+  vectorized NumPy interleave (no per-vertex Python); every ring is
+  clipped independently (valid because the clip region is convex), rings
+  that collapse below 4 closed points drop, parts whose exterior drops
+  are dropped whole — mirroring simplify.py / the decoder's
+  degenerate-ring rejection;
+* polylines: Liang-Barsky per segment (vectorized over the segments of a
+  part), contiguous surviving segments re-chain into sub-polylines, so
+  one world line becomes k clipped lines in a tile (a Multi* is just more
+  parts, VectorTile.hs:118-119);
+* points: kept when inside the buffered tile rect.
+
+``buffer_px`` extends each tile's clip rect symmetrically — renderers
+need geometry slightly past the edge so strokes/fills survive tile seams
+(0 = exact tiling, no duplication; 64 is the common renderer default).
+With buffer_px > 0, geometry in the overlap band is intentionally
+duplicated into both neighbors.
+
+Scale shape: one ``mapInArrow`` pass, no shuffle — the downstream
+``encode_tiles`` shuffle on (z, x, y) is where fragments meet their tile.
+Row amplification equals true tile coverage (bbox explode, then exact
+clip drops empty intersections), the same fan-out any planet tiler pays.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame
+
+from ..mvt.geometry import GEOM_LINESTRING, GEOM_POINT, GEOM_POLYGON
+
+DEFAULT_EXTENT = 4096
+
+
+def project_equirect(lon: np.ndarray, lat: np.ndarray, z: int, extent: int):
+    """Equirectangular global-pixel projection: lon in [-180, 180] ->
+    [0, 2^z * extent], lat in [85, -85] -> [0, 2^z * extent] (top-left
+    origin, matching the tile grid). Pure +*/ arithmetic — SQL-replayable
+    exactly (no trig), which is why the oracle query uses it."""
+    span = float((1 << z) * extent)
+    px = (np.asarray(lon, np.float64) + 180.0) / 360.0 * span
+    py = (85.0 - np.asarray(lat, np.float64)) / 170.0 * span
+    return px, py
+
+
+def project_webmercator(lon: np.ndarray, lat: np.ndarray, z: int, extent: int):
+    """WebMercator global-pixel projection (production default; matches
+    functions/tiles.py tile math)."""
+    span = float((1 << z) * extent)
+    px = (np.asarray(lon, np.float64) + 180.0) / 360.0 * span
+    rad = np.radians(np.asarray(lat, np.float64))
+    py = (1.0 - np.arcsinh(np.tan(rad)) / math.pi) / 2.0 * span
+    return px, py
+
+
+_PROJECTIONS = {"equirect": project_equirect, "webmercator": project_webmercator}
+
+
+def _clip_ring_halfplane(pts: np.ndarray, axis: int, bound: float, keep_le: bool):
+    """One Sutherland-Hodgman pass: keep the side of `axis == bound` given
+    by `keep_le`. `pts` is an OPEN ring (no closing duplicate); returns
+    the clipped open ring, possibly empty. Fully vectorized: crossing
+    intersections and surviving vertices are interleaved by cumulative
+    output positions, no per-vertex Python loop."""
+    if not len(pts):
+        return pts
+    vals = pts[:, axis]
+    inside = vals <= bound if keep_le else vals >= bound
+    if inside.all():
+        return pts
+    if not inside.any():
+        return pts[:0]
+    nxt = np.roll(pts, -1, axis=0)
+    inside_n = np.roll(inside, -1)
+    crossing = inside != inside_n
+    # intersection of each crossing edge with the boundary line
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = np.where(crossing, (bound - vals) / (nxt[:, axis] - vals), 0.0)
+    inter = pts + t[:, None] * (nxt - pts)
+    inter[:, axis] = bound  # exact on the boundary, no fp drift
+    # per edge (curr -> next), standard S-H emits: the intersection when
+    # the edge crosses, then `next` when `next` is inside
+    emit_i = crossing
+    emit_n = inside_n
+    counts = emit_i.astype(np.int64) + emit_n.astype(np.int64)
+    pos = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    out = np.empty((int(counts.sum()), 2), dtype=np.float64)
+    out[pos[emit_i]] = inter[emit_i]
+    out[pos[emit_n] + emit_i[emit_n]] = nxt[emit_n]
+    return out
+
+
+def clip_ring(ring_px: np.ndarray, x0: float, y0: float, x1: float, y1: float):
+    """Clip an open ring against [x0, x1] x [y0, y1]. Returns the open
+    clipped ring (possibly empty)."""
+    r = _clip_ring_halfplane(ring_px, 0, x0, keep_le=False)
+    r = _clip_ring_halfplane(r, 0, x1, keep_le=True)
+    r = _clip_ring_halfplane(r, 1, y0, keep_le=False)
+    r = _clip_ring_halfplane(r, 1, y1, keep_le=True)
+    return r
+
+
+def clip_polyline(pts: np.ndarray, x0: float, y0: float, x1: float, y1: float):
+    """Liang-Barsky over all segments of one polyline, vectorized; chains
+    contiguous surviving segments back into sub-polylines. Returns a list
+    of (k, 2) float arrays, each with k >= 2."""
+    if len(pts) < 2:
+        return []
+    a = pts[:-1].astype(np.float64)
+    d = pts[1:].astype(np.float64) - a
+    # slab entry/exit parameters per axis; p==0 handled via +-inf
+    with np.errstate(divide="ignore", invalid="ignore"):
+        tx0 = np.where(d[:, 0] != 0, (x0 - a[:, 0]) / d[:, 0], np.where(a[:, 0] >= x0, -np.inf, np.inf))
+        tx1 = np.where(d[:, 0] != 0, (x1 - a[:, 0]) / d[:, 0], np.where(a[:, 0] <= x1, np.inf, -np.inf))
+        ty0 = np.where(d[:, 1] != 0, (y0 - a[:, 1]) / d[:, 1], np.where(a[:, 1] >= y0, -np.inf, np.inf))
+        ty1 = np.where(d[:, 1] != 0, (y1 - a[:, 1]) / d[:, 1], np.where(a[:, 1] <= y1, np.inf, -np.inf))
+    tmin = np.maximum(np.minimum(tx0, tx1), np.minimum(ty0, ty1))
+    tmax = np.minimum(np.maximum(tx0, tx1), np.maximum(ty0, ty1))
+    t0 = np.clip(tmin, 0.0, 1.0)
+    t1 = np.clip(tmax, 0.0, 1.0)
+    ok = t0 < t1  # strict: zero-length survivors add nothing
+    out = []
+    cur: list[np.ndarray] = []
+    for i in range(len(a)):
+        if not ok[i]:
+            if len(cur) >= 2:
+                out.append(np.asarray(cur))
+            cur = []
+            continue
+        p0 = a[i] + t0[i] * d[i]
+        p1 = a[i] + t1[i] * d[i]
+        if not cur:
+            cur = [p0, p1]
+        elif t0[i] == 0.0 and np.array_equal(cur[-1], p0):
+            cur.append(p1)  # contiguous with the previous segment
+        else:
+            if len(cur) >= 2:
+                out.append(np.asarray(cur))
+            cur = [p0, p1]
+        if t1[i] < 1.0:  # exits the rect: the chain breaks here
+            out.append(np.asarray(cur))
+            cur = []
+    if len(cur) >= 2:
+        out.append(np.asarray(cur))
+    return out
+
+
+def _dedupe_consecutive(ipts: np.ndarray) -> np.ndarray:
+    """Drop consecutive duplicate integer vertices (rounding collapses)."""
+    if len(ipts) <= 1:
+        return ipts
+    diff = np.any(ipts[1:] != ipts[:-1], axis=1)
+    return ipts[np.concatenate(([True], diff))]
+
+
+def _localize_ring(r: np.ndarray, ox: float, oy: float):
+    """Open float ring -> closed tile-local int ring, or None if it
+    collapses below the MVT minimum (4 closed points)."""
+    ip = np.rint(r - (ox, oy)).astype(np.int64)
+    ip = _dedupe_consecutive(ip)
+    if len(ip) > 1 and np.array_equal(ip[0], ip[-1]):
+        ip = ip[:-1]
+    if len(ip) < 3:
+        return None
+    # rounding can flatten a thin clipped sliver to collinear points; a
+    # zero-area ring would confuse the decoder's sign-based exterior/hole
+    # classification, so drop it (shoelace on the open ring)
+    x, y = ip[:, 0], ip[:, 1]
+    if np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)) == 0:
+        return None
+    return np.concatenate([ip, ip[:1]]).tolist()
+
+
+def _localize_line(ln: np.ndarray, ox: float, oy: float):
+    ip = _dedupe_consecutive(np.rint(ln - (ox, oy)).astype(np.int64))
+    return ip.tolist() if len(ip) >= 2 else None
+
+
+def clip_features(
+    df: DataFrame,
+    z: int,
+    extent: int = DEFAULT_EXTENT,
+    buffer_px: int = 0,
+    projection: str = "webmercator",
+    layer_col: str = "layer",
+    geom_type_col: str = "geom_type",
+    geom_col: str = "geom",
+    feature_id_col: str = "feature_id",
+) -> DataFrame:
+    """World-space features -> per-tile tile-local integer features.
+
+    Input rows: (layer, geom_type, feature_id, geom) with geom =
+    parts x rings x points x [lon, lat] doubles (points/lines use one
+    ring per part). Output: one row per (feature, covered tile) with
+    tile_z/tile_x/tile_y and geom in tile-local ints — feed straight
+    into ``geom_features``. Features clipped away entirely emit nothing.
+    """
+    if projection not in _PROJECTIONS:
+        raise ValueError(f"projection must be one of {sorted(_PROJECTIONS)}")
+    proj = _PROJECTIONS[projection]
+    n = 1 << z
+    span = n * extent
+
+    def run(batches):
+        for b in batches:
+            rows = {
+                "tile_z": [], "tile_x": [], "tile_y": [],
+                "layer": [], "geom_type": [], "feature_id": [], "geom": [],
+            }
+            layers = b[layer_col].to_pylist()
+            gts = b[geom_type_col].to_pylist()
+            fids = b[feature_id_col].to_pylist()
+            geoms = b[geom_col].to_pylist()
+            for layer, gt, fid, parts in zip(layers, gts, fids, geoms):
+                parts = parts or []
+                # project every ring once
+                proj_parts = []
+                for part in parts:
+                    pr = []
+                    for ring in part or []:
+                        arr = np.asarray(ring, dtype=np.float64).reshape(-1, 2)
+                        px, py = proj(arr[:, 0], arr[:, 1], z, extent)
+                        pr.append(np.column_stack([px, py]))
+                    if pr:
+                        proj_parts.append(pr)
+                if not proj_parts:
+                    continue
+                allpts = np.concatenate([r for p in proj_parts for r in p])
+                tx_lo = max(0, int(math.floor((allpts[:, 0].min() - buffer_px) / extent)))
+                tx_hi = min(n - 1, int(math.floor((allpts[:, 0].max() + buffer_px) / extent)))
+                ty_lo = max(0, int(math.floor((allpts[:, 1].min() - buffer_px) / extent)))
+                ty_hi = min(n - 1, int(math.floor((allpts[:, 1].max() + buffer_px) / extent)))
+                for ty in range(ty_lo, ty_hi + 1):
+                    for tx in range(tx_lo, tx_hi + 1):
+                        x0, y0 = tx * extent - buffer_px, ty * extent - buffer_px
+                        x1, y1 = (tx + 1) * extent + buffer_px, (ty + 1) * extent + buffer_px
+                        ox, oy = float(tx * extent), float(ty * extent)
+                        out_parts = []
+                        if gt == GEOM_POINT:
+                            for part in proj_parts:
+                                p = part[0]
+                                m = (
+                                    (p[:, 0] >= x0) & (p[:, 0] <= x1)
+                                    & (p[:, 1] >= y0) & (p[:, 1] <= y1)
+                                )
+                                if m.any():
+                                    kept = np.rint(p[m] - (ox, oy)).astype(np.int64)
+                                    out_parts.extend([[pt.tolist()]] for pt in kept)
+                        elif gt == GEOM_LINESTRING:
+                            for part in proj_parts:
+                                for sub in clip_polyline(part[0], x0, y0, x1, y1):
+                                    loc = _localize_line(sub, ox, oy)
+                                    if loc is not None:
+                                        out_parts.append([loc])
+                        elif gt == GEOM_POLYGON:
+                            for part in proj_parts:
+                                rings = []
+                                for k, ring in enumerate(part):
+                                    open_ring = ring[:-1] if len(ring) > 1 and np.array_equal(ring[0], ring[-1]) else ring
+                                    c = clip_ring(open_ring, x0, y0, x1, y1)
+                                    loc = _localize_ring(c, ox, oy) if len(c) else None
+                                    if k == 0 and loc is None:
+                                        rings = None  # exterior gone: drop part
+                                        break
+                                    if loc is not None:
+                                        rings.append(loc)
+                                if rings:
+                                    out_parts.append(rings)
+                        else:
+                            raise ValueError("Geometry type of UNKNOWN given.")
+                        if not out_parts:
+                            continue
+                        rows["tile_z"].append(z)
+                        rows["tile_x"].append(tx)
+                        rows["tile_y"].append(ty)
+                        rows["layer"].append(layer)
+                        rows["geom_type"].append(gt)
+                        rows["feature_id"].append(fid)
+                        rows["geom"].append(out_parts)
+            yield pa.record_batch(
+                {
+                    "tile_z": pa.array(rows["tile_z"], pa.int32()),
+                    "tile_x": pa.array(rows["tile_x"], pa.int32()),
+                    "tile_y": pa.array(rows["tile_y"], pa.int32()),
+                    "layer": pa.array(rows["layer"], pa.string()),
+                    "geom_type": pa.array(rows["geom_type"], pa.int32()),
+                    "feature_id": pa.array(rows["feature_id"], pa.int64()),
+                    "geom": pa.array(
+                        rows["geom"],
+                        pa.list_(pa.list_(pa.list_(pa.list_(pa.int64())))),
+                    ),
+                }
+            )
+
+    schema = (
+        "tile_z int, tile_x int, tile_y int, layer string, geom_type int, "
+        "feature_id bigint, geom array<array<array<array<bigint>>>>"
+    )
+    return df.select(layer_col, geom_type_col, feature_id_col, geom_col).mapInArrow(
+        run, schema
+    )

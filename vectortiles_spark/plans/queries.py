@@ -440,6 +440,76 @@ FROM customer ORDER BY feature_id
 """
 
 
+def q_clip_rects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometry-to-tile clipping under the value oracle: each customer key
+    builds a world-space rectangle ON THE EXACT PIXEL LATTICE at z=2
+    (equirect lon/lat chosen so the projection roundtrips to the integer
+    pixel exactly in float64 — x*360/16384 and 85 - y*170/16384 are all
+    exact dyadic-rational operations), spanning up to ~1.5 tiles so most
+    rects clip across 2-4 tiles. clip_features (Sutherland-Hodgman) then
+    yields per-tile fragments whose integer area must equal the
+    closed-form rectangle/tile overlap the SQL oracle computes in pure
+    BIGINT arithmetic. The general-polygon/polyline kernels are pinned in
+    tests/test_clip.py; this query gates the DISTRIBUTED pass."""
+    from ..operators.clip import clip_features
+
+    (cust,) = load(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    x0 = F.pmod(k * 131, F.lit(12000))
+    y0 = F.pmod(k * 173, F.lit(12000))
+    x1 = F.least(x0 + F.pmod(k * 97, F.lit(6000)) + 300, F.lit(16384))
+    y1 = F.least(y0 + F.pmod(k * 89, F.lit(6000)) + 300, F.lit(16384))
+    lon = lambda x: x.cast("double") * 360.0 / 16384.0 - 180.0
+    lat = lambda y: 85.0 - y.cast("double") * 170.0 / 16384.0
+    ring = F.array(
+        F.array(lon(x0), lat(y0)),
+        F.array(lon(x1), lat(y0)),
+        F.array(lon(x1), lat(y1)),
+        F.array(lon(x0), lat(y1)),
+        F.array(lon(x0), lat(y0)),
+    )
+    df = cust.select(
+        F.lit("boxes").alias("layer"),
+        F.lit(3).cast("int").alias("geom_type"),
+        k.alias("feature_id"),
+        F.array(F.array(ring)).alias("geom"),
+    )
+    clipped = clip_features(df, z=2, projection="equirect")
+    xs = F.transform(F.col("geom")[0][0], lambda p: p[0])
+    ys = F.transform(F.col("geom")[0][0], lambda p: p[1])
+    return clipped.select(
+        "feature_id",
+        "tile_x",
+        "tile_y",
+        (
+            (F.array_max(xs) - F.array_min(xs)) * (F.array_max(ys) - F.array_min(ys))
+        ).alias("area"),
+    ).orderBy("feature_id", "tile_x", "tile_y")
+
+
+Q_CLIP_RECTS_SQL = """
+WITH rects AS (
+  SELECT c_custkey AS feature_id,
+         (c_custkey * 131) % 12000 AS x0,
+         (c_custkey * 173) % 12000 AS y0,
+         least((c_custkey * 131) % 12000 + (c_custkey * 97) % 6000 + 300, 16384) AS x1,
+         least((c_custkey * 173) % 12000 + (c_custkey * 89) % 6000 + 300, 16384) AS y1
+  FROM customer
+), tiles AS (
+  SELECT tx.x AS tx, ty.y AS ty
+  FROM (SELECT unnest(generate_series(0, 3)) AS x) tx
+  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS y) ty
+)
+SELECT feature_id, tx::INT AS tile_x, ty::INT AS tile_y,
+       ((least(x1, (tx + 1) * 4096) - greatest(x0, tx * 4096)) *
+        (least(y1, (ty + 1) * 4096) - greatest(y0, ty * 4096)))::BIGINT AS area
+FROM rects CROSS JOIN tiles
+WHERE least(x1, (tx + 1) * 4096) - greatest(x0, tx * 4096) > 0
+  AND least(y1, (ty + 1) * 4096) - greatest(y0, ty * 4096) > 0
+ORDER BY feature_id, tile_x, tile_y
+"""
+
+
 def q_pip_rect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-polygon join against a broadcast set of axis-aligned boxes
     (the coarse stage of the spatial hash join; exact ray-cast refinement
