@@ -169,3 +169,49 @@ def test_clip_features_line_splits_into_parts(spark):
     assert set(out) == {(0, 0), (1, 0)}
     assert len(out[(0, 0)]) == 2  # exits through the right edge, comes back
     assert len(out[(1, 0)]) == 1
+
+
+def test_clip_features_no_shuffle(spark):
+    """The clip pass is embarrassingly parallel — its plan must contain no
+    shuffle Exchange (fan-out happens in the downstream encode shuffle)."""
+    from vectortiles_spark.plans import audit
+
+    df = spark.createDataFrame(
+        [("l", GEOM_POLYGON, 1, [[[[0.0, 10.0], [10.0, 10.0], [10.0, 0.0], [0.0, 10.0]]]])],
+        "layer string, geom_type int, feature_id long, geom array<array<array<array<double>>>>",
+    )
+    assert audit.count_shuffles(clip_features(df, z=3)) == 0
+
+
+def test_clip_features_random_polygons_area_conserved(spark):
+    """Operator-path property: random convex world polygons clipped over
+    the whole z=2 grid conserve total area within the integer-rounding
+    bound (perimeter/2 per fragment)."""
+    z, span = 2, 4 * EXT
+    rng = np.random.Generator(np.random.PCG64(41))
+    rows = []
+    true_areas = {}
+    for fid in range(15):
+        c = rng.uniform(0.2 * span, 0.8 * span, 2)
+        pts = c + rng.uniform(-0.3 * span, 0.3 * span, size=(10, 2))
+        pts = np.clip(pts, 0, span - 1)
+        hull = pts[np.argsort(np.arctan2(*(pts - pts.mean(0)).T[::-1]))]
+        lon, lat = _px_to_lonlat(hull[:, 0], hull[:, 1], z)
+        ring = [[float(a), float(b)] for a, b in zip(lon, lat)]
+        ring.append(ring[0])
+        rows.append(("p", GEOM_POLYGON, fid, [[ring]]))
+        true_areas[fid] = _shoelace(hull)
+    df = spark.createDataFrame(
+        rows,
+        "layer string, geom_type int, feature_id long, geom array<array<array<array<double>>>>",
+    )
+    got = {}
+    slack = {}
+    for r in clip_features(df, z=z, projection="equirect").collect():
+        for part in r.geom:
+            ring = np.asarray(part[0], dtype=np.float64)
+            got[r.feature_id] = got.get(r.feature_id, 0.0) + _shoelace(ring)
+            per = np.sqrt(((ring[1:] - ring[:-1]) ** 2).sum(1)).sum()
+            slack[r.feature_id] = slack.get(r.feature_id, 0.0) + per
+    for fid, a in true_areas.items():
+        assert abs(got[fid] - a) <= 0.5 * slack[fid] + 1e-6, (fid, got[fid], a)
