@@ -25,6 +25,8 @@ from pyspark.sql import functions as F
 
 N_IMAGES = int(os.environ.get("BENCH_IMAGES", "200000"))
 IMAGES_CACHE = os.environ.get("BENCH_IMAGES_PATH", f"/tmp/bench_images_{N_IMAGES}")
+N_LINES = int(os.environ.get("BENCH_LINES", "20000"))
+LINES_CACHE = os.environ.get("BENCH_LINES_PATH", f"/tmp/bench_lines_{N_LINES}")
 
 
 def _ensure_images(spark):
@@ -48,6 +50,34 @@ def bench_mvt_encode(spark, sf_dir):
         meta={"caption": F.col("caption"), "phash": F.col("phash")},
     )
     tiles = tiling.encode_tiles(feats, max_per_tile=50000, single_layer="images")
+    agg = tiles.agg(
+        F.count("*").alias("n_tiles"),
+        F.sum("n_features").alias("n_features"),
+        F.sum(F.length("mvt")).alias("bytes"),
+    ).collect()[0]
+    return {"n_tiles": agg.n_tiles, "n_features": agg.n_features, "mvt_bytes": agg.bytes}
+
+
+def _ensure_lines(spark):
+    if not os.path.exists(f"{LINES_CACHE}/_SUCCESS"):
+        from vectortiles_spark.sources.synth import lines_df
+
+        lines_df(spark, N_LINES).write.mode("overwrite").parquet(LINES_CACHE)
+    return spark.read.parquet(LINES_CACHE)
+
+
+def bench_vector_pipeline(spark):
+    """The full vector tiler: world polylines -> clip to z=8 tiles (with
+    seam buffer) -> Douglas-Peucker generalization -> command streams ->
+    MVT blobs. Exercises every geometry stage the engine ships."""
+    from vectortiles_spark.operators import tiling
+    from vectortiles_spark.operators.clip import clip_features
+    from vectortiles_spark.operators.simplify import simplify_geoms
+
+    lines = _ensure_lines(spark)
+    clipped = clip_features(lines, z=8, buffer_px=8)
+    simp = simplify_geoms(clipped, tolerance=8.0)
+    tiles = tiling.encode_tiles(tiling.geom_features(simp))
     agg = tiles.agg(
         F.count("*").alias("n_tiles"),
         F.sum("n_features").alias("n_features"),
@@ -91,6 +121,20 @@ def main():
         **{k: int(v) for k, v in stats.items()},
         "tiles_per_sec": round(stats["n_tiles"] / dt, 1),
         "features_per_sec": round(stats["n_features"] / dt, 1),
+    }
+
+    # composed vector pipeline (clip -> simplify -> encode), same
+    # warmup-then-measure protocol as the flagship
+    _ensure_lines(spark)
+    bench_vector_pipeline(spark)
+    t0 = time.perf_counter()
+    vstats = bench_vector_pipeline(spark)
+    dt = time.perf_counter() - t0
+    timings["vector_pipeline"] = round(dt, 3)
+    extras["vector"] = {
+        **{k: int(v) for k, v in vstats.items()},
+        "lines_in": N_LINES,
+        "features_per_sec": round(vstats["n_features"] / dt, 1),
     }
 
     for name in headline:

@@ -165,3 +165,65 @@ def write_images_table(
 ):
     images_df(spark, n, seed, partitions, light).write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
+
+
+LINES_SCHEMA = (
+    "layer string, geom_type int, feature_id bigint, "
+    "geom array<array<array<array<double>>>>"
+)
+
+
+def lines_pdf_for_ids(ids: np.ndarray, seed: int = 42, n_vertices: int = 48) -> pd.DataFrame:
+    """Deterministic world-space polylines (roads-shaped input for the
+    clip -> simplify -> encode pipeline): per id, a random walk of
+    `n_vertices` lon/lat points starting near a metro (same 80/20 skew
+    mixture as the image table), step ~0.02 deg. Row-addressed like every
+    synth generator here: vertex j of row i depends only on (seed, i, j)."""
+    n = len(ids)
+    is_metro = _u01(ids, seed, 101) < 0.8
+    metro_idx = (_u01(ids, seed, 102) * len(_METROS)).astype(np.int64)
+    lon0 = np.where(
+        is_metro,
+        _METROS[metro_idx, 0] + _normal(ids, seed, 103) * 0.1,
+        _u01(ids, seed, 104) * 360.0 - 180.0,
+    )
+    lat0 = np.where(
+        is_metro,
+        _METROS[metro_idx, 1] + _normal(ids, seed, 105) * 0.1,
+        _u01(ids, seed, 106) * 160.0 - 80.0,
+    )
+    # (n, n_vertices) step field from counter streams — vectorized across
+    # the whole batch, no per-row python
+    steps_lon = np.empty((n, n_vertices))
+    steps_lat = np.empty((n, n_vertices))
+    for j in range(n_vertices):
+        steps_lon[:, j] = _normal(ids, seed, 1000 + 2 * j) * 0.02
+        steps_lat[:, j] = _normal(ids, seed, 1001 + 2 * j) * 0.02
+    steps_lon[:, 0] = 0.0
+    steps_lat[:, 0] = 0.0
+    lons = np.clip(lon0[:, None] + np.cumsum(steps_lon, axis=1), -179.99, 179.99)
+    lats = np.clip(lat0[:, None] + np.cumsum(steps_lat, axis=1), -84.9, 84.9)
+    geoms = [
+        [[np.column_stack([lons[i], lats[i]]).tolist()]] for i in range(n)
+    ]
+    return pd.DataFrame(
+        {
+            "layer": "roads",
+            "geom_type": 2,
+            "feature_id": ids.astype(np.int64),
+            "geom": geoms,
+        }
+    )
+
+
+def lines_df(spark, n: int, seed: int = 42, n_vertices: int = 48, partitions: int | None = None):
+    """Distributed deterministic world-polyline table."""
+    partitions = partitions or spark.sparkContext.defaultParallelism
+    rows = spark.range(0, n, 1, partitions)
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf):
+                yield lines_pdf_for_ids(pdf["id"].to_numpy(), seed=seed, n_vertices=n_vertices)
+
+    return rows.mapInPandas(gen, schema=LINES_SCHEMA)
