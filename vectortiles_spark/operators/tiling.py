@@ -161,29 +161,56 @@ def geom_features(
 
     def encode(batches):
         for b in batches:
-            geoms = b["geom"].to_pylist()
             gts = b["geom_type"].to_pylist()
+            # Arrow-native unnest (same pattern as clip/simplify): flatten
+            # the 4-level list column once; every ring below is a
+            # zero-copy view into one int64 block
+            garr = b["geom"]
+            n_parts_a = np.asarray(garr.value_lengths().fill_null(0))
+            parts_arr = garr.flatten()
+            n_rings_a = np.asarray(parts_arr.value_lengths().fill_null(0))
+            rings_arr = parts_arr.flatten()
+            n_pts_a = np.asarray(rings_arr.value_lengths().fill_null(0))
+            coords = rings_arr.flatten()
+            n_coords = np.asarray(coords.value_lengths().fill_null(0))
+            if len(n_coords) and not np.all(n_coords == 2):
+                raise ValueError("every geometry point must be an [x, y] pair")
+            flat = np.asarray(coords.flatten(), dtype=np.int64).reshape(-1, 2)
+            ring_starts = np.concatenate(([0], np.cumsum(n_pts_a)))
+            pi = ri = 0
             streams = []
-            for gt, parts in zip(gts, geoms):
-                parts = parts or []
-                if gt == GEOM_POINT:
-                    pts = np.asarray(
-                        [p for part in parts for ring in part for p in ring], dtype=np.int64
+            for f, gt in enumerate(gts):
+                parts = []
+                for _ in range(n_parts_a[f]):
+                    nr = n_rings_a[pi]
+                    pi += 1
+                    parts.append(
+                        [
+                            flat[ring_starts[ri + r] : ring_starts[ri + r + 1]]
+                            for r in range(nr)
+                        ]
                     )
-                    g = pts.reshape(-1, 2)
+                    ri += nr
+                if gt == GEOM_POINT:
+                    all_rings = [r for part in parts for r in part if len(r)]
+                    g = (
+                        np.concatenate(all_rings)
+                        if all_rings
+                        else np.empty((0, 2), dtype=np.int64)
+                    )
                     degenerate = len(g) == 0
                 elif gt == GEOM_LINESTRING:
                     # a valid line part needs >= 2 points (MoveTo + LineTo>=1)
                     g = [
-                        np.asarray(part[0], dtype=np.int64).reshape(-1, 2)
+                        part[0]
                         for part in parts
-                        if part and len(part[0]) >= 2
+                        if len(part) and len(part[0]) >= 2
                     ]
                     degenerate = not g
                 elif gt == GEOM_POLYGON:
                     # a valid ring needs >= 4 points (closed, LineTo count >= 2)
                     g = [
-                        [np.asarray(r, dtype=np.int64).reshape(-1, 2) for r in part if len(r) >= 4]
+                        [r for r in part if len(r) >= 4]
                         for part in parts
                     ]
                     g = [p for p in g if p]
