@@ -215,3 +215,41 @@ def test_clip_features_random_polygons_area_conserved(spark):
             slack[r.feature_id] = slack.get(r.feature_id, 0.0) + per
     for fid, a in true_areas.items():
         assert abs(got[fid] - a) <= 0.5 * slack[fid] + 1e-6, (fid, got[fid], a)
+
+
+def test_clip_polyline_no_spurious_splits_on_float_recompute():
+    """A fully-inside polyline must come back as ONE sub-line even when
+    a + 1.0*(b - a) != b in float64 (mixed-magnitude coordinates)."""
+    pts = np.array(
+        [[291081.01803218387, 100.0], [6226.188985027142, 200.0], [50000.0, 300.0]]
+    )
+    subs = clip_polyline(pts, 0, 0, 1e6, 1e6)
+    assert len(subs) == 1 and np.allclose(subs[0], pts)
+
+
+def test_boundary_lattice_ownership_no_duplication(spark):
+    """buffer_px=0 is EXACT tiling: geometry on a tile boundary belongs to
+    the higher tile only (its local 0), except at the world edge."""
+    z = 1
+    # point exactly on the 0/1 boundary; point exactly on the world east edge
+    lon, lat = _px_to_lonlat(np.array([float(EXT), 2.0 * EXT]), np.array([100.0, 100.0]), z)
+    df = spark.createDataFrame(
+        [
+            ("pts", GEOM_POINT, 1, [[[[float(lon[0]), float(lat[0])]]]]),
+            ("pts", GEOM_POINT, 2, [[[[float(lon[1]), float(lat[1])]]]]),
+        ],
+        "layer string, geom_type int, feature_id long, geom array<array<array<array<double>>>>",
+    )
+    got = {(r.feature_id, r.tile_x, r.tile_y) for r in clip_features(df, z=z, projection="equirect").collect()}
+    assert got == {(1, 1, 0), (2, 1, 0)}  # boundary -> right tile; world edge -> last tile keeps it
+    # a vertical line exactly along the boundary: one copy, in the right tile
+    ly = np.array([100.0, 900.0])
+    llon, llat = _px_to_lonlat(np.array([float(EXT)] * 2), ly, z)
+    line = [[float(a), float(b)] for a, b in zip(llon, llat)]
+    ldf = spark.createDataFrame(
+        [("roads", GEOM_LINESTRING, 5, [[line]])],
+        "layer string, geom_type int, feature_id long, geom array<array<array<array<double>>>>",
+    )
+    lgot = [(r.tile_x, r.tile_y, r.geom) for r in clip_features(ldf, z=z, projection="equirect").collect()]
+    assert [(t[0], t[1]) for t in lgot] == [(1, 0)]
+    assert all(p[0] == 0 for p in lgot[0][2][0][0])  # local x == 0 in the owner

@@ -44,6 +44,7 @@ import pyarrow as pa
 from pyspark.sql import DataFrame
 
 from ..mvt.geometry import GEOM_LINESTRING, GEOM_POINT, GEOM_POLYGON
+from .arrow_geom import feature_parts
 
 DEFAULT_EXTENT = 4096
 
@@ -123,7 +124,8 @@ def clip_polyline(pts: np.ndarray, x0: float, y0: float, x1: float, y1: float):
     if len(pts) < 2:
         return []
     a = pts[:-1].astype(np.float64)
-    d = pts[1:].astype(np.float64) - a
+    bb = pts[1:].astype(np.float64)
+    d = bb - a
     # slab entry/exit parameters per axis; p==0 handled via +-inf
     with np.errstate(divide="ignore", invalid="ignore"):
         tx0 = np.where(d[:, 0] != 0, (x0 - a[:, 0]) / d[:, 0], np.where(a[:, 0] >= x0, -np.inf, np.inf))
@@ -143,12 +145,19 @@ def clip_polyline(pts: np.ndarray, x0: float, y0: float, x1: float, y1: float):
                 out.append(np.asarray(cur))
             cur = []
             continue
-        p0 = a[i] + t0[i] * d[i]
-        p1 = a[i] + t1[i] * d[i]
+        # exact original vertices at t==0/t==1: recomputing a + t*d in
+        # float re-derives the endpoint with rounding (a + 1.0*(b - a)
+        # != b for ~40% of mixed-magnitude pairs) and used to break the
+        # chain-continuity check, splitting continuous lines
+        p0 = a[i] if t0[i] == 0.0 else a[i] + t0[i] * d[i]
+        p1 = bb[i] if t1[i] == 1.0 else a[i] + t1[i] * d[i]
         if not cur:
             cur = [p0, p1]
-        elif t0[i] == 0.0 and np.array_equal(cur[-1], p0):
-            cur.append(p1)  # contiguous with the previous segment
+        elif t0[i] == 0.0:
+            # structurally contiguous: cur is only non-empty when the
+            # previous segment survived through t1 == 1.0, so its chain
+            # ends exactly at pts[i] == p0
+            cur.append(p1)
         else:
             if len(cur) >= 2:
                 out.append(np.asarray(cur))
@@ -226,59 +235,54 @@ def clip_features(
             layers = b[layer_col].to_pylist()
             gts = b[geom_type_col].to_pylist()
             fids = b[feature_id_col].to_pylist()
-            # Arrow-native unnest: flatten the 4-level list column ONCE and
-            # project EVERY point in the batch with one vectorized call —
-            # to_pylist + per-ring np.asarray was ~500x slower (measured),
-            # and rings afterwards are zero-copy views into the projected
-            # block. value_lengths carries the per-level fan-out.
-            g = b[geom_col]
-            n_parts = np.asarray(g.value_lengths().fill_null(0))
-            parts_arr = g.flatten()
-            n_rings = np.asarray(parts_arr.value_lengths().fill_null(0))
-            rings_arr = parts_arr.flatten()
-            n_pts = np.asarray(rings_arr.value_lengths().fill_null(0))
-            coords = rings_arr.flatten()
-            n_coords = np.asarray(coords.value_lengths().fill_null(0))
-            if len(n_coords) and not np.all(n_coords == 2):
-                raise ValueError("every geometry point must be a [lon, lat] pair")
-            flat = np.asarray(coords.flatten(), dtype=np.float64).reshape(-1, 2)
-            px_all, py_all = proj(flat[:, 0], flat[:, 1], z, extent)
-            ppts_all = np.column_stack([px_all, py_all])
-            ring_starts = np.concatenate(([0], np.cumsum(n_pts)))
-            pi = 0  # part cursor
-            ri = 0  # ring cursor
-            for f, (layer, gt, fid) in enumerate(zip(layers, gts, fids)):
-                proj_parts = []
-                for _ in range(n_parts[f]):
-                    nr = n_rings[pi]
-                    pi += 1
-                    pr = [
-                        ppts_all[ring_starts[ri + r] : ring_starts[ri + r + 1]]
-                        for r in range(nr)
-                    ]
-                    ri += nr
-                    pr = [r for r in pr if len(r)]
-                    if pr:
-                        proj_parts.append(pr)
+            # shared Arrow-native unnest (arrow_geom.feature_parts) with
+            # the lon/lat -> global-pixel projection applied to the whole
+            # batch's flat point block in ONE vectorized call; ring views
+            # below are zero-copy slices of the projected block
+            def project_block(flat):
+                px, py = proj(flat[:, 0], flat[:, 1], z, extent)
+                return np.column_stack([px, py])
+
+            for (layer, gt, fid), raw_parts in zip(
+                zip(layers, gts, fids),
+                feature_parts(b[geom_col], np.float64, transform=project_block),
+            ):
+                proj_parts = [
+                    pr for pr in ([r for r in part if len(r)] for part in raw_parts) if pr
+                ]
                 if not proj_parts:
                     continue
                 allpts = np.concatenate([r for p in proj_parts for r in p])
-                tx_lo = max(0, int(math.floor((allpts[:, 0].min() - buffer_px) / extent)))
-                tx_hi = min(n - 1, int(math.floor((allpts[:, 0].max() + buffer_px) / extent)))
-                ty_lo = max(0, int(math.floor((allpts[:, 1].min() - buffer_px) / extent)))
-                ty_hi = min(n - 1, int(math.floor((allpts[:, 1].max() + buffer_px) / extent)))
+                # clamp BOTH ends into [0, n): geometry exactly on the
+                # world east/south edge has floor(span/extent) == n, and
+                # an unclamped lo would empty the range and drop it
+                tx_lo = min(n - 1, max(0, int(math.floor((allpts[:, 0].min() - buffer_px) / extent))))
+                tx_hi = min(n - 1, max(0, int(math.floor((allpts[:, 0].max() + buffer_px) / extent))))
+                ty_lo = min(n - 1, max(0, int(math.floor((allpts[:, 1].min() - buffer_px) / extent))))
+                ty_hi = min(n - 1, max(0, int(math.floor((allpts[:, 1].max() + buffer_px) / extent))))
                 for ty in range(ty_lo, ty_hi + 1):
                     for tx in range(tx_lo, tx_hi + 1):
                         x0, y0 = tx * extent - buffer_px, ty * extent - buffer_px
                         x1, y1 = (tx + 1) * extent + buffer_px, (ty + 1) * extent + buffer_px
                         ox, oy = float(tx * extent), float(ty * extent)
+                        # exact-tiling edge ownership (buffer_px == 0): the
+                        # high edge x1/y1 belongs to the NEXT tile (same
+                        # line is its local 0), except at the world edge
+                        # where there is no next tile — otherwise
+                        # boundary-lattice points/lines emit twice. With a
+                        # buffer, duplication in the overlap band is the
+                        # documented intent.
+                        open_hi_x = buffer_px == 0 and tx < n - 1
+                        open_hi_y = buffer_px == 0 and ty < n - 1
                         out_parts = []
                         if gt == GEOM_POINT:
                             for part in proj_parts:
                                 p = part[0]
                                 m = (
-                                    (p[:, 0] >= x0) & (p[:, 0] <= x1)
-                                    & (p[:, 1] >= y0) & (p[:, 1] <= y1)
+                                    (p[:, 0] >= x0)
+                                    & ((p[:, 0] < x1) if open_hi_x else (p[:, 0] <= x1))
+                                    & (p[:, 1] >= y0)
+                                    & ((p[:, 1] < y1) if open_hi_y else (p[:, 1] <= y1))
                                 )
                                 if m.any():
                                     kept = np.rint(p[m] - (ox, oy)).astype(np.int64)
@@ -287,8 +291,14 @@ def clip_features(
                             for part in proj_parts:
                                 for sub in clip_polyline(part[0], x0, y0, x1, y1):
                                     loc = _localize_line(sub, ox, oy)
-                                    if loc is not None:
-                                        out_parts.append([loc])
+                                    if loc is None:
+                                        continue
+                                    arr = np.asarray(loc)
+                                    if (open_hi_x and (arr[:, 0] == extent).all()) or (
+                                        open_hi_y and (arr[:, 1] == extent).all()
+                                    ):
+                                        continue  # lives on the high edge: the neighbor owns it
+                                    out_parts.append([loc])
                         elif gt == GEOM_POLYGON:
                             for part in proj_parts:
                                 rings = []

@@ -33,6 +33,7 @@ import pyarrow as pa
 from pyspark.sql import DataFrame
 
 from ..mvt.geometry import GEOM_LINESTRING, GEOM_POINT, GEOM_POLYGON
+from .arrow_geom import feature_parts
 
 
 def dp_keep_mask(pts: np.ndarray, tol: float) -> np.ndarray:
@@ -79,7 +80,7 @@ def dp_keep_mask(pts: np.ndarray, tol: float) -> np.ndarray:
 def simplify_ring(ring: list, tol: float, closed: bool) -> list | None:
     """Simplify one point list. Returns None when the result is too
     degenerate to encode (ring < 4 closed points / line < 2 points)."""
-    pts = np.asarray(ring, dtype=np.int64).reshape(-1, 2)
+    pts = np.rint(np.asarray(ring, dtype=np.float64)).astype(np.int64).reshape(-1, 2)
     if len(pts) <= 2:
         return pts.tolist() if (not closed and len(pts) >= 2) else None
     kept = pts[dp_keep_mask(pts, tol)]
@@ -99,9 +100,13 @@ def simplify_parts(geom_type: int, parts: list | None, tol: float) -> list:
     parts = parts or []
     if geom_type == GEOM_POINT:
         # pass through, normalized to int lists (inputs may arrive as
-        # float ndarray views from the Arrow unnest)
+        # float ndarray views from the Arrow unnest; round, don't
+        # truncate, in case a double-typed geom carries fractions)
         return [
-            [np.asarray(r, dtype=np.int64).reshape(-1, 2).tolist() for r in part]
+            [
+                np.rint(np.asarray(r, dtype=np.float64)).astype(np.int64).reshape(-1, 2).tolist()
+                for r in part
+            ]
             for part in parts
         ]
     out_parts = []
@@ -140,37 +145,14 @@ def simplify_geoms(
     def run(batches):
         for b in batches:
             gts = b[geom_type_col].to_pylist()
-            # Arrow-native unnest (same pattern as clip.py): flatten the
-            # 4-level list column once, then hand each ring to the DP
-            # kernel as a zero-copy NumPy view — to_pylist + per-ring
-            # list->array conversion dominated the pass otherwise
-            g = b[geom_col]
-            n_parts = np.asarray(g.value_lengths().fill_null(0))
-            parts_arr = g.flatten()
-            n_rings = np.asarray(parts_arr.value_lengths().fill_null(0))
-            rings_arr = parts_arr.flatten()
-            n_pts = np.asarray(rings_arr.value_lengths().fill_null(0))
-            coords = rings_arr.flatten()
-            n_coords = np.asarray(coords.value_lengths().fill_null(0))
-            if len(n_coords) and not np.all(n_coords == 2):
-                raise ValueError("every geometry point must be an [x, y] pair")
-            flat = np.asarray(coords.flatten(), dtype=np.float64).reshape(-1, 2)
-            ring_starts = np.concatenate(([0], np.cumsum(n_pts)))
-            pi = ri = 0
-            new = []
-            for f, gt in enumerate(gts):
-                parts = []
-                for _ in range(n_parts[f]):
-                    nr = n_rings[pi]
-                    pi += 1
-                    parts.append(
-                        [
-                            flat[ring_starts[ri + r] : ring_starts[ri + r + 1]]
-                            for r in range(nr)
-                        ]
-                    )
-                    ri += nr
-                new.append(simplify_parts(gt, parts, tolerance))
+            # shared Arrow-native unnest (arrow_geom.feature_parts): each
+            # ring reaches the DP kernel as a zero-copy NumPy view —
+            # to_pylist + per-ring list->array conversion dominated the
+            # pass otherwise
+            new = [
+                simplify_parts(gt, parts, tolerance)
+                for gt, parts in zip(gts, feature_parts(b[geom_col], np.float64))
+            ]
             cols = {}
             for name in b.schema.names:
                 cols[name] = (

@@ -160,37 +160,14 @@ def geom_features(
     ) + ", geom_cmds array<bigint>"
 
     def encode(batches):
+        from .arrow_geom import feature_parts
+
         for b in batches:
             gts = b["geom_type"].to_pylist()
-            # Arrow-native unnest (same pattern as clip/simplify): flatten
-            # the 4-level list column once; every ring below is a
-            # zero-copy view into one int64 block
-            garr = b["geom"]
-            n_parts_a = np.asarray(garr.value_lengths().fill_null(0))
-            parts_arr = garr.flatten()
-            n_rings_a = np.asarray(parts_arr.value_lengths().fill_null(0))
-            rings_arr = parts_arr.flatten()
-            n_pts_a = np.asarray(rings_arr.value_lengths().fill_null(0))
-            coords = rings_arr.flatten()
-            n_coords = np.asarray(coords.value_lengths().fill_null(0))
-            if len(n_coords) and not np.all(n_coords == 2):
-                raise ValueError("every geometry point must be an [x, y] pair")
-            flat = np.asarray(coords.flatten(), dtype=np.int64).reshape(-1, 2)
-            ring_starts = np.concatenate(([0], np.cumsum(n_pts_a)))
-            pi = ri = 0
+            # shared Arrow-native unnest (arrow_geom.feature_parts); every
+            # ring below is a zero-copy view into one int64 block
             streams = []
-            for f, gt in enumerate(gts):
-                parts = []
-                for _ in range(n_parts_a[f]):
-                    nr = n_rings_a[pi]
-                    pi += 1
-                    parts.append(
-                        [
-                            flat[ring_starts[ri + r] : ring_starts[ri + r + 1]]
-                            for r in range(nr)
-                        ]
-                    )
-                    ri += nr
+            for gt, parts in zip(gts, feature_parts(b["geom"], np.int64)):
                 if gt == GEOM_POINT:
                     all_rings = [r for part in parts for r in part if len(r)]
                     g = (
