@@ -10,6 +10,17 @@ way, so the offset walk lives here once.
 from __future__ import annotations
 
 import numpy as np
+import pyarrow as pa
+
+
+def _unwrap(arr):
+    """(per-slot lengths, flattened child) for one list level. Empty
+    arrays short-circuit WITHOUT calling compute kernels: Spark's Arrow
+    stream can ship an empty child with no offsets buffer, and
+    value_lengths/flatten on that segfault the worker (pyarrow 16)."""
+    if len(arr) == 0:
+        return np.zeros(0, dtype=np.int64), pa.array([], type=arr.type.value_type)
+    return np.asarray(arr.value_lengths().fill_null(0)), arr.flatten()
 
 
 def feature_parts(garr, dtype=np.float64, transform=None):
@@ -21,16 +32,13 @@ def feature_parts(garr, dtype=np.float64, transform=None):
     ring after it. `transform`, when given, maps the whole (n, 2) flat
     block once before slicing (e.g. a batch-level projection) — far
     cheaper than transforming ring by ring."""
-    n_parts = np.asarray(garr.value_lengths().fill_null(0))
-    parts_arr = garr.flatten()
-    n_rings = np.asarray(parts_arr.value_lengths().fill_null(0))
-    rings_arr = parts_arr.flatten()
-    n_pts = np.asarray(rings_arr.value_lengths().fill_null(0))
-    coords = rings_arr.flatten()
-    n_coords = np.asarray(coords.value_lengths().fill_null(0))
+    n_parts, parts_arr = _unwrap(garr)
+    n_rings, rings_arr = _unwrap(parts_arr)
+    n_pts, coords = _unwrap(rings_arr)
+    n_coords, values = _unwrap(coords)
     if len(n_coords) and not np.all(n_coords == 2):
         raise ValueError("every geometry point must be an [x, y] pair")
-    flat = np.asarray(coords.flatten(), dtype=dtype).reshape(-1, 2)
+    flat = np.asarray(values, dtype=dtype).reshape(-1, 2)
     if transform is not None:
         flat = transform(flat)
     ring_starts = np.concatenate(([0], np.cumsum(n_pts)))
