@@ -16,7 +16,12 @@ Algorithms (both the planet-standard choices for rectangular clips):
   clipped independently (valid because the clip region is convex), rings
   that collapse below 4 closed points drop, parts whose exterior drops
   are dropped whole — mirroring simplify.py / the decoder's
-  degenerate-ring rejection;
+  degenerate-ring rejection. Known S-H property: a CONCAVE polygon whose
+  pieces straddle a tile corner comes back as one ring joined by
+  zero-area edges along the clip boundary rather than separate rings —
+  area-exact and render-correct under the even-odd/nonzero fill rules
+  MVT renderers use, but consumers counting disjoint pieces should split
+  on those boundary-collinear connectors;
 * polylines: Liang-Barsky per segment (vectorized over the segments of a
   part), contiguous surviving segments re-chain into sub-polylines, so
   one world line becomes k clipped lines in a tile (a Multi* is just more
