@@ -253,3 +253,25 @@ def test_boundary_lattice_ownership_no_duplication(spark):
     lgot = [(r.tile_x, r.tile_y, r.geom) for r in clip_features(ldf, z=z, projection="equirect").collect()]
     assert [(t[0], t[1]) for t in lgot] == [(1, 0)]
     assert all(p[0] == 0 for p in lgot[0][2][0][0])  # local x == 0 in the owner
+
+
+def test_clip_webmercator_agrees_with_tile_math(spark):
+    """Points clipped under the production webmercator projection land in
+    exactly the tile functions/tiles.py assigns them (the engine's one
+    source of truth for the grid)."""
+    from vectortiles_spark.functions.tiles import tile_xy_np
+
+    rng = np.random.Generator(np.random.PCG64(6))
+    lon = rng.uniform(-179.9, 179.9, 40)
+    lat = rng.uniform(-84.0, 84.0, 40)
+    df = spark.createDataFrame(
+        [
+            ("p", GEOM_POINT, i, [[[[float(lon[i]), float(lat[i])]]]])
+            for i in range(40)
+        ],
+        "layer string, geom_type int, feature_id long, geom array<array<array<array<double>>>>",
+    )
+    z = 5
+    got = {r.feature_id: (r.tile_x, r.tile_y) for r in clip_features(df, z=z).collect()}
+    tx, ty = tile_xy_np(lon, lat, z)
+    assert got == {i: (int(tx[i]), int(ty[i])) for i in range(40)}
