@@ -510,6 +510,53 @@ ORDER BY feature_id, tile_x, tile_y
 """
 
 
+def q_clip_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point tile-ownership semantics of clip_features under the value
+    oracle: lattice points INCLUDING exact tile boundaries and the world
+    edge (px = (k mod 17)*1024, py = (k mod 33)*512 at z=2, span 16384 —
+    multiples of 4096 land on boundaries; 16384 is the world edge).
+    Exact tiling (buffer_px=0) assigns the high edge to the next tile,
+    except the world edge which the last tile keeps — in SQL that is
+    simply least(px // 4096, 3). Local coords are px - 4096*tile."""
+    from ..operators.clip import clip_features
+
+    (cust,) = load(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    px = F.pmod(k, F.lit(17)) * 1024
+    py = F.pmod(k, F.lit(33)) * 512
+    lon = px.cast("double") * 360.0 / 16384.0 - 180.0
+    lat = 85.0 - py.cast("double") * 170.0 / 16384.0
+    df = cust.select(
+        F.lit("pts").alias("layer"),
+        F.lit(1).cast("int").alias("geom_type"),
+        k.alias("feature_id"),
+        F.array(F.array(F.array(F.array(lon, lat)))).alias("geom"),
+    )
+    clipped = clip_features(df, z=2, projection="equirect")
+    return clipped.select(
+        "feature_id",
+        "tile_x",
+        "tile_y",
+        F.col("geom")[0][0][0][0].alias("local_x"),
+        F.col("geom")[0][0][0][1].alias("local_y"),
+    ).orderBy("feature_id")
+
+
+Q_CLIP_POINTS_SQL = """
+WITH pts AS (
+  SELECT c_custkey AS feature_id,
+         (c_custkey % 17) * 1024 AS px, (c_custkey % 33) * 512 AS py
+  FROM customer
+)
+SELECT feature_id,
+       least(px // 4096, 3)::INT AS tile_x,
+       least(py // 4096, 3)::INT AS tile_y,
+       (px - 4096 * least(px // 4096, 3))::BIGINT AS local_x,
+       (py - 4096 * least(py // 4096, 3))::BIGINT AS local_y
+FROM pts ORDER BY feature_id
+"""
+
+
 def q_pip_rect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-polygon join against a broadcast set of axis-aligned boxes
     (the coarse stage of the spatial hash join; exact ray-cast refinement
