@@ -275,3 +275,32 @@ def test_clip_webmercator_agrees_with_tile_math(spark):
     got = {r.feature_id: (r.tile_x, r.tile_y) for r in clip_features(df, z=z).collect()}
     tx, ty = tile_xy_np(lon, lat, z)
     assert got == {i: (int(tx[i]), int(ty[i])) for i in range(40)}
+
+
+def test_line_near_edge_rounds_onto_boundary_not_lost(spark):
+    """A line 0.3 px INSIDE a tile's high edge rounds onto the boundary;
+    it must stay with the tile that clipped it (the neighbor's unrounded
+    clip drops it), not vanish from both."""
+    z = 1
+    px = np.array([EXT - 0.3, EXT - 0.3])
+    py = np.array([100.0, 900.0])
+    lon, lat = _px_to_lonlat(px, py, z)
+    df = spark.createDataFrame(
+        [("r", GEOM_LINESTRING, 1, [[[[float(a), float(b)] for a, b in zip(lon, lat)]]])],
+        "layer string, geom_type int, feature_id long, geom array<array<array<array<double>>>>",
+    )
+    got = [(r.tile_x, r.tile_y) for r in clip_features(df, z=z, projection="equirect").collect()]
+    assert got == [(0, 0)]
+
+
+def test_empty_exterior_does_not_promote_hole(spark):
+    """A polygon part whose exterior ring is empty must drop whole — the
+    first hole must NOT be promoted to exterior position."""
+    hole = np.array([[100.0, 100.0], [100.0, 200.0], [200.0, 200.0], [100.0, 100.0]])  # CCW-ish
+    lon, lat = _px_to_lonlat(hole[:, 0], hole[:, 1], 1)
+    ring = [[float(a), float(b)] for a, b in zip(lon, lat)]
+    df = spark.createDataFrame(
+        [("p", GEOM_POLYGON, 1, [[[], ring]])],
+        "layer string, geom_type int, feature_id long, geom array<array<array<array<double>>>>",
+    )
+    assert clip_features(df, z=1, projection="equirect").collect() == []

@@ -157,3 +157,18 @@ def test_simplify_geoms_e2e_through_encode(spark):
         for layer in codec.decode_tile(t.mvt).values():
             n_feats += len(layer.features)
     assert n_feats == 40
+
+
+def test_zero_area_ring_and_zero_length_line_dropped():
+    """Degenerate outputs are dropped, not emitted: a ring that
+    simplifies to zero area (would corrupt the decoder's sign-based
+    exterior/hole grouping) and a 2-point line whose endpoints round to
+    one vertex."""
+    from vectortiles_spark.operators.simplify import simplify_ring
+
+    flat = [[0, 0], [1000, 0], [-500, 0.4], [0, 2], [0, 0]]
+    assert simplify_ring(flat, 10.0, closed=True) is None
+    assert simplify_ring([[5.4, 5.0], [4.6, 5.0]], 1.0, closed=False) is None
+    # a real square still survives
+    sq = [[0, 0], [100, 0], [100, 100], [0, 100], [0, 0]]
+    assert simplify_ring(sq, 1.0, closed=True) == sq

@@ -26,10 +26,10 @@ def _unwrap(arr):
 def feature_parts(garr, dtype=np.float64, transform=None):
     """Yield, per feature row of the Arrow list column `garr`, its parts
     as ``[[ring_view, ...], ...]`` where every ring view is a zero-copy
-    (k, 2) slice of one flattened `dtype` block. Null lists at any level
-    count as empty. Raises when any innermost point is not an
-    [x, y] pair — a malformed row would otherwise silently shear every
-    ring after it. `transform`, when given, maps the whole (n, 2) flat
+    (k, 2) slice of one flattened `dtype` block. Null lists at the
+    feature/part/ring levels count as empty; a null or non-pair at the
+    innermost POINT level is fatal (raises ValueError for the batch) —
+    a malformed point would otherwise silently shear every ring after it. `transform`, when given, maps the whole (n, 2) flat
     block once before slicing (e.g. a batch-level projection) — far
     cheaper than transforming ring by ring."""
     n_parts, parts_arr = _unwrap(garr)

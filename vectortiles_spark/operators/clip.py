@@ -142,6 +142,10 @@ def clip_polyline(pts: np.ndarray, x0: float, y0: float, x1: float, y1: float):
     t0 = np.clip(tmin, 0.0, 1.0)
     t1 = np.clip(tmax, 0.0, 1.0)
     ok = t0 < t1  # strict: zero-length survivors add nothing
+    if ok.all() and not t0.any() and (t1 == 1.0).all():
+        # fully inside: the common case for features spanning few tiles —
+        # skip the per-segment chaining loop entirely
+        return [pts.astype(np.float64)]
     out = []
     cur: list[np.ndarray] = []
     for i in range(len(a)):
@@ -252,12 +256,13 @@ def clip_features(
                 zip(layers, gts, fids),
                 feature_parts(b[geom_col], np.float64, transform=project_block),
             ):
-                proj_parts = [
-                    pr for pr in ([r for r in part if len(r)] for part in raw_parts) if pr
-                ]
-                if not proj_parts:
+                # drop only ring-less parts; EMPTY rings keep their slot —
+                # filtering them would promote a polygon's first hole into
+                # exterior position when the exterior ring is empty/null
+                proj_parts = [part for part in raw_parts if len(part)]
+                if not any(len(r) for part in proj_parts for r in part):
                     continue
-                allpts = np.concatenate([r for p in proj_parts for r in p])
+                allpts = np.concatenate([r for p in proj_parts for r in p if len(r)])
                 # clamp BOTH ends into [0, n): geometry exactly on the
                 # world east/south edge has floor(span/extent) == n, and
                 # an unclamped lo would empty the range and drop it
@@ -295,15 +300,18 @@ def clip_features(
                         elif gt == GEOM_LINESTRING:
                             for part in proj_parts:
                                 for sub in clip_polyline(part[0], x0, y0, x1, y1):
-                                    loc = _localize_line(sub, ox, oy)
-                                    if loc is None:
-                                        continue
-                                    arr = np.asarray(loc)
-                                    if (open_hi_x and (arr[:, 0] == extent).all()) or (
-                                        open_hi_y and (arr[:, 1] == extent).all()
+                                    # edge ownership decided on the UNROUNDED
+                                    # floats: a line 0.3 px inside the edge
+                                    # rounds onto it, but the neighbor's clip
+                                    # (also unrounded) would drop it — testing
+                                    # rounded coords lost such lines entirely
+                                    if (open_hi_x and (sub[:, 0] == x1).all()) or (
+                                        open_hi_y and (sub[:, 1] == y1).all()
                                     ):
-                                        continue  # lives on the high edge: the neighbor owns it
-                                    out_parts.append([loc])
+                                        continue  # exactly on the high edge: the neighbor owns it
+                                    loc = _localize_line(sub, ox, oy)
+                                    if loc is not None:
+                                        out_parts.append([loc])
                         elif gt == GEOM_POLYGON:
                             for part in proj_parts:
                                 rings = []

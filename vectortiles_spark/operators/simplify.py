@@ -77,17 +77,35 @@ def dp_keep_mask(pts: np.ndarray, tol: float) -> np.ndarray:
     return keep
 
 
+def _to_int_pts(ring) -> np.ndarray:
+    """Round (never truncate) to the integer grid and collapse consecutive
+    duplicates that sub-pixel rounding creates — a zero-length LineTo or a
+    doubled ring vertex is forbidden downstream."""
+    pts = np.rint(np.asarray(ring, dtype=np.float64)).astype(np.int64).reshape(-1, 2)
+    if len(pts) > 1:
+        keep = np.concatenate(([True], np.any(pts[1:] != pts[:-1], axis=1)))
+        pts = pts[keep]
+    return pts
+
+
 def simplify_ring(ring: list, tol: float, closed: bool) -> list | None:
     """Simplify one point list. Returns None when the result is too
-    degenerate to encode (ring < 4 closed points / line < 2 points)."""
-    pts = np.rint(np.asarray(ring, dtype=np.float64)).astype(np.int64).reshape(-1, 2)
+    degenerate to encode: ring < 4 closed points or ZERO AREA (the
+    decoder groups polygons by ring-area sign, so an area-0 ring — e.g. a
+    collinear out-and-back spur the segment-distance metric rightly keeps
+    — would corrupt exterior/hole classification), line < 2 points after
+    duplicate collapse."""
+    pts = _to_int_pts(ring)
     if len(pts) <= 2:
-        return pts.tolist() if (not closed and len(pts) >= 2) else None
+        return pts.tolist() if (not closed and len(pts) == 2) else None
     kept = pts[dp_keep_mask(pts, tol)]
     if closed:
         # input rings are closed (first == last); DP keeps both endpoints,
         # so closure survives by construction
         if len(kept) < 4:
+            return None
+        x, y = kept[:-1, 0], kept[:-1, 1]
+        if np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)) == 0:
             return None
     elif len(kept) < 2:
         return None
@@ -101,14 +119,9 @@ def simplify_parts(geom_type: int, parts: list | None, tol: float) -> list:
     if geom_type == GEOM_POINT:
         # pass through, normalized to int lists (inputs may arrive as
         # float ndarray views from the Arrow unnest; round, don't
-        # truncate, in case a double-typed geom carries fractions)
-        return [
-            [
-                np.rint(np.asarray(r, dtype=np.float64)).astype(np.int64).reshape(-1, 2).tolist()
-                for r in part
-            ]
-            for part in parts
-        ]
+        # truncate, in case a double-typed geom carries fractions —
+        # consecutive-duplicate collapse is a no-op for distinct points)
+        return [[_to_int_pts(r).tolist() for r in part] for part in parts]
     out_parts = []
     if geom_type == GEOM_LINESTRING:
         for part in parts:
