@@ -304,3 +304,21 @@ def test_empty_exterior_does_not_promote_hole(spark):
         "layer string, geom_type int, feature_id long, geom array<array<array<array<double>>>>",
     )
     assert clip_features(df, z=1, projection="equirect").collect() == []
+
+
+def test_clip_polyline_partitions_length_across_grid():
+    """Clipping the same polyline against every tile of a grid must
+    PARTITION its length: no double-counted overlaps, no boundary gaps
+    (random floats never land exactly on a boundary)."""
+    rng = np.random.Generator(np.random.PCG64(13))
+    for _ in range(10):
+        pts = rng.uniform(0, 2000, size=(30, 2))
+        seg = pts[1:] - pts[:-1]
+        total = np.sqrt((seg**2).sum(1)).sum()
+        clipped = 0.0
+        for tx in range(4):
+            for ty in range(4):
+                for sub in clip_polyline(pts, tx * 500, ty * 500, (tx + 1) * 500, (ty + 1) * 500):
+                    d = sub[1:] - sub[:-1]
+                    clipped += np.sqrt((d**2).sum(1)).sum()
+        assert abs(clipped - total) < 1e-6 * total
