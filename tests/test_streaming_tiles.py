@@ -90,3 +90,40 @@ def test_sql_snippets_match_column_math(spark):
         F.col("lon").cast("bigint").alias("zz"),
     ).collect()
     assert [(r.tx, r.ty, r.zz) for r in sql] == [(r.tx, r.ty, r.zz) for r in col]
+
+
+def test_clip_simplify_compose_with_streaming(spark, tmp_path):
+    """The geometry passes (clip -> simplify -> geom_features) are
+    stateless mapInArrow transforms, so they compose into Structured
+    Streaming unchanged: a file-source stream of world lines produces
+    exactly the batch result."""
+    from vectortiles_spark.operators.clip import clip_features
+    from vectortiles_spark.operators.simplify import simplify_geoms
+    from vectortiles_spark.sources.synth import LINES_SCHEMA, lines_df
+
+    src = str(tmp_path / "lines_src")
+    lines_df(spark, 300, seed=11).repartition(3).write.parquet(src)
+
+    def transform(df):
+        return tiling.geom_features(
+            simplify_geoms(clip_features(df, z=6, buffer_px=4), tolerance=6.0)
+        )
+
+    stream = spark.readStream.schema(LINES_SCHEMA).parquet(src)
+    q = (
+        transform(stream)
+        .writeStream.format("memory")
+        .queryName("clip_stream")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql(
+        "select tile_x, tile_y, feature_id, geom_cmds from clip_stream"
+    ).collect()
+    want = transform(spark.read.parquet(src)).select(
+        "tile_x", "tile_y", "feature_id", "geom_cmds"
+    ).collect()
+    key = lambda r: (r.tile_x, r.tile_y, r.feature_id, tuple(r.geom_cmds))
+    assert sorted(map(key, got)) == sorted(map(key, want)) and len(want) > 300
