@@ -322,3 +322,42 @@ def test_clip_polyline_partitions_length_across_grid():
                     d = sub[1:] - sub[:-1]
                     clipped += np.sqrt((d**2).sum(1)).sum()
         assert abs(clipped - total) < 1e-6 * total
+
+
+def test_clip_polygon_exact_concave_star_area_conservation():
+    """The exact clipper conserves area for CONCAVE simple polygons whose
+    tile intersections disconnect — the case naive S-H double-winds.
+    Star-shaped polygons (sorted angles, random radii) are always simple;
+    every piece must itself have positive area and the per-tile pieces
+    must sum to the whole."""
+    from hypothesis import given, settings, strategies as st
+
+    from vectortiles_spark.operators.clip import clip_polygon_exact
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.integers(0, 2**32 - 1))
+    def run(seed):
+        rng = np.random.Generator(np.random.PCG64(seed))
+        k = int(rng.integers(4, 16))
+        # equally-spaced jittered angles keep every wedge < pi, which
+        # (with positive radii) guarantees the radial polygon is SIMPLE —
+        # raw sorted-uniform angles can produce self-intersections when a
+        # gap exceeds pi (found by this very test)
+        ang = (np.arange(k) + rng.uniform(0.05, 0.95, k)) * (2 * np.pi / k)
+        rad = rng.uniform(50, 900, k)
+        cx, cy = rng.uniform(200, 800, 2)
+        hull = np.column_stack([cx + rad * np.cos(ang), cy + rad * np.sin(ang)])
+        total = _shoelace(hull)
+        clipped = 0.0
+        for gx in range(-2, 4):
+            for gy in range(-2, 4):
+                for piece in clip_polygon_exact(
+                    [hull], gx * 500, gy * 500, (gx + 1) * 500, (gy + 1) * 500
+                ):
+                    for ri, r in enumerate(piece):
+                        a = _shoelace(r)
+                        assert a > 0 or ri > 0, (seed, "non-positive exterior")
+                        clipped += a if ri == 0 else -a
+        assert abs(clipped - total) < 1e-6 * max(total, 1.0), (seed, clipped, total)
+
+    run()

@@ -11,17 +11,20 @@ tile rectangle, and emit tile-local integer geometry ready for
 ``geom_features`` -> ``encode_tiles``.
 
 Algorithms (both the planet-standard choices for rectangular clips):
-* polygons: Sutherland-Hodgman against the 4 half-planes, each pass a
-  vectorized NumPy interleave (no per-vertex Python); every ring is
-  clipped independently (valid because the clip region is convex), rings
-  that collapse below 4 closed points drop, parts whose exterior drops
-  are dropped whole — mirroring simplify.py / the decoder's
-  degenerate-ring rejection. Known S-H property: a CONCAVE polygon whose
-  pieces straddle a tile corner comes back as one ring joined by
-  zero-area edges along the clip boundary rather than separate rings —
-  area-exact and render-correct under the even-odd/nonzero fill rules
-  MVT renderers use, but consumers counting disjoint pieces should split
-  on those boundary-collinear connectors;
+* polygons: EXACT multi-piece clipping via sequential half-plane
+  SPLITTING (clip_polygon_exact): per half-plane, every ring's kept arcs
+  are collected, the crossing points of all rings sorted along the cut
+  line pair up by Jordan parity into the line intervals interior to the
+  polygon, and arcs stitch through those connectors into separate simple
+  rings. A concave polygon whose tile intersection is disconnected
+  therefore comes back as genuinely separate polygons with exact total
+  area — naive per-ring Sutherland-Hodgman (still available as
+  ``clip_ring``, and the documented fallback for non-simple input)
+  bridges such pieces with interior chords and double-winds the area.
+  Holes split/merge by the same parity and regroup to the exterior piece
+  containing them; rings that collapse below 4 closed points or to zero
+  area drop, parts whose exterior drops are dropped whole — mirroring
+  simplify.py / the decoder's degenerate-ring rejection;
 * polylines: Liang-Barsky per segment (vectorized over the segments of a
   part), contiguous surviving segments re-chain into sub-polylines, so
   one world line becomes k clipped lines in a tile (a Multi* is just more
@@ -120,6 +123,161 @@ def clip_ring(ring_px: np.ndarray, x0: float, y0: float, x1: float, y1: float):
     r = _clip_ring_halfplane(r, 1, y0, keep_le=False)
     r = _clip_ring_halfplane(r, 1, y1, keep_le=True)
     return r
+
+
+def _ring_arcs(ring: np.ndarray, axis: int, bound: float, keep_le: bool):
+    """Split one open ring into its maximal arcs on the KEPT side of the
+    half-plane. Each arc starts and ends with a crossing point exactly ON
+    the boundary line. Returns ([], fully_inside) where fully_inside=True
+    means the whole ring is on the kept side (caller passes it through).
+    Points exactly on the line count as inside; arcs that lie entirely ON
+    the line (tangent touches, collinear grazes) are topologically void
+    and dropped so they cannot corrupt the crossing parity."""
+    vals = ring[:, axis]
+    inside = vals <= bound if keep_le else vals >= bound
+    if inside.all():
+        return [], True
+    if not inside.any():
+        return [], False
+    k = int(np.argmin(inside))  # rotate to start at an outside vertex
+    r = np.roll(ring, -k, axis=0)
+    ins = np.roll(inside, -k)
+    n = len(r)
+
+    def cross(i, j):
+        t = (bound - r[i, axis]) / (r[j, axis] - r[i, axis])
+        c = r[i] + t * (r[j] - r[i])
+        c[axis] = bound
+        return c
+
+    arcs = []
+    cur = None
+    for i in range(n):
+        j = (i + 1) % n
+        if not ins[i] and ins[j]:
+            cur = [cross(i, j), r[j]]
+        elif ins[i] and ins[j]:
+            cur.append(r[j])
+        elif ins[i] and not ins[j]:
+            cur.append(cross(i, j))
+            a = np.asarray(cur)
+            if not np.all(a[:, axis] == bound):  # drop on-line-only arcs
+                arcs.append(a)
+            cur = None
+    return arcs, False
+
+
+def _split_rings_halfplane(rings: list, axis: int, bound: float, keep_le: bool):
+    """Clip a consistently-wound simple-polygon boundary (all rings of one
+    part: exterior + holes) by a half-plane, SPLITTING into the correct
+    set of simple rings. Crossing points of ALL rings sorted along the
+    boundary line pair up (0-1, 2-3, ...) as the line intervals interior
+    to the polygon (Jordan parity); each pair joins an arc end to an arc
+    start, and walking arc -> connector -> arc stitches the output rings.
+    This is what naive Sutherland-Hodgman gets wrong for concave parts
+    whose intersection is disconnected: S-H bridges pieces with interior
+    chords and double-winds the area."""
+    out = []
+    arcs = []
+    for ring in rings:
+        a, fully_inside = _ring_arcs(ring, axis, bound, keep_le)
+        if fully_inside:
+            out.append(ring)
+        arcs.extend(a)
+    if not arcs:
+        return out
+    other = 1 - axis
+    events = []  # (s, is_end, arc_id)
+    for aid, a in enumerate(arcs):
+        events.append((a[0, other], False, aid))
+        events.append((a[-1, other], True, aid))
+    events.sort(key=lambda e: (e[0], e[1]))
+    if len(events) % 2:
+        raise ValueError("unpaired crossing (degenerate geometry)")
+    next_arc = {}
+    for i in range(0, len(events), 2):
+        (s1, end1, a1), (s2, end2, a2) = events[i], events[i + 1]
+        if end1 == end2:
+            raise ValueError("crossing parity violated (degenerate geometry)")
+        if end1:
+            next_arc[a1] = a2
+        else:
+            next_arc[a2] = a1
+    used = set()
+    for start in range(len(arcs)):
+        if start in used:
+            continue
+        pts = [arcs[start]]
+        used.add(start)
+        cur = next_arc[start]
+        while cur != start:
+            if cur in used:
+                raise ValueError("arc revisited (degenerate geometry)")
+            used.add(cur)
+            pts.append(arcs[cur])
+            cur = next_arc[cur]
+        out.append(np.concatenate(pts))
+    return out
+
+
+def _ring_signed_area(r: np.ndarray) -> float:
+    x, y = r[:, 0], r[:, 1]
+    return 0.5 * float(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+
+
+def clip_polygon_exact(rings: list, x0: float, y0: float, x1: float, y1: float):
+    """Clip one polygon part (open exterior ring + open hole rings, any
+    winding) against a rectangle, EXACTLY: disconnected pieces come back
+    as separate polygons, holes split/merge correctly via crossing
+    parity. Returns a list of parts, each ``[exterior, hole, ...]`` open
+    float rings with the input exterior's winding. Falls back to plain
+    per-ring Sutherland-Hodgman only if a degenerate crossing pattern
+    defeats the parity pairing (non-simple input)."""
+    if not rings or len(rings[0]) < 3:
+        return []
+    # canonicalize to a FIXED internal convention — exterior positive,
+    # holes negative (the parity pairing needs consistent orientation and
+    # the output grouping keys on the sign); flip back on return so the
+    # caller keeps its winding
+    flip = _ring_signed_area(rings[0]) < 0
+    canon = []
+    for k, r in enumerate(rings):
+        rr = r[::-1] if flip else r
+        a = _ring_signed_area(rr)
+        if (a > 0) != (k == 0) and a != 0:
+            rr = rr[::-1]
+        canon.append(rr)
+    try:
+        cur = canon
+        for axis, bound, keep_le in (
+            (0, x0, False), (0, x1, True), (1, y0, False), (1, y1, True),
+        ):
+            cur = _split_rings_halfplane(cur, axis, bound, keep_le)
+            if not cur:
+                return []
+    except ValueError:
+        # degenerate/non-simple input: best-effort S-H per ring
+        sh = [clip_ring(r, x0, y0, x1, y1) for r in canon]
+        sh = [r for r in sh if len(r) >= 3]
+        if not sh or _ring_signed_area(sh[0]) == 0:
+            return []
+        return [[r[::-1] if flip else r for r in sh]]
+    # group: positive rings are exteriors, negatives are holes of the
+    # exterior containing them
+    exts = [r for r in cur if _ring_signed_area(r) > 0]
+    holes = [r for r in cur if _ring_signed_area(r) < 0]
+    from ..mvt.geometry import points_in_ring
+
+    parts = [[e] for e in exts]
+    for h in holes:
+        for gi, e in enumerate(exts):
+            closed = np.concatenate([e, e[:1]])
+            if points_in_ring(h[:1, 0], h[:1, 1], closed)[0]:
+                parts[gi].append(h)
+                break
+    if flip:
+        parts = [[r[::-1] for r in part] for part in parts]
+    return parts
 
 
 def clip_polyline(pts: np.ndarray, x0: float, y0: float, x1: float, y1: float):
@@ -314,18 +472,31 @@ def clip_features(
                                         out_parts.append([loc])
                         elif gt == GEOM_POLYGON:
                             for part in proj_parts:
-                                rings = []
-                                for k, ring in enumerate(part):
-                                    open_ring = ring[:-1] if len(ring) > 1 and np.array_equal(ring[0], ring[-1]) else ring
-                                    c = clip_ring(open_ring, x0, y0, x1, y1)
-                                    loc = _localize_ring(c, ox, oy) if len(c) else None
-                                    if k == 0 and loc is None:
-                                        rings = None  # exterior gone: drop part
-                                        break
-                                    if loc is not None:
-                                        rings.append(loc)
-                                if rings:
-                                    out_parts.append(rings)
+                                if not len(part) or len(part[0]) == 0:
+                                    continue  # empty/null exterior: drop part
+                                open_rings = [
+                                    ring[:-1]
+                                    if len(ring) > 1 and np.array_equal(ring[0], ring[-1])
+                                    else ring
+                                    for ring in part
+                                    if len(ring)
+                                ]
+                                # exact multi-piece clip: disconnected
+                                # pieces become separate parts, holes
+                                # regroup by containment (see
+                                # clip_polygon_exact — naive S-H
+                                # double-winds concave splits)
+                                for piece in clip_polygon_exact(open_rings, x0, y0, x1, y1):
+                                    rings = []
+                                    for k, r in enumerate(piece):
+                                        loc = _localize_ring(r, ox, oy)
+                                        if k == 0 and loc is None:
+                                            rings = None  # exterior gone
+                                            break
+                                        if loc is not None:
+                                            rings.append(loc)
+                                    if rings:
+                                        out_parts.append(rings)
                         else:
                             raise ValueError("Geometry type of UNKNOWN given.")
                         if not out_parts:
