@@ -361,3 +361,35 @@ def test_clip_polygon_exact_concave_star_area_conservation():
         assert abs(clipped - total) < 1e-6 * max(total, 1.0), (seed, clipped, total)
 
     run()
+
+
+def test_clip_polygon_exact_annulus_hole_handling():
+    """Square-with-square-hole (axis-aligned, integer coords) clipped by
+    rects that bisect the hole: per-piece (exterior - holes) areas are
+    integer-exact, holes regroup to the right piece, and totals match the
+    closed-form overlap difference."""
+    from vectortiles_spark.operators.clip import clip_polygon_exact
+
+    ext = _rect_ring(100, 100, 900, 900)            # CCW (positive here)
+    hole = _rect_ring(300, 300, 700, 700)[::-1]     # opposite winding
+    def area_of(pieces):
+        tot = 0.0
+        for p in pieces:
+            tot += _shoelace(p[0]) - sum(_shoelace(h) for h in p[1:])
+        return tot
+    # clip rect bisects the hole vertically: each half keeps an L-shaped
+    # region = ext-overlap minus hole-overlap
+    left = clip_polygon_exact([ext, hole], 0, 0, 500, 1000)
+    assert area_of(left) == (500 - 100) * 800 - (500 - 300) * 400
+    right = clip_polygon_exact([ext, hole], 500, 0, 1000, 1000)
+    assert area_of(right) == (900 - 500) * 800 - (700 - 500) * 400
+    # clip rect strictly inside the hole -> nothing
+    assert clip_polygon_exact([ext, hole], 400, 400, 600, 600) == []
+    # clip rect containing everything -> unchanged, hole still attached
+    whole = clip_polygon_exact([ext, hole], 0, 0, 1000, 1000)
+    assert len(whole) == 1 and len(whole[0]) == 2
+    assert area_of(whole) == 800 * 800 - 400 * 400
+    # clip rect inside the solid band: plain square, no hole
+    band = clip_polygon_exact([ext, hole], 120, 120, 280, 280)
+    assert len(band) == 1 and len(band[0]) == 1
+    assert area_of(band) == 160 * 160
