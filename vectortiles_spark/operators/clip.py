@@ -51,7 +51,7 @@ import numpy as np
 import pyarrow as pa
 from pyspark.sql import DataFrame
 
-from ..mvt.geometry import GEOM_LINESTRING, GEOM_POINT, GEOM_POLYGON
+from ..mvt.geometry import GEOM_LINESTRING, GEOM_POINT, GEOM_POLYGON, points_in_ring
 from .arrow_geom import feature_parts
 
 DEFAULT_EXTENT = 4096
@@ -132,7 +132,9 @@ def _ring_arcs(ring: np.ndarray, axis: int, bound: float, keep_le: bool):
     means the whole ring is on the kept side (caller passes it through).
     Points exactly on the line count as inside; arcs that lie entirely ON
     the line (tangent touches, collinear grazes) are topologically void
-    and dropped so they cannot corrupt the crossing parity."""
+    and dropped so they cannot corrupt the crossing parity. Vectorized:
+    transitions, crossings, and run slices come from array ops — the only
+    Python loop is one iteration per ARC."""
     vals = ring[:, axis]
     inside = vals <= bound if keep_le else vals >= bound
     if inside.all():
@@ -143,27 +145,23 @@ def _ring_arcs(ring: np.ndarray, axis: int, bound: float, keep_le: bool):
     r = np.roll(ring, -k, axis=0)
     ins = np.roll(inside, -k)
     n = len(r)
-
-    def cross(i, j):
-        t = (bound - r[i, axis]) / (r[j, axis] - r[i, axis])
-        c = r[i] + t * (r[j] - r[i])
-        c[axis] = bound
-        return c
-
+    # edge i transitions when ins[i] != ins[i+1]; r[0] is outside, so
+    # transitions alternate entry, exit, entry, exit, ... with no wrap
+    trans = np.flatnonzero(ins != np.roll(ins, -1))
+    i = trans
+    j = (trans + 1) % n
+    vr = r[:, axis]
+    tt = (bound - vr[i]) / (vr[j] - vr[i])
+    cr = r[i] + tt[:, None] * (r[j] - r[i])
+    cr[:, axis] = bound
     arcs = []
-    cur = None
-    for i in range(n):
-        j = (i + 1) % n
-        if not ins[i] and ins[j]:
-            cur = [cross(i, j), r[j]]
-        elif ins[i] and ins[j]:
-            cur.append(r[j])
-        elif ins[i] and not ins[j]:
-            cur.append(cross(i, j))
-            a = np.asarray(cur)
-            if not np.all(a[:, axis] == bound):  # drop on-line-only arcs
-                arcs.append(a)
-            cur = None
+    for a_idx in range(0, len(trans), 2):
+        e_in, e_out = trans[a_idx], trans[a_idx + 1]
+        arc = np.concatenate(
+            [cr[a_idx : a_idx + 1], r[e_in + 1 : e_out + 1], cr[a_idx + 1 : a_idx + 2]]
+        )
+        if not np.all(arc[:, axis] == bound):  # drop on-line-only arcs
+            arcs.append(arc)
     return arcs, False
 
 
@@ -256,25 +254,43 @@ def clip_polygon_exact(rings: list, x0: float, y0: float, x1: float, y1: float):
             if not cur:
                 return []
     except ValueError:
-        # degenerate/non-simple input: best-effort S-H per ring
-        sh = [clip_ring(r, x0, y0, x1, y1) for r in canon]
-        sh = [r for r in sh if len(r) >= 3]
-        if not sh or _ring_signed_area(sh[0]) == 0:
+        # degenerate/non-simple input: best-effort S-H per ring, with
+        # ring ROLES preserved — if the exterior collapses the whole part
+        # drops (a surviving hole must never be promoted to exterior)
+        ext = clip_ring(canon[0], x0, y0, x1, y1)
+        if len(ext) < 3 or _ring_signed_area(ext) == 0:
             return []
+        sh = [ext] + [
+            c for r in canon[1:] if len(c := clip_ring(r, x0, y0, x1, y1)) >= 3
+        ]
         return [[r[::-1] if flip else r for r in sh]]
     # group: positive rings are exteriors, negatives are holes of the
-    # exterior containing them
+    # exterior containing them. Containment is decided by ANY hole vertex
+    # testing strictly inside (the ray cast is boundary-exclusive, so a
+    # single vertex lying exactly on a clip edge must not veto); a hole
+    # whose every vertex sits on the boundary falls back to bbox
+    # containment rather than being silently dropped
     exts = [r for r in cur if _ring_signed_area(r) > 0]
     holes = [r for r in cur if _ring_signed_area(r) < 0]
-    from ..mvt.geometry import points_in_ring
-
     parts = [[e] for e in exts]
     for h in holes:
+        assigned = False
         for gi, e in enumerate(exts):
             closed = np.concatenate([e, e[:1]])
-            if points_in_ring(h[:1, 0], h[:1, 1], closed)[0]:
+            if points_in_ring(h[:, 0], h[:, 1], closed).any():
                 parts[gi].append(h)
+                assigned = True
                 break
+        if not assigned:
+            for gi, e in enumerate(exts):
+                if (
+                    h[:, 0].min() >= e[:, 0].min()
+                    and h[:, 0].max() <= e[:, 0].max()
+                    and h[:, 1].min() >= e[:, 1].min()
+                    and h[:, 1].max() <= e[:, 1].max()
+                ):
+                    parts[gi].append(h)
+                    break
     if flip:
         parts = [[r[::-1] for r in part] for part in parts]
     return parts
@@ -354,11 +370,16 @@ def _localize_ring(r: np.ndarray, ox: float, oy: float):
         ip = ip[:-1]
     if len(ip) < 3:
         return None
-    # rounding can flatten a thin clipped sliver to collinear points; a
-    # zero-area ring would confuse the decoder's sign-based exterior/hole
-    # classification, so drop it (shoelace on the open ring)
+    # rounding can flatten a thin clipped sliver to collinear points OR
+    # flip its winding sign; either corrupts the decoder's sign-based
+    # exterior/hole grouping (polygon_from_commands: a negative ring
+    # attaches to the PRECEDING polygon), so drop the ring when the int
+    # shoelace is zero or disagrees in sign with the float ring
     x, y = ip[:, 0], ip[:, 1]
-    if np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)) == 0:
+    int_area2 = np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1))
+    fx, fy = r[:, 0], r[:, 1]
+    float_area2 = np.dot(fx, np.roll(fy, -1)) - np.dot(fy, np.roll(fx, -1))
+    if int_area2 == 0 or (int_area2 > 0) != (float_area2 > 0):
         return None
     return np.concatenate([ip, ip[:1]]).tolist()
 
@@ -391,7 +412,6 @@ def clip_features(
         raise ValueError(f"projection must be one of {sorted(_PROJECTIONS)}")
     proj = _PROJECTIONS[projection]
     n = 1 << z
-    span = n * extent
 
     def run(batches):
         for b in batches:
@@ -421,6 +441,11 @@ def clip_features(
                 if not any(len(r) for part in proj_parts for r in part):
                     continue
                 allpts = np.concatenate([r for p in proj_parts for r in p if len(r)])
+                if not np.isfinite(allpts).all():
+                    # one corrupt coordinate (NaN/inf lon/lat or a
+                    # projection-domain blowup) must drop THIS feature,
+                    # not crash the task and kill a planet-scale job
+                    continue
                 # clamp BOTH ends into [0, n): geometry exactly on the
                 # world east/south edge has floor(span/extent) == n, and
                 # an unclamped lo would empty the range and drop it
