@@ -84,6 +84,27 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.withColumn("cosine", F.round("cosine", 6)).orderBy("query_id", "rank")
 
 
+def _q_vector_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: the composed vector tiler — deterministic world
+    polylines -> clip to z=7 tiles (8 px seam buffer) -> Douglas-Peucker
+    -> command streams -> MVT blobs (per-stage value checks live in
+    q_clip_rects/q_clip_points/q_simplify_lines and the pytest battery;
+    the random-walk geometry itself is not SQL-expressible)."""
+    from vectortiles_spark.operators import tiling
+    from vectortiles_spark.operators.clip import clip_features
+    from vectortiles_spark.operators.simplify import simplify_geoms
+    from vectortiles_spark.sources.synth import lines_df
+
+    n = 1000 if "0.001" in sf_dir else 3000
+    lines = lines_df(spark, n, seed=7)
+    clipped = clip_features(lines, z=7, buffer_px=8)
+    feats = tiling.geom_features(simplify_geoms(clipped, tolerance=8.0))
+    tiles = tiling.encode_tiles(feats)
+    return tiles.select(
+        "tile_z", "tile_x", "tile_y", "n_features", F.length("mvt").alias("mvt_bytes")
+    ).orderBy("tile_x", "tile_y")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from vectortiles_spark.plans import queries as Q
     from vectortiles_spark.plans import queries_text as QT
@@ -129,6 +150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mvt_roundtrip_geoms": Q.q_mvt_roundtrip_geoms,
         "q_raster_contours": Q.q_raster_contours,
         # non-SQL-expressible (rows-only checks)
+        "q_vector_pipeline": _q_vector_pipeline,
         "q_mvt_tiles": _q_mvt_tiles,
         "q_image_invariants": _q_image_invariants,
         "q_ivf_topk": _q_ivf_topk,
