@@ -41,6 +41,12 @@ Scale shape: one ``mapInArrow`` pass, no shuffle — the downstream
 ``encode_tiles`` shuffle on (z, x, y) is where fragments meet their tile.
 Row amplification equals true tile coverage (bbox explode, then exact
 clip drops empty intersections), the same fan-out any planet tiler pays.
+
+Contract (same as pip_join, per RFC 7946 §3.1.9): geometries must NOT
+cross the antimeridian — split them into two features at lon=±180
+upstream. A crossing line/polygon fed in raw is interpreted the long way
+around the globe (its bbox spans most x tiles), which both amplifies the
+tile fan-out and draws the wrong geometry.
 """
 
 from __future__ import annotations
