@@ -393,3 +393,36 @@ def test_clip_polygon_exact_annulus_hole_handling():
     band = clip_polygon_exact([ext, hole], 120, 120, 280, 280)
     assert len(band) == 1 and len(band[0]) == 1
     assert area_of(band) == 160 * 160
+
+
+def test_clip_polygon_exact_rectilinear_masks_conserve_area():
+    """Adversarial degeneracy fuzz: random binary masks traced to
+    rectilinear multi-ring polygons (holes, and every edge collinear with
+    some clip boundary at scale 250) must conserve EXACT integer area
+    through the clipper across a 2x2 tile grid."""
+    from vectortiles_spark.operators.clip import clip_polygon_exact
+    from vectortiles_spark.operators.raster import mask_to_polygons
+
+    rng = np.random.Generator(np.random.PCG64(19))
+    for trial in range(15):
+        mask = rng.random((8, 8)) < 0.55
+        if not mask.any():
+            continue
+        scale = 250  # cell edges land exactly on the 500-px clip lines
+        truth = int(mask.sum()) * scale * scale
+        parts = mask_to_polygons(mask.astype(np.uint8), scale=scale)
+        clipped = 0.0
+        for tx in range(4):
+            for ty in range(4):
+                for part in parts:
+                    open_rings = [
+                        r[:-1] if np.array_equal(r[0], r[-1]) else r
+                        for r in (np.asarray(rr, dtype=np.float64) for rr in part)
+                    ]
+                    for piece in clip_polygon_exact(
+                        open_rings, tx * 500, ty * 500, (tx + 1) * 500, (ty + 1) * 500
+                    ):
+                        clipped += _shoelace(piece[0]) - sum(
+                            _shoelace(h) for h in piece[1:]
+                        )
+        assert clipped == truth, (trial, clipped, truth)
