@@ -426,3 +426,41 @@ def test_clip_polygon_exact_rectilinear_masks_conserve_area():
                             _shoelace(h) for h in piece[1:]
                         )
         assert clipped == truth, (trial, clipped, truth)
+
+
+def test_clip_features_concave_split_e2e(spark):
+    """A U-shaped polygon whose intersection with one tile is DISCONNECTED
+    must arrive there as two separate parts, encode, and decode back to
+    two polygons with the exact closed-form areas."""
+    z = 1
+    # U opening rightward: left bar x 1000-3000, arms reach x 3000-6000
+    # at y 500-1500 (top) and 2500-3500 (bottom); tile 1 (x >= 4096) sees
+    # only two disjoint arm tips
+    u = [
+        [1000, 500], [6000, 500], [6000, 1500], [3000, 1500],
+        [3000, 2500], [6000, 2500], [6000, 3500], [1000, 3500],
+    ]
+    pts = np.array(u, dtype=np.float64)
+    lon, lat = _px_to_lonlat(pts[:, 0], pts[:, 1], z)
+    ring = [[float(a), float(b)] for a, b in zip(lon, lat)]
+    ring.append(ring[0])
+    df = spark.createDataFrame(
+        [("u", GEOM_POLYGON, 9, [[ring]])],
+        "layer string, geom_type int, feature_id long, geom array<array<array<array<double>>>>",
+    )
+    out = {(r.tile_x, r.tile_y): r.geom for r in clip_features(df, z=z, projection="equirect").collect()}
+    assert set(out) == {(0, 0), (1, 0)}
+    # tile 1: two disjoint arm tips, each (6000-4096) x 1000
+    tile1 = out[(1, 0)]
+    assert len(tile1) == 2 and all(len(part) == 1 for part in tile1)
+    areas = sorted(_shoelace(part[0]) for part in tile1)
+    assert areas == [(6000 - 4096) * 1000] * 2
+    # tile 0: one connected C-shape
+    tile0 = out[(0, 0)]
+    assert len(tile0) == 1
+    assert _shoelace(tile0[0][0]) == (4096 - 1000) * 3000 - (4096 - 3000) * 1000
+    # and the fragments survive the real encode -> decode loop
+    tiles = tiling.encode_tiles(tiling.geom_features(clip_features(df, z=z, projection="equirect"))).collect()
+    by_tile = {(t.tile_x, t.tile_y): t for t in tiles}
+    feats = codec.decode_tile(bytes(by_tile[(1, 0)].mvt))["u"].features
+    assert len(feats) == 1 and len(feats[0].geom) == 2  # one feature, two polygons
