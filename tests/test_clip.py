@@ -464,3 +464,31 @@ def test_clip_features_concave_split_e2e(spark):
     by_tile = {(t.tile_x, t.tile_y): t for t in tiles}
     feats = codec.decode_tile(bytes(by_tile[(1, 0)].mvt))["u"].features
     assert len(feats) == 1 and len(feats[0].geom) == 2  # one feature, two polygons
+
+
+def test_clip_features_multizoom_equals_per_zoom_union(spark):
+    """clip_features(z=[1, 2, 3]) from one scan must equal the union of
+    three separate per-zoom runs, geometry included."""
+    lines = []
+    rng = np.random.Generator(np.random.PCG64(29))
+    rows = []
+    for i in range(12):
+        walk = np.cumsum(rng.integers(-300, 301, size=(20, 2)), axis=0) + 3 * EXT
+        walk = np.clip(walk, 0, 8 * EXT - 1).astype(float)
+        lon, lat = _px_to_lonlat(walk[:, 0], walk[:, 1], 3)
+        rows.append(
+            ("r", GEOM_LINESTRING, i, [[[[float(a), float(b)] for a, b in zip(lon, lat)]]])
+        )
+    df = spark.createDataFrame(
+        rows,
+        "layer string, geom_type int, feature_id long, geom array<array<array<array<double>>>>",
+    )
+    key = lambda r: (r.tile_z, r.tile_x, r.tile_y, r.feature_id,
+                     tuple(tuple(tuple(tuple(p) for p in ring) for ring in part) for part in r.geom))
+    multi = sorted(map(key, clip_features(df, z=[1, 2, 3], projection="equirect").collect()))
+    single = sorted(
+        k
+        for zz in (1, 2, 3)
+        for k in map(key, clip_features(df, z=zz, projection="equirect").collect())
+    )
+    assert multi == single and len(multi) > 36

@@ -397,7 +397,7 @@ def _localize_line(ln: np.ndarray, ox: float, oy: float):
 
 def clip_features(
     df: DataFrame,
-    z: int,
+    z,
     extent: int = DEFAULT_EXTENT,
     buffer_px: int = 0,
     projection: str = "webmercator",
@@ -413,11 +413,23 @@ def clip_features(
     ring per part). Output: one row per (feature, covered tile) with
     tile_z/tile_x/tile_y and geom in tile-local ints — feed straight
     into ``geom_features``. Features clipped away entirely emit nothing.
+
+    ``z`` may be a single zoom or a sequence of zooms: a whole tileset
+    pyramid (z0..z14) is emitted from ONE source scan and ONE projection
+    — global pixel coordinates at lower zooms are the top zoom's divided
+    by a power of two, which is exact in float64. The alternative, one
+    clip_features call per zoom, re-reads and re-projects the full
+    feature table Z times. (Pair with a per-zoom ``simplify_geoms``
+    tolerance downstream; tolerance is in tile px, so a constant value
+    already generalizes more aggressively at lower zooms in world terms.)
     """
     if projection not in _PROJECTIONS:
         raise ValueError(f"projection must be one of {sorted(_PROJECTIONS)}")
     proj = _PROJECTIONS[projection]
-    n = 1 << z
+    zs = [int(z)] if np.isscalar(z) else sorted({int(v) for v in z})
+    if not zs or zs[0] < 0:
+        raise ValueError(f"need at least one zoom >= 0, got {z!r}")
+    z_top = zs[-1]
 
     def run(batches):
         for b in batches:
@@ -433,7 +445,7 @@ def clip_features(
             # batch's flat point block in ONE vectorized call; ring views
             # below are zero-copy slices of the projected block
             def project_block(flat):
-                px, py = proj(flat[:, 0], flat[:, 1], z, extent)
+                px, py = proj(flat[:, 0], flat[:, 1], z_top, extent)
                 return np.column_stack([px, py])
 
             for (layer, gt, fid), raw_parts in zip(
@@ -452,93 +464,105 @@ def clip_features(
                     # projection-domain blowup) must drop THIS feature,
                     # not crash the task and kill a planet-scale job
                     continue
-                # clamp BOTH ends into [0, n): geometry exactly on the
-                # world east/south edge has floor(span/extent) == n, and
-                # an unclamped lo would empty the range and drop it
-                tx_lo = min(n - 1, max(0, int(math.floor((allpts[:, 0].min() - buffer_px) / extent))))
-                tx_hi = min(n - 1, max(0, int(math.floor((allpts[:, 0].max() + buffer_px) / extent))))
-                ty_lo = min(n - 1, max(0, int(math.floor((allpts[:, 1].min() - buffer_px) / extent))))
-                ty_hi = min(n - 1, max(0, int(math.floor((allpts[:, 1].max() + buffer_px) / extent))))
-                for ty in range(ty_lo, ty_hi + 1):
-                    for tx in range(tx_lo, tx_hi + 1):
-                        x0, y0 = tx * extent - buffer_px, ty * extent - buffer_px
-                        x1, y1 = (tx + 1) * extent + buffer_px, (ty + 1) * extent + buffer_px
-                        ox, oy = float(tx * extent), float(ty * extent)
-                        # exact-tiling edge ownership (buffer_px == 0): the
-                        # high edge x1/y1 belongs to the NEXT tile (same
-                        # line is its local 0), except at the world edge
-                        # where there is no next tile — otherwise
-                        # boundary-lattice points/lines emit twice. With a
-                        # buffer, duplication in the overlap band is the
-                        # documented intent.
-                        open_hi_x = buffer_px == 0 and tx < n - 1
-                        open_hi_y = buffer_px == 0 and ty < n - 1
-                        out_parts = []
-                        if gt == GEOM_POINT:
-                            for part in proj_parts:
-                                p = part[0]
-                                m = (
-                                    (p[:, 0] >= x0)
-                                    & ((p[:, 0] < x1) if open_hi_x else (p[:, 0] <= x1))
-                                    & (p[:, 1] >= y0)
-                                    & ((p[:, 1] < y1) if open_hi_y else (p[:, 1] <= y1))
-                                )
-                                if m.any():
-                                    kept = np.rint(p[m] - (ox, oy)).astype(np.int64)
-                                    out_parts.extend([[pt.tolist()]] for pt in kept)
-                        elif gt == GEOM_LINESTRING:
-                            for part in proj_parts:
-                                for sub in clip_polyline(part[0], x0, y0, x1, y1):
-                                    # edge ownership decided on the UNROUNDED
-                                    # floats: a line 0.3 px inside the edge
-                                    # rounds onto it, but the neighbor's clip
-                                    # (also unrounded) would drop it — testing
-                                    # rounded coords lost such lines entirely
-                                    if (open_hi_x and (sub[:, 0] == x1).all()) or (
-                                        open_hi_y and (sub[:, 1] == y1).all()
-                                    ):
-                                        continue  # exactly on the high edge: the neighbor owns it
-                                    loc = _localize_line(sub, ox, oy)
-                                    if loc is not None:
-                                        out_parts.append([loc])
-                        elif gt == GEOM_POLYGON:
-                            for part in proj_parts:
-                                if not len(part) or len(part[0]) == 0:
-                                    continue  # empty/null exterior: drop part
-                                open_rings = [
-                                    ring[:-1]
-                                    if len(ring) > 1 and np.array_equal(ring[0], ring[-1])
-                                    else ring
-                                    for ring in part
-                                    if len(ring)
-                                ]
-                                # exact multi-piece clip: disconnected
-                                # pieces become separate parts, holes
-                                # regroup by containment (see
-                                # clip_polygon_exact — naive S-H
-                                # double-winds concave splits)
-                                for piece in clip_polygon_exact(open_rings, x0, y0, x1, y1):
-                                    rings = []
-                                    for k, r in enumerate(piece):
-                                        loc = _localize_ring(r, ox, oy)
-                                        if k == 0 and loc is None:
-                                            rings = None  # exterior gone
-                                            break
+                x_min, y_min = allpts[:, 0].min(), allpts[:, 1].min()
+                x_max, y_max = allpts[:, 0].max(), allpts[:, 1].max()
+                for zz in zs:
+                    # lower zooms reuse the z_top projection: dividing by
+                    # a power of two is exact in float64
+                    scale = float(1 << (z_top - zz))
+                    n = 1 << zz
+                    zparts = (
+                        proj_parts
+                        if scale == 1.0
+                        else [[r / scale for r in part] for part in proj_parts]
+                    )
+                    # clamp BOTH ends into [0, n): geometry exactly on the
+                    # world east/south edge has floor(span/extent) == n, and
+                    # an unclamped lo would empty the range and drop it
+                    tx_lo = min(n - 1, max(0, int(math.floor((x_min / scale - buffer_px) / extent))))
+                    tx_hi = min(n - 1, max(0, int(math.floor((x_max / scale + buffer_px) / extent))))
+                    ty_lo = min(n - 1, max(0, int(math.floor((y_min / scale - buffer_px) / extent))))
+                    ty_hi = min(n - 1, max(0, int(math.floor((y_max / scale + buffer_px) / extent))))
+                    for ty in range(ty_lo, ty_hi + 1):
+                        for tx in range(tx_lo, tx_hi + 1):
+                            x0, y0 = tx * extent - buffer_px, ty * extent - buffer_px
+                            x1, y1 = (tx + 1) * extent + buffer_px, (ty + 1) * extent + buffer_px
+                            ox, oy = float(tx * extent), float(ty * extent)
+                            # exact-tiling edge ownership (buffer_px == 0): the
+                            # high edge x1/y1 belongs to the NEXT tile (same
+                            # line is its local 0), except at the world edge
+                            # where there is no next tile — otherwise
+                            # boundary-lattice points/lines emit twice. With a
+                            # buffer, duplication in the overlap band is the
+                            # documented intent.
+                            open_hi_x = buffer_px == 0 and tx < n - 1
+                            open_hi_y = buffer_px == 0 and ty < n - 1
+                            out_parts = []
+                            if gt == GEOM_POINT:
+                                for part in zparts:
+                                    p = part[0]
+                                    m = (
+                                        (p[:, 0] >= x0)
+                                        & ((p[:, 0] < x1) if open_hi_x else (p[:, 0] <= x1))
+                                        & (p[:, 1] >= y0)
+                                        & ((p[:, 1] < y1) if open_hi_y else (p[:, 1] <= y1))
+                                    )
+                                    if m.any():
+                                        kept = np.rint(p[m] - (ox, oy)).astype(np.int64)
+                                        out_parts.extend([[pt.tolist()]] for pt in kept)
+                            elif gt == GEOM_LINESTRING:
+                                for part in zparts:
+                                    for sub in clip_polyline(part[0], x0, y0, x1, y1):
+                                        # edge ownership decided on the UNROUNDED
+                                        # floats: a line 0.3 px inside the edge
+                                        # rounds onto it, but the neighbor's clip
+                                        # (also unrounded) would drop it — testing
+                                        # rounded coords lost such lines entirely
+                                        if (open_hi_x and (sub[:, 0] == x1).all()) or (
+                                            open_hi_y and (sub[:, 1] == y1).all()
+                                        ):
+                                            continue  # exactly on the high edge: the neighbor owns it
+                                        loc = _localize_line(sub, ox, oy)
                                         if loc is not None:
-                                            rings.append(loc)
-                                    if rings:
-                                        out_parts.append(rings)
-                        else:
-                            raise ValueError("Geometry type of UNKNOWN given.")
-                        if not out_parts:
-                            continue
-                        rows["tile_z"].append(z)
-                        rows["tile_x"].append(tx)
-                        rows["tile_y"].append(ty)
-                        rows["layer"].append(layer)
-                        rows["geom_type"].append(gt)
-                        rows["feature_id"].append(fid)
-                        rows["geom"].append(out_parts)
+                                            out_parts.append([loc])
+                            elif gt == GEOM_POLYGON:
+                                for part in zparts:
+                                    if not len(part) or len(part[0]) == 0:
+                                        continue  # empty/null exterior: drop part
+                                    open_rings = [
+                                        ring[:-1]
+                                        if len(ring) > 1 and np.array_equal(ring[0], ring[-1])
+                                        else ring
+                                        for ring in part
+                                        if len(ring)
+                                    ]
+                                    # exact multi-piece clip: disconnected
+                                    # pieces become separate parts, holes
+                                    # regroup by containment (see
+                                    # clip_polygon_exact — naive S-H
+                                    # double-winds concave splits)
+                                    for piece in clip_polygon_exact(open_rings, x0, y0, x1, y1):
+                                        rings = []
+                                        for k, r in enumerate(piece):
+                                            loc = _localize_ring(r, ox, oy)
+                                            if k == 0 and loc is None:
+                                                rings = None  # exterior gone
+                                                break
+                                            if loc is not None:
+                                                rings.append(loc)
+                                        if rings:
+                                            out_parts.append(rings)
+                            else:
+                                raise ValueError("Geometry type of UNKNOWN given.")
+                            if not out_parts:
+                                continue
+                            rows["tile_z"].append(zz)
+                            rows["tile_x"].append(tx)
+                            rows["tile_y"].append(ty)
+                            rows["layer"].append(layer)
+                            rows["geom_type"].append(gt)
+                            rows["feature_id"].append(fid)
+                            rows["geom"].append(out_parts)
             yield pa.record_batch(
                 {
                     "tile_z": pa.array(rows["tile_z"], pa.int32()),
