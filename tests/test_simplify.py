@@ -172,3 +172,29 @@ def test_zero_area_ring_and_zero_length_line_dropped():
     # a real square still survives
     sq = [[0, 0], [100, 0], [100, 100], [0, 100], [0, 0]]
     assert simplify_ring(sq, 1.0, closed=True) == sq
+
+
+def test_tolerance_by_zoom(spark):
+    """Per-zoom tolerances: the same feature at two zooms simplifies with
+    each zoom's own budget (z=2 aggressive -> endpoints only; z=4 gentle
+    -> everything survives)."""
+    zig = [[0, 0], [500, 30], [1000, 0], [1500, 30], [4000, 0]]
+    rows = [
+        (2, 0, 0, "l", GEOM_LINESTRING, 1, [[zig]]),
+        (4, 0, 0, "l", GEOM_LINESTRING, 1, [[zig]]),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "tile_z int, tile_x int, tile_y int, layer string, geom_type int, "
+        "feature_id long, geom array<array<array<array<int>>>>",
+    )
+    out = {
+        r.tile_z: r.geom[0][0]
+        for r in simplify_geoms(
+            df, tolerance=1.0, tolerance_by_zoom={2: 100.0, 4: 1.0}
+        ).collect()
+    }
+    assert [list(p) for p in out[2]] == [[0, 0], [4000, 0]]
+    assert [list(p) for p in out[4]] == zig
+    with pytest.raises(ValueError, match="tile_z"):
+        simplify_geoms(df.drop("tile_z"), 1.0, tolerance_by_zoom={2: 5.0}).collect()

@@ -146,25 +146,49 @@ def simplify_geoms(
     tolerance: float,
     geom_type_col: str = "geom_type",
     geom_col: str = "geom",
+    tolerance_by_zoom: dict | None = None,
+    zoom_col: str = "tile_z",
 ) -> DataFrame:
     """DataFrame pass: simplify the nested-array geometry column in place
     (schema unchanged). Parts/rings that collapse below the MVT minimums
     are dropped; a row whose geometry empties entirely is kept with an
     empty parts array — geom_features then emits an empty command stream
-    and the sink drops the feature, mirroring its degenerate-input path."""
+    and the sink drops the feature, mirroring its degenerate-input path.
+
+    ``tolerance_by_zoom`` maps tile_z -> tolerance for the multi-zoom
+    pyramid output of ``clip_features(z=[...])`` (tolerance is in tile
+    px, so even a constant already generalizes more aggressively at lower
+    zooms in world terms — the per-zoom map is for when a tileset spec
+    demands explicit budgets); zooms not in the map fall back to
+    ``tolerance``."""
     if tolerance < 0:
         raise ValueError(f"tolerance must be >= 0, got {tolerance}")
+    if tolerance_by_zoom:
+        bad = [z for z, t in tolerance_by_zoom.items() if t < 0]
+        if bad:
+            raise ValueError(f"negative tolerance for zooms {bad}")
+        if zoom_col not in df.columns:
+            raise ValueError(f"tolerance_by_zoom needs a {zoom_col!r} column")
 
     def run(batches):
         for b in batches:
             gts = b[geom_type_col].to_pylist()
+            if tolerance_by_zoom:
+                tols = [
+                    tolerance_by_zoom.get(z, tolerance)
+                    for z in b[zoom_col].to_pylist()
+                ]
+            else:
+                tols = None
             # shared Arrow-native unnest (arrow_geom.feature_parts): each
             # ring reaches the DP kernel as a zero-copy NumPy view —
             # to_pylist + per-ring list->array conversion dominated the
             # pass otherwise
             new = [
-                simplify_parts(gt, parts, tolerance)
-                for gt, parts in zip(gts, feature_parts(b[geom_col], np.float64))
+                simplify_parts(gt, parts, tolerance if tols is None else tols[fi])
+                for fi, (gt, parts) in enumerate(
+                    zip(gts, feature_parts(b[geom_col], np.float64))
+                )
             ]
             cols = {}
             for name in b.schema.names:
