@@ -128,6 +128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simplify_lines": Q.q_simplify_lines,
         "q_clip_rects": Q.q_clip_rects,
         "q_clip_points": Q.q_clip_points,
+        "q_geojson_roundtrip": Q.q_geojson_roundtrip,
         "q_pip_rect": Q.q_pip_rect,
         "q_knn_ring": Q.q_knn_ring,
         "q_knn_exact": Q.q_knn_exact,
@@ -179,6 +180,7 @@ def oracle_sql() -> dict[str, str]:
         "q_simplify_lines": Q.Q_SIMPLIFY_LINES_SQL,
         "q_clip_rects": Q.Q_CLIP_RECTS_SQL,
         "q_clip_points": Q.Q_CLIP_POINTS_SQL,
+        "q_geojson_roundtrip": Q.Q_GEOJSON_ROUNDTRIP_SQL,
         "q_pip_rect": Q.Q_PIP_RECT_SQL,
         "q_knn_ring": Q.Q_KNN_SQL,
         "q_knn_exact": Q.Q_KNN_EXACT_SQL,

@@ -557,6 +557,59 @@ FROM pts ORDER BY feature_id
 """
 
 
+def q_geojson_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeoJSON sink+source under the value oracle: customer points ride
+    out as RFC 7946 Feature lines and back (JVM Column algebra both
+    directions — the scan parses `coordinates` as a raw JSON subtree);
+    per-segment aggregates of the ROUNDTRIPPED frame must equal straight
+    SQL over the base table. JSON doubles are shortest-roundtrip, so the
+    reread coordinates are bit-identical and the float sums differ only
+    by summation order (absorbed by round, the proven oracle pattern)."""
+    import re
+
+    from ..sources.geojson import read_geojson, write_geojson
+
+    (cust,) = load(spark, sf_dir, "customer")
+    feats = cust.select(
+        F.lit("pts").alias("layer"),
+        F.lit(1).cast("int").alias("geom_type"),
+        F.col("c_custkey").alias("feature_id"),
+        F.create_map(F.lit("segment"), F.col("c_mktsegment")).alias("properties"),
+        F.array(
+            F.array(F.array(F.array(lon_of(F.col("c_custkey")), lat_of(F.col("c_custkey")))))
+        ).alias("geom"),
+    )
+    path = "/tmp/q_geojson_rt_" + re.sub(r"\W", "_", sf_dir)
+    write_geojson(feats, path)
+    back = read_geojson(spark, path, layer="pts")
+    return (
+        back.select(
+            F.col("properties")["segment"].alias("segment"),
+            "feature_id",
+            F.col("geom")[0][0][0][0].alias("lon"),
+            F.col("geom")[0][0][0][1].alias("lat"),
+        )
+        .groupBy("segment")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("feature_id").alias("sum_ids"),
+            F.round(F.sum("lon"), 4).alias("sum_lon"),
+            F.round(F.sum("lat"), 4).alias("sum_lat"),
+        )
+        .orderBy("segment")
+    )
+
+
+Q_GEOJSON_ROUNDTRIP_SQL = f"""
+SELECT c_mktsegment AS segment,
+       count(*) AS n,
+       sum(c_custkey)::BIGINT AS sum_ids,
+       round(sum({_sql_lon('c_custkey')}), 4) AS sum_lon,
+       round(sum({_sql_lat('c_custkey')}), 4) AS sum_lat
+FROM customer GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_pip_rect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-polygon join against a broadcast set of axis-aligned boxes
     (the coarse stage of the spatial hash join; exact ray-cast refinement
