@@ -124,6 +124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_case_pivot": Q.q_case_pivot,
         # geo (D3, D5, D6)
         "q_tile_assign": Q.q_tile_assign,
+        "q_quadkey": Q.q_quadkey,
         "q_tile_pyramid": Q.q_tile_pyramid,
         "q_simplify_lines": Q.q_simplify_lines,
         "q_clip_rects": Q.q_clip_rects,
@@ -176,6 +177,7 @@ def oracle_sql() -> dict[str, str]:
         "q_case_pivot": Q.Q_CASE_PIVOT_SQL,
         "q_mvt_roundtrip": Q.Q_MVT_ROUNDTRIP_SQL,
         "q_tile_assign": Q.Q_TILE_ASSIGN_SQL,
+        "q_quadkey": Q.Q_QUADKEY_SQL,
         "q_tile_pyramid": Q.Q_TILE_PYRAMID_SQL,
         "q_simplify_lines": Q.Q_SIMPLIFY_LINES_SQL,
         "q_clip_rects": Q.Q_CLIP_RECTS_SQL,

@@ -169,3 +169,31 @@ def test_hilbert_cell_null_propagation(spark):
         .collect()
     )
     assert got[0].h is None and got[1].h is None and got[2].h is not None
+
+
+def test_quadkey_bing_examples_and_prefix_nesting(spark):
+    """Known Bing quadkeys (learn.microsoft.com tile system examples:
+    tile (3,5) z=3 -> '213'), ancestor prefix nesting, and the TMS row
+    involution."""
+    from vectortiles_spark.functions.tiles import quadkey, tms_y
+
+    df = spark.createDataFrame(
+        [(3, 5), (0, 0), (7, 7), (4, 2)], "x int, y int"
+    )
+    rows = {(r.x, r.y): r for r in df.select(
+        "x", "y",
+        quadkey(3, F.col("x"), F.col("y")).alias("qk3"),
+        quadkey(2, F.shiftright("x", 1), F.shiftright("y", 1)).alias("qk_parent"),
+        tms_y(3, F.col("y")).alias("tms"),
+        tms_y(3, tms_y(3, F.col("y"))).alias("tms_twice"),
+    ).collect()}
+    assert rows[(3, 5)].qk3 == "213"
+    assert rows[(0, 0)].qk3 == "000"
+    assert rows[(7, 7)].qk3 == "333"
+    for r in rows.values():
+        assert r.qk3[:2] == r.qk_parent  # ancestors are prefixes
+        assert r.tms_twice == r.y        # involution
+    assert rows[(3, 5)].tms == 2
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        quadkey(0, F.col("x"), F.col("y"))

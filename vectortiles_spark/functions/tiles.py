@@ -85,6 +85,30 @@ def with_tile(df, lon="lon", lat="lat", z: int = 12, extent: int = DEFAULT_EXTEN
     )
 
 
+def quadkey(z: int, x: Column, y: Column) -> Column:
+    """Bing/Azure-style quadkey string for an XYZ tile: z base-4 digits,
+    digit i = 2*bit(y, z-1-i) + bit(x, z-1-i). Quadkeys nest by prefix —
+    a tile's ancestors are its prefixes, which makes prefix-range scans
+    the locality trick Bing-compatible stores rely on. Pure Column
+    concat of bit arithmetic (no UDF)."""
+    if z <= 0:
+        raise ValueError(f"quadkey needs z >= 1, got {z}")
+    digits = [
+        (
+            F.shiftright(y, k).bitwiseAND(F.lit(1)) * 2
+            + F.shiftright(x, k).bitwiseAND(F.lit(1))
+        ).cast("string")
+        for k in range(z - 1, -1, -1)
+    ]
+    return F.concat(*digits)
+
+
+def tms_y(z: int, y: Column) -> Column:
+    """XYZ (top-left origin, the engine's grid) <-> TMS (bottom-left,
+    OSGeo spec) row flip: involution y' = 2^z - 1 - y."""
+    return F.lit((1 << z) - 1) - y
+
+
 # zigzag as Column expressions (ref Internal.hs:221-229) — registered for SQL
 def zigzag(n: Column) -> Column:
     return F.shiftleft(n.cast("long"), 1).bitwiseXOR(F.shiftright(n.cast("long"), 63))

@@ -349,6 +349,59 @@ ORDER BY tile_x, tile_y
 """
 
 
+def q_quadkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bing/Azure quadkey addressing under the value oracle: customer
+    tiles at z=6 -> quadkey strings (pure Column bit arithmetic) and the
+    TMS row flip, aggregated by the z=3 ANCESTOR PREFIX — quadkeys nest
+    by prefix, and the oracle recomputes the same digits in SQL. The
+    prefix equals the z=3 parent's own quadkey (checked by construction:
+    digit k only reads bit k of x/y)."""
+    from ..functions.tiles import quadkey, tms_y
+
+    z = 6
+    (cust,) = load(spark, sf_dir, "customer")
+    t = cust.select(
+        eq_tile_x(lon_of(F.col("c_custkey")), z).alias("tx"),
+        eq_tile_y(lat_of(F.col("c_custkey")), z).alias("ty"),
+    )
+    qk = t.select(
+        quadkey(z, F.col("tx"), F.col("ty")).alias("qk"),
+        tms_y(z, F.col("ty")).alias("tms_row"),
+    )
+    return (
+        qk.groupBy(F.substring("qk", 1, 3).alias("prefix"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("qk").alias("min_qk"),
+            F.max("qk").alias("max_qk"),
+            F.min("tms_row").alias("min_tms_row"),
+        )
+        .orderBy("prefix")
+    )
+
+
+def _sql_quadkey_digits(z: int) -> str:
+    return " || ".join(
+        f"(((ty >> {k}) & 1) * 2 + ((tx >> {k}) & 1))::VARCHAR"
+        for k in range(z - 1, -1, -1)
+    )
+
+
+Q_QUADKEY_SQL = f"""
+WITH t AS (
+  SELECT {_sql_eq_tile_x(_sql_lon('c_custkey'), 6)} AS tx,
+         {_sql_eq_tile_y(_sql_lat('c_custkey'), 6)} AS ty
+  FROM customer
+), qk AS (
+  SELECT {_sql_quadkey_digits(6)} AS qk, 63 - ty AS tms_row FROM t
+)
+SELECT substring(qk, 1, 3) AS prefix,
+       count(*) AS n, min(qk) AS min_qk, max(qk) AS max_qk,
+       min(tms_row)::INT AS min_tms_row
+FROM qk GROUP BY 1 ORDER BY prefix
+"""
+
+
 _PYR_Z = 8
 
 
