@@ -117,3 +117,60 @@ def test_geojson_lines_is_pure_column_plan(spark):
     )
     plan = geojson_lines(df)._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "Arrow" not in plan
+
+
+def test_read_tolerates_rfc_edge_cases(spark, tmp_path):
+    """Altitude elements strip, malformed features drop (not crash),
+    string ids hash stably, numeric-string ids parse."""
+    src = _write_lines(
+        tmp_path,
+        [
+            {"type": "Feature", "id": 1, "properties": {},
+             "geometry": {"type": "Point", "coordinates": [10.0, 20.0, 5.0]}},
+            {"type": "Feature", "id": 2, "properties": {},
+             "geometry": {"type": "LineString", "coordinates": [[0, 0, 1], [1, 1, 2]]}},
+            {"type": "Feature", "id": 3, "properties": {},
+             "geometry": {"type": "Point"}},                      # no coordinates
+            {"type": "Feature", "id": 4, "properties": {},
+             "geometry": {"type": "LineString", "coordinates": [[0], [1, 1]]}},  # short position
+            {"type": "Feature", "id": "way/123abc", "properties": {},
+             "geometry": {"type": "Point", "coordinates": [1, 1]}},
+            {"type": "Feature", "id": "42", "properties": {},
+             "geometry": {"type": "Point", "coordinates": [2, 2]}},
+        ],
+    )
+    got = {r.feature_id: r for r in read_geojson(spark, src).collect()}
+    assert got[1].geom == [[[[10.0, 20.0]]]]          # altitude stripped
+    assert got[2].geom == [[[[0.0, 0.0], [1.0, 1.0]]]]
+    assert 3 not in got and 4 not in got              # malformed dropped
+    assert got[42].geom == [[[[2.0, 2.0]]]]           # numeric string parses
+    hashed = [k for k in got if k not in (1, 2, 42)]
+    assert len(hashed) == 1 and hashed[0] != 0        # string id -> stable hash
+    # and the surviving frame feeds clip without crashing
+    from vectortiles_spark.operators.clip import clip_features
+    assert clip_features(
+        read_geojson(spark, src).drop("properties"), z=2
+    ).count() >= 4
+
+
+def test_export_respects_wire_extent(spark):
+    """Tiles encoded at a non-default extent export to the same world
+    coordinates as default-extent tiles (the layer's own wire extent
+    drives the unprojection)."""
+    from vectortiles_spark.operators import tiling
+    from vectortiles_spark.operators.clip import clip_features
+    from vectortiles_spark.operators.export import tiles_to_world_features
+
+    span = (1 << 2) * 4096
+    lon, lat = 512 * 360.0 / span - 180.0, 85.0 - 512 * 170.0 / span
+    df = spark.createDataFrame(
+        [("l", 1, 1, [[[[lon, lat]]]])],
+        "layer string, geom_type int, feature_id long, geom array<array<array<array<double>>>>",
+    )
+    outs = []
+    for ext in (4096, 512):
+        clipped = clip_features(df, z=2, extent=ext, projection="equirect")
+        tiles = tiling.encode_tiles(tiling.geom_features(clipped), extent=ext)
+        (row,) = tiles_to_world_features(tiles, projection="equirect").collect()
+        outs.append(row.geom[0][0][0])
+    assert outs[0] == outs[1] == [lon, lat]

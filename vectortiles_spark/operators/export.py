@@ -23,7 +23,7 @@ import numpy as np
 import pyarrow as pa
 from pyspark.sql import DataFrame
 
-from ..mvt.geometry import GEOM_LINESTRING, GEOM_POINT, GEOM_POLYGON, geom_from_stream
+from ..mvt.geometry import GEOM_LINESTRING, GEOM_POINT, GEOM_POLYGON
 
 WORLD_SCHEMA = (
     "layer string, geom_type int, feature_id bigint, "
@@ -49,63 +49,61 @@ _UNPROJECTIONS = {"equirect": unproject_equirect, "webmercator": unproject_webme
 
 
 def tiles_to_world_features(
-    tiles: DataFrame, extent: int = 4096, projection: str = "webmercator"
+    tiles: DataFrame, projection: str = "webmercator"
 ) -> DataFrame:
     """MVT blob rows (tile_z, tile_x, tile_y, mvt) -> canonical
-    world-space feature frame. Metadata values come back stringified in
-    ``properties`` (GeoJSON properties are schemaless; the typed form
-    stays available via decode_tiles). Points decode to one part per
-    point, mirroring read_geojson's MultiPoint mapping."""
+    world-space feature frame. Blobs are decoded DIRECTLY (one wire
+    decode per tile — not decode_tiles' command-stream form, which would
+    re-encode and re-parse every geometry) and each layer's own wire
+    ``extent`` drives the unprojection, so tiles encoded at non-default
+    extents export to the right places without the caller knowing.
+    Metadata values come back stringified in ``properties`` (GeoJSON
+    properties are schemaless; the typed form stays available via
+    decode_tiles). Points decode to one part per point, mirroring
+    read_geojson's MultiPoint mapping."""
     if projection not in _UNPROJECTIONS:
         raise ValueError(f"projection must be one of {sorted(_UNPROJECTIONS)}")
     unproj = _UNPROJECTIONS[projection]
-    from .tiling import decode_tiles
-
-    feats = decode_tiles(tiles)
+    from ..mvt import codec
 
     def run(batches):
         for b in batches:
             rows = {"layer": [], "geom_type": [], "feature_id": [], "properties": [], "geom": []}
-            zs = b["tile_z"].to_pylist()
-            xs = b["tile_x"].to_pylist()
-            ys = b["tile_y"].to_pylist()
-            layers = b["layer"].to_pylist()
-            gts = b["geom_type"].to_pylist()
-            fids = b["feature_id"].to_pylist()
-            metas = b["meta"].to_pylist()
-            streams = b["geom_cmds"].to_pylist()
-            for z, x, y, layer, gt, fid, meta, stream in zip(
-                zs, xs, ys, layers, gts, fids, metas, streams
+            for z, x, y, raw in zip(
+                b["tile_z"].to_pylist(), b["tile_x"].to_pylist(),
+                b["tile_y"].to_pylist(), b["mvt"].to_pylist(),
             ):
-                g = geom_from_stream(gt, np.asarray(stream, dtype=np.uint32))
-                if gt == GEOM_POINT:
-                    parts = [[p.reshape(1, 2)] for p in np.asarray(g).reshape(-1, 2)]
-                elif gt == GEOM_LINESTRING:
-                    parts = [[ln] for ln in g]
-                elif gt == GEOM_POLYGON:
-                    parts = [list(poly) for poly in g]
-                else:  # pragma: no cover - geom_from_stream already raises
-                    raise ValueError("Geometry type of UNKNOWN given.")
-                ox, oy = x * extent, y * extent
-                world_parts = []
-                for part in parts:
-                    wp = []
-                    for ring in part:
-                        r = np.asarray(ring, dtype=np.float64).reshape(-1, 2)
-                        lon, lat = unproj(r[:, 0] + ox, r[:, 1] + oy, z, extent)
-                        wp.append(np.column_stack([lon, lat]).tolist())
-                    world_parts.append(wp)
-                props = {}
-                for m in meta or []:
-                    v = next(
-                        (m[k] for k in ("s", "d", "i", "b") if m.get(k) is not None), None
-                    )
-                    props[m["key"]] = str(v).lower() if isinstance(v, bool) else str(v)
-                rows["layer"].append(layer)
-                rows["geom_type"].append(gt)
-                rows["feature_id"].append(fid)
-                rows["properties"].append(props)
-                rows["geom"].append(world_parts)
+                for name, layer in codec.decode_tile(raw).items():
+                    extent = layer.extent
+                    ox, oy = x * extent, y * extent
+                    for f in layer.features:
+                        gt = f.geom_type
+                        g = f.geom
+                        if gt == GEOM_POINT:
+                            parts = [[p.reshape(1, 2)] for p in np.asarray(g).reshape(-1, 2)]
+                        elif gt == GEOM_LINESTRING:
+                            parts = [[ln] for ln in g]
+                        elif gt == GEOM_POLYGON:
+                            parts = [list(poly) for poly in g]
+                        else:  # pragma: no cover - decode already raises
+                            raise ValueError("Geometry type of UNKNOWN given.")
+                        world_parts = []
+                        for part in parts:
+                            wp = []
+                            for ring in part:
+                                r = np.asarray(ring, dtype=np.float64).reshape(-1, 2)
+                                lon, lat = unproj(r[:, 0] + ox, r[:, 1] + oy, z, extent)
+                                wp.append(np.column_stack([lon, lat]).tolist())
+                            world_parts.append(wp)
+                        props = {}
+                        for key, (tag, v) in sorted(f.metadata.items()):
+                            props[key] = str(v).lower() if isinstance(v, bool) else str(v)
+                        fid = f.feature_id
+                        rows["layer"].append(name)
+                        rows["geom_type"].append(gt)
+                        rows["feature_id"].append(fid - (1 << 64) if fid >= (1 << 63) else fid)
+                        rows["properties"].append(props)
+                        rows["geom"].append(world_parts)
             yield pa.record_batch(
                 {
                     "layer": pa.array(rows["layer"], pa.string()),
@@ -118,14 +116,14 @@ def tiles_to_world_features(
                 }
             )
 
-    return feats.mapInArrow(run, WORLD_SCHEMA)
+    return tiles.select("tile_z", "tile_x", "tile_y", "mvt").mapInArrow(run, WORLD_SCHEMA)
 
 
 def tiles_to_geojson(
-    tiles: DataFrame, path: str, extent: int = 4096, projection: str = "webmercator", mode: str = "overwrite"
+    tiles: DataFrame, path: str, projection: str = "webmercator", mode: str = "overwrite"
 ) -> None:
     """MVT tiles -> line-delimited GeoJSON files (decode + unproject +
     the Column-algebra GeoJSON sink)."""
     from ..sources.geojson import write_geojson
 
-    write_geojson(tiles_to_world_features(tiles, extent, projection), path, mode=mode)
+    write_geojson(tiles_to_world_features(tiles, projection), path, mode=mode)

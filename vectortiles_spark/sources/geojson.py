@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _READ_SCHEMA = (
-    "type string, id bigint, properties map<string,string>, "
+    "type string, id string, properties map<string,string>, "
     "geometry struct<type:string, coordinates:string>"
 )
 
@@ -36,19 +36,31 @@ def read_geojson(spark: SparkSession, path: str, layer: str = "features") -> Dat
     Geometry types map Point/MultiPoint -> 1, LineString/MultiLineString
     -> 2, Polygon/MultiPolygon -> 3 (the codec's three concrete types;
     GeometryCollection is not part of the MVT model and such rows are
-    dropped). Missing ids become 0, the protobuf default
-    (VectorTile.hs:123)."""
+    dropped, as are features whose coordinates are missing or malformed —
+    one corrupt line must not abort a planet-scale ingest). The optional
+    third position element (altitude, RFC 7946 §3.1.1) is stripped.
+    Missing ids become 0, the protobuf default (VectorTile.hs:123);
+    string ids (legal GeoJSON, no MVT equivalent) hash to a stable
+    64-bit id via xxhash64."""
     raw = spark.read.schema(_READ_SCHEMA).json(path)
     gt = F.col("geometry.type")
     c = F.col("geometry.coordinates")
-    point = F.array(F.array(F.array(F.from_json(c, _D1))))
+    p2 = lambda pos: F.slice(pos, 1, 2)  # strip altitude
+    point = F.array(F.array(F.array(p2(F.from_json(c, _D1)))))
     multipoint = F.transform(
-        F.from_json(c, _D2), lambda p: F.array(F.array(p))
+        F.from_json(c, _D2), lambda p: F.array(F.array(p2(p)))
     )
-    line = F.array(F.array(F.from_json(c, _D2)))
-    multiline = F.transform(F.from_json(c, _D3), lambda l: F.array(l))
-    polygon = F.array(F.from_json(c, _D3))
-    multipolygon = F.from_json(c, _D4)
+    line = F.array(F.array(F.transform(F.from_json(c, _D2), p2)))
+    multiline = F.transform(
+        F.from_json(c, _D3), lambda l: F.array(F.transform(l, p2))
+    )
+    polygon = F.array(
+        F.transform(F.from_json(c, _D3), lambda ring: F.transform(ring, p2))
+    )
+    multipolygon = F.transform(
+        F.from_json(c, _D4),
+        lambda poly: F.transform(poly, lambda ring: F.transform(ring, p2)),
+    )
     geom = (
         F.when(gt == "Point", point)
         .when(gt == "MultiPoint", multipoint)
@@ -62,12 +74,26 @@ def read_geojson(spark: SparkSession, path: str, layer: str = "features") -> Dat
         .when(gt.isin("LineString", "MultiLineString"), 2)
         .when(gt.isin("Polygon", "MultiPolygon"), 3)
     )
+    # malformed features drop, they don't crash: a null/short position
+    # buried at the innermost level would otherwise abort the whole task
+    # in arrow_geom's arity check downstream
+    pts_flat = F.flatten(F.flatten(geom))
+    valid = (
+        geom.isNotNull()
+        & pts_flat.isNotNull()
+        & ~F.exists(pts_flat, lambda p: p.isNull() | (F.size(p) != 2))
+    )
+    fid = F.coalesce(
+        F.col("id").try_cast("bigint"),
+        F.when(F.col("id").isNotNull(), F.xxhash64(F.col("id"))),
+        F.lit(0),
+    )
     return (
-        raw.filter(geom_type.isNotNull())
+        raw.filter(geom_type.isNotNull() & valid)
         .select(
             F.lit(layer).alias("layer"),
             geom_type.cast("int").alias("geom_type"),
-            F.coalesce(F.col("id"), F.lit(0)).cast("bigint").alias("feature_id"),
+            fid.cast("bigint").alias("feature_id"),
             F.coalesce(F.col("properties"), F.create_map().cast("map<string,string>")).alias("properties"),
             geom.alias("geom"),
         )
