@@ -492,3 +492,71 @@ def test_clip_features_multizoom_equals_per_zoom_union(spark):
         for k in map(key, clip_features(df, z=zz, projection="equirect").collect())
     )
     assert multi == single and len(multi) > 36
+
+
+def _signed_shoelace(ring):
+    r = np.asarray(ring, dtype=np.float64)
+    x, y = r[:, 0], r[:, 1]
+    return 0.5 * float(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+
+
+def _raster_clip_area(poly, x0, y0, x1, y1, n=300):
+    """Ground-truth polygon∩rect area by even-odd ray-cast over an n x n
+    midpoint grid inside the rect (error ~ perimeter * cell size)."""
+    xs = np.linspace(x0, x1, n, endpoint=False) + (x1 - x0) / n / 2
+    ys = np.linspace(y0, y1, n, endpoint=False) + (y1 - y0) / n / 2
+    gx, gy = np.meshgrid(xs, ys)
+    px, py = gx.ravel(), gy.ravel()
+    inside = np.zeros(len(px), bool)
+    vx, vy = poly[:, 0], poly[:, 1]
+    for i in range(len(poly)):
+        j = i - 1
+        cond = (vy[i] > py) != (vy[j] > py)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xint = (vx[j] - vx[i]) * (py - vy[i]) / (vy[j] - vy[i]) + vx[i]
+        inside ^= cond & (px < xint)
+    return inside.mean() * (x1 - x0) * (y1 - y0)
+
+
+def test_clip_polygon_exact_random_concave_vs_rasterization():
+    """ADVICE regression (round 2): randomized rasterization cross-check
+    for concave polygons against single arbitrary rects — the parity
+    stitcher must never lose a piece (mis-wound exterior dropped as an
+    orphan hole). Sorted-angle radial stars are provably simple; every
+    surviving piece must be positively wound and the signed piece sum
+    must match the rasterized polygon∩rect area."""
+    import random
+
+    from vectortiles_spark.operators.clip import clip_polygon_exact
+
+    for seed in range(40):
+        rng = random.Random(seed)
+        k = 14
+        ang = sorted(rng.uniform(0, 2 * math.pi) for _ in range(k))
+        rad = [rng.uniform(1, 10) for _ in range(k)]
+        hull = np.array(
+            [[5 + r * math.cos(a), 5 + r * math.sin(a)] for a, r in zip(ang, rad)]
+        )
+        if _signed_shoelace(hull) < 0:
+            hull = hull[::-1]
+        x0 = rng.uniform(-5, 10)
+        y0 = rng.uniform(-5, 10)
+        x1 = x0 + rng.uniform(1, 12)
+        y1 = y0 + rng.uniform(1, 12)
+        truth = _raster_clip_area(hull, x0, y0, x1, y1)
+        pieces = clip_polygon_exact([hull], x0, y0, x1, y1)
+        got = 0.0
+        for piece in pieces:
+            for ri, r in enumerate(piece):
+                a = _signed_shoelace(r)
+                assert (a > 0) == (ri == 0), (seed, "mis-wound ring in output")
+                got += a
+        assert abs(got - truth) <= max(0.03 * max(truth, 1.0), 0.05), (
+            seed, got, truth,
+        )
+        # closed input (duplicate last point) must behave identically
+        closed = np.vstack([hull, hull[:1]])
+        got_closed = sum(
+            _signed_shoelace(r) for p in clip_polygon_exact([closed], x0, y0, x1, y1) for r in p
+        )
+        assert abs(got_closed - got) < 1e-9

@@ -167,6 +167,15 @@ def test_single_layer_guard_rejects_union_and_nulls(spark):
     with pytest.raises(ValueError, match="refusing to re-label"):
         tiling.encode_tiles(nulled, single_layer="images").collect()
 
+    # trusted=True skips the data-scan guard entirely (the caller vouches
+    # for the constant): same bytes as the validated path on honest input,
+    # no second pass over the lineage
+    honest = a.withColumn("layer", F.concat(F.col("layer"), F.lit("")))  # non-literal plan
+    assert not tiling._layer_is_expected_literal(honest, "images")
+    t1 = {r.mvt for r in tiling.encode_tiles(honest, single_layer="images", trusted=True).collect()}
+    t2 = {r.mvt for r in tiling.encode_tiles(a, single_layer="images").collect()}
+    assert t1 == t2
+
 
 def test_ivf_topk_empty_and_zero_norm(spark):
     import numpy as np

@@ -195,7 +195,20 @@ def _split_rings_halfplane(rings: list, axis: int, bound: float, keep_le: bool):
     for aid, a in enumerate(arcs):
         events.append((a[0, other], False, aid))
         events.append((a[-1, other], True, aid))
-    events.sort(key=lambda e: (e[0], e[1]))
+    # Connector DIRECTION is fixed by orientation, not by whichever event
+    # types land in a pair: with exterior-positive canonical winding the
+    # clipped boundary walks every on-line interval with the kept interior
+    # on its LEFT, so for (axis==0)==keep_le connectors run in +other and
+    # each interior interval is (arc END, arc START) in sorted order —
+    # otherwise the mirror. A pair whose event types contradict this is a
+    # parity corruption (tangency, self-intersection, mis-wound input);
+    # stitching it anyway emits a reversed piece that the sign-based
+    # grouping would misread as a hole and LOSE, so raise to the fallback
+    # instead. Ties on s sort the expected-first type first so zero-length
+    # interior intervals (arc start meeting arc end at one point) pair in
+    # the orientation-consistent order.
+    end_first = (axis == 0) == keep_le
+    events.sort(key=lambda e: (e[0], e[1] != end_first))
     if len(events) % 2:
         raise ValueError("unpaired crossing (degenerate geometry)")
     next_arc = {}
@@ -203,7 +216,12 @@ def _split_rings_halfplane(rings: list, axis: int, bound: float, keep_le: bool):
         (s1, end1, a1), (s2, end2, a2) = events[i], events[i + 1]
         if end1 == end2:
             raise ValueError("crossing parity violated (degenerate geometry)")
-        if end1:
+        if end1 != end_first:
+            raise ValueError(
+                "crossing pattern contradicts boundary orientation "
+                "(non-simple or degenerate geometry)"
+            )
+        if end_first:
             next_arc[a1] = a2
         else:
             next_arc[a2] = a1
@@ -243,6 +261,10 @@ def clip_polygon_exact(rings: list, x0: float, y0: float, x1: float, y1: float):
     # holes negative (the parity pairing needs consistent orientation and
     # the output grouping keys on the sign); flip back on return so the
     # caller keeps its winding
+    rings = [
+        r[:-1] if len(r) > 1 and np.array_equal(r[0], r[-1]) else r for r in rings
+    ]  # tolerate closed input: a duplicated closing point makes zero-length
+    #    edges whose crossings corrupt the parity sort
     flip = _ring_signed_area(rings[0]) < 0
     canon = []
     for k, r in enumerate(rings):
@@ -259,6 +281,7 @@ def clip_polygon_exact(rings: list, x0: float, y0: float, x1: float, y1: float):
             cur = _split_rings_halfplane(cur, axis, bound, keep_le)
             if not cur:
                 return []
+        parts = _group_pieces(cur)
     except ValueError:
         # degenerate/non-simple input: best-effort S-H per ring, with
         # ring ROLES preserved — if the exterior collapses the whole part
@@ -270,12 +293,21 @@ def clip_polygon_exact(rings: list, x0: float, y0: float, x1: float, y1: float):
             c for r in canon[1:] if len(c := clip_ring(r, x0, y0, x1, y1)) >= 3
         ]
         return [[r[::-1] if flip else r for r in sh]]
-    # group: positive rings are exteriors, negatives are holes of the
-    # exterior containing them. Containment is decided by ANY hole vertex
-    # testing strictly inside (the ray cast is boundary-exclusive, so a
-    # single vertex lying exactly on a clip edge must not veto); a hole
-    # whose every vertex sits on the boundary falls back to bbox
-    # containment rather than being silently dropped
+    if flip:
+        parts = [[r[::-1] for r in part] for part in parts]
+    return parts
+
+
+def _group_pieces(cur: list):
+    """Group stitched rings: positive rings are exteriors, negatives are
+    holes of the exterior containing them. Containment is decided by ANY
+    hole vertex testing strictly inside (the ray cast is
+    boundary-exclusive, so a single vertex lying exactly on a clip edge
+    must not veto); a hole whose every vertex sits on the boundary falls
+    back to bbox containment. A negative ring contained in NO exterior is
+    a mis-wound piece (the signature of a corrupted parity stitch) —
+    raise so the caller takes the fallback rather than silently losing
+    its area."""
     exts = [r for r in cur if _ring_signed_area(r) > 0]
     holes = [r for r in cur if _ring_signed_area(r) < 0]
     parts = [[e] for e in exts]
@@ -296,9 +328,12 @@ def clip_polygon_exact(rings: list, x0: float, y0: float, x1: float, y1: float):
                     and h[:, 1].max() <= e[:, 1].max()
                 ):
                     parts[gi].append(h)
+                    assigned = True
                     break
-    if flip:
-        parts = [[r[::-1] for r in part] for part in parts]
+        if not assigned:
+            raise ValueError(
+                "negative ring contained in no exterior (mis-wound piece)"
+            )
     return parts
 
 

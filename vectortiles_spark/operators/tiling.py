@@ -626,6 +626,7 @@ def encode_tiles(
     partitions: int | None = None,
     extent: int = codec.DEFAULT_EXTENT,
     single_layer: str | None = None,
+    trusted: bool = False,
 ) -> DataFrame:
     """The flagship sink: canonical feature rows -> one MVT row per tile.
 
@@ -643,9 +644,11 @@ def encode_tiles(
         # re-labeling a multi-layer frame: if the analyzed plan shows the
         # column IS the expected constant literal (the point_features case),
         # the proof is free; otherwise one column-pruned min/max pass checks
-        # the data (callers on hot 100TB paths should pass a literal layer
-        # or pre-drop the column to skip that scan).
-        if not _layer_is_expected_literal(features, single_layer):
+        # the data. That pass re-executes the full upstream lineage (a
+        # clip+simplify pipeline pays ~2x), so callers who KNOW the column
+        # is the constant — they just aliased it — pass trusted=True, or a
+        # literal layer, or pre-drop the column, to skip it.
+        if not trusted and not _layer_is_expected_literal(features, single_layer):
             bounds = features.agg(
                 F.min("layer").alias("lo"),
                 F.max("layer").alias("hi"),

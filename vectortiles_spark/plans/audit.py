@@ -77,7 +77,9 @@ def count_shuffles(df: DataFrame) -> int:
     shuffles."""
     import re
 
-    return len(re.findall(r"\bExchange (hash|range|Single|rebalance)", plan_of(df)))
+    return len(
+        re.findall(r"\bExchange (hash|range|Single|RoundRobin|rebalance)", plan_of(df))
+    )
 
 
 def has_whole_stage_codegen(df: DataFrame) -> bool:

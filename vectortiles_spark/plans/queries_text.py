@@ -234,8 +234,19 @@ def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_oracle_sql() -> str:
-    from vectortiles_spark.operators.dedup import _BANDS, _H, _P, _ROWS, _hash_params
+    import inspect
 
+    from vectortiles_spark.operators.dedup import (
+        _H,
+        _P,
+        _ROWS,
+        _hash_params,
+        minhash_near_dups,
+    )
+
+    # read the cap straight off the query path's signature so the oracle
+    # can never drift from the Spark-side truncation guard
+    _BAND_CAP = inspect.signature(minhash_near_dups).parameters["band_cap"].default
     params = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(_hash_params(_H)))
     return rf"""
 WITH sh AS (
@@ -256,17 +267,33 @@ WITH sh AS (
 ), mh AS (
   SELECT doc_id, i, min((h31 * a + b) % {_P}) AS m
   FROM h CROSS JOIN params GROUP BY doc_id, i
-), pair_band AS (
-  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, x.i // {_ROWS} AS band,
-         count(*) FILTER (WHERE x.m = y.m) AS agree,
-         (count(*) FILTER (WHERE x.m = y.m) = {_ROWS})::INT AS collide
+), bands AS (
+  -- band bucket = the {_ROWS} minhash values of the band; Spark keys the
+  -- bucket by xxhash64 of the same values, so equality matches (modulo
+  -- astronomically-unlikely 64-bit collisions, same caveat as before)
+  SELECT doc_id, i // {_ROWS} AS band, list(m ORDER BY i) AS key
+  FROM mh GROUP BY doc_id, i // {_ROWS}
+), capped AS (
+  -- mirror of dedup._cap_buckets: only the first band_cap docs (by
+  -- doc_id) of any band bucket enter the candidate join, so oracle
+  -- parity survives degenerate hot buckets at ANY scale factor
+  SELECT doc_id, band, key,
+         row_number() OVER (PARTITION BY band, key ORDER BY doc_id) AS rk
+  FROM bands
+), collide_pairs AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM capped x JOIN capped y
+    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+  WHERE x.rk <= {_BAND_CAP} AND y.rk <= {_BAND_CAP}
+), agree AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         count(*) FILTER (WHERE x.m = y.m) AS agree
   FROM mh x JOIN mh y ON x.i = y.i AND x.doc_id < y.doc_id
-  GROUP BY 1, 2, 3
+  GROUP BY 1, 2
 )
-SELECT doc_a, doc_b, round(sum(agree) / {_H}.0, 6) AS est_jaccard
-FROM pair_band
-GROUP BY doc_a, doc_b
-HAVING max(collide) = 1 AND round(sum(agree) / {_H}.0, 6) >= 0.5
+SELECT p.doc_a, p.doc_b, round(a.agree / {_H}.0, 6) AS est_jaccard
+FROM collide_pairs p JOIN agree a USING (doc_a, doc_b)
+WHERE round(a.agree / {_H}.0, 6) >= 0.5
 ORDER BY doc_a, doc_b
 """
 
