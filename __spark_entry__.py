@@ -84,27 +84,6 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.withColumn("cosine", F.round("cosine", 6)).orderBy("query_id", "rank")
 
 
-def _q_vector_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: the composed vector tiler — deterministic world
-    polylines -> clip to z=7 tiles (8 px seam buffer) -> Douglas-Peucker
-    -> command streams -> MVT blobs (per-stage value checks live in
-    q_clip_rects/q_clip_points/q_simplify_lines and the pytest battery;
-    the random-walk geometry itself is not SQL-expressible)."""
-    from vectortiles_spark.operators import tiling
-    from vectortiles_spark.operators.clip import clip_features
-    from vectortiles_spark.operators.simplify import simplify_geoms
-    from vectortiles_spark.sources.synth import lines_df
-
-    n = 1000 if "0.001" in sf_dir else 3000
-    lines = lines_df(spark, n, seed=7)
-    clipped = clip_features(lines, z=7, buffer_px=8)
-    feats = tiling.geom_features(simplify_geoms(clipped, tolerance=8.0))
-    tiles = tiling.encode_tiles(feats)
-    return tiles.select(
-        "tile_z", "tile_x", "tile_y", "n_features", F.length("mvt").alias("mvt_bytes")
-    ).orderBy("tile_x", "tile_y")
-
-
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from vectortiles_spark.plans import queries as Q
     from vectortiles_spark.plans import queries_text as QT
@@ -124,6 +103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_case_pivot": Q.q_case_pivot,
         # geo (D3, D5, D6)
         "q_tile_assign": Q.q_tile_assign,
+        "q_tile_assign_merc": Q.q_tile_assign_merc,
         "q_quadkey": Q.q_quadkey,
         "q_tile_pyramid": Q.q_tile_pyramid,
         "q_simplify_lines": Q.q_simplify_lines,
@@ -151,8 +131,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mvt_roundtrip": Q.q_mvt_roundtrip,
         "q_mvt_roundtrip_geoms": Q.q_mvt_roundtrip_geoms,
         "q_raster_contours": Q.q_raster_contours,
+        "q_vector_pipeline": Q.q_vector_pipeline,
         # non-SQL-expressible (rows-only checks)
-        "q_vector_pipeline": _q_vector_pipeline,
         "q_mvt_tiles": _q_mvt_tiles,
         "q_image_invariants": _q_image_invariants,
         "q_ivf_topk": _q_ivf_topk,
@@ -177,6 +157,7 @@ def oracle_sql() -> dict[str, str]:
         "q_case_pivot": Q.Q_CASE_PIVOT_SQL,
         "q_mvt_roundtrip": Q.Q_MVT_ROUNDTRIP_SQL,
         "q_tile_assign": Q.Q_TILE_ASSIGN_SQL,
+        "q_tile_assign_merc": Q.Q_TILE_ASSIGN_MERC_SQL,
         "q_quadkey": Q.Q_QUADKEY_SQL,
         "q_tile_pyramid": Q.Q_TILE_PYRAMID_SQL,
         "q_simplify_lines": Q.Q_SIMPLIFY_LINES_SQL,
@@ -189,6 +170,7 @@ def oracle_sql() -> dict[str, str]:
         "q_cell_colocate": Q.Q_CELL_COLOCATE_SQL,
         "q_mvt_roundtrip_geoms": Q.Q_MVT_ROUNDTRIP_GEOMS_SQL,
         "q_raster_contours": Q.Q_RASTER_CONTOURS_SQL,
+        "q_vector_pipeline": Q.Q_VECTOR_PIPELINE_SQL,
         "q_dedup_exact": QT.Q_DEDUP_EXACT_SQL,
         "q_token_count": QT.Q_TOKEN_COUNT_SQL,
         "q_text_quality": QT.Q_TEXT_QUALITY_SQL,

@@ -349,6 +349,77 @@ ORDER BY tile_x, tile_y
 """
 
 
+_MERC_Z = 6
+
+
+def q_tile_assign_merc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION WebMercator tile math (functions/tiles.py tile_x/y +
+    the discrete px/py pixel grid with its nextafter edge clamp) under the
+    DuckDB value oracle — not the equirect twin. DuckDB lacks asinh, so
+    the oracle spells it ln(t + sqrt(t*t+1)).
+
+    Cross-libm safety: the only transcendental inputs are the 0.01-degree
+    key lattice latitudes; measured over keys 1..200000 at z=6, the only
+    exact tile/pixel boundary hit is lat=0 (tan(0)=0 is exact in every
+    IEEE libm, so both engines produce exactly 0.5 -> same floor) and the
+    smallest NONZERO distance of norm_y*2^z*extent from an integer is
+    1.6e-5 — nine orders of magnitude above any plausible ulp divergence
+    between Spark's and DuckDB's tan/ln, so no floor can flip."""
+    from ..functions.tiles import tile_px, tile_py, tile_x, tile_y
+
+    (cust,) = load(spark, sf_dir, "customer")
+    pts = cust.select(
+        "c_custkey", lon_of(F.col("c_custkey")), lat_of(F.col("c_custkey"))
+    )
+    return (
+        pts.select(
+            tile_x(F.col("lon"), _MERC_Z).alias("tile_x"),
+            tile_y(F.col("lat"), _MERC_Z).alias("tile_y"),
+            tile_px(F.col("lon"), _MERC_Z).cast("bigint").alias("px"),
+            tile_py(F.col("lat"), _MERC_Z).cast("bigint").alias("py"),
+        )
+        .groupBy("tile_x", "tile_y")
+        .agg(
+            F.count("*").alias("n_points"),
+            F.sum("px").alias("sum_px"),
+            F.sum("py").alias("sum_py"),
+            F.min("py").alias("min_py"),
+            F.max("py").alias("max_py"),
+        )
+        .orderBy("tile_x", "tile_y")
+    )
+
+
+def _merc_sql() -> str:
+    import math as _m
+
+    n = float(1 << _MERC_Z)
+    clamp = repr(_m.nextafter(n, 0.0))  # repr roundtrips the exact double
+    return f"""
+WITH pts AS (
+  SELECT {_sql_lon('c_custkey')} AS lon, {_sql_lat('c_custkey')} AS lat
+  FROM customer
+), m AS (
+  SELECT (lon + 180.0) / 360.0 * {n} AS fx,
+         (1.0 - ln(tan(radians(lat)) + sqrt(tan(radians(lat)) * tan(radians(lat)) + 1.0)) / pi()) / 2.0 * {n} AS fy
+  FROM pts
+), px AS (
+  SELECT cast(least(floor(fx), {int(n) - 1}) AS INT) AS tile_x,
+         cast(greatest(0, least(floor(fy), {int(n) - 1})) AS INT) AS tile_y,
+         least(floor((least(fx, {clamp}) - floor(least(fx, {clamp}))) * 4096.0), 4095)::BIGINT AS px,
+         least(floor((greatest(0.0, least(fy, {clamp})) - floor(greatest(0.0, least(fy, {clamp})))) * 4096.0), 4095)::BIGINT AS py
+  FROM m
+)
+SELECT tile_x, tile_y, count(*) AS n_points,
+       sum(px)::BIGINT AS sum_px, sum(py)::BIGINT AS sum_py,
+       min(py)::BIGINT AS min_py, max(py)::BIGINT AS max_py
+FROM px GROUP BY 1, 2 ORDER BY tile_x, tile_y
+"""
+
+
+Q_TILE_ASSIGN_MERC_SQL = _merc_sql()
+
+
 def q_quadkey(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bing/Azure quadkey addressing under the value oracle: customer
     tiles at z=6 -> quadkey strings (pure Column bit arithmetic) and the
@@ -1080,6 +1151,117 @@ SELECT tile_x, tile_y, layer,
 FROM expected
 GROUP BY tile_x, tile_y, layer
 ORDER BY tile_x, tile_y, layer
+"""
+
+
+def q_vector_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED vector tiler under the full value oracle: world
+    features -> clip_features -> simplify_geoms (Douglas-Peucker) ->
+    geom_features -> encode_tiles -> decode_tiles, checked end to end.
+
+    Closed-form construction: each customer key builds an axis-aligned
+    L-shaped polyline on the exact z=2 equirect pixel lattice (span
+    16384; the dyadic lon/lat mapping roundtrips integer pixels exactly
+    in float64, the q_clip_rects trick). Leg endpoints sit 101..3899 px
+    inside their tiles (odd offsets — never ON a 4096 boundary), legs
+    cross 1-2 tile boundaries per axis, and each leg carries its exact
+    midpoint as an interior vertex so simplification has real work:
+
+    * clip splits the L into per-tile chains: horizontal runs in row ay
+      (tiles ax..bx-1), the 3-point corner chain in (bx, ay), vertical
+      runs in column bx (rows ay+1..by);
+    * DP at tolerance 1.0 deletes the exactly-collinear midpoints and
+      boundary cut vertices (deviation 0) and provably keeps the corner
+      (deviation >= 101*197/hypot >= ~90 px);
+    * every surviving chain's MVT command stream is then closed-form —
+      e.g. any horizontal run is [MoveTo, zig(lx), zig(ry), LineTo(1),
+      zig(dx), 0] whose x-terms TELESCOPE to 8192, so its 6-int sum is
+      8211 + 2*ry regardless of where the tile cut fell. A deviation
+      anywhere in the composition — a lost fragment, a mis-simplified
+      vertex, a wrong cursor delta, a bad tile assignment — shifts
+      n_cmd_ints or sum_cmds.
+    """
+    from ..operators import tiling
+    from ..operators.clip import clip_features
+    from ..operators.simplify import simplify_geoms
+
+    (cust,) = load(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    i64 = lambda c: c.cast("long")
+    ax = k % 2
+    bx = ax + 1 + i64(k / 2) % 2
+    ay = i64(k / 4) % 2
+    by = ay + 1 + i64(k / 8) % 2
+    rx = 101 + 2 * ((k * 37) % 1900)
+    rx2 = 101 + 2 * ((k * 61) % 1900)
+    ry = 101 + 2 * ((k * 73) % 1900)
+    ry2 = 101 + 2 * ((k * 89) % 1900)
+    x0 = 4096 * ax + rx
+    x1 = 4096 * bx + rx2
+    y0 = 4096 * ay + ry
+    y1 = 4096 * by + ry2
+    midx = F.shiftright(x0 + x1, 1)  # both odd -> sum even -> exact
+    midy = F.shiftright(y0 + y1, 1)
+    lon = lambda px: px.cast("double") * 360.0 / 16384.0 - 180.0
+    lat = lambda py: 85.0 - py.cast("double") * 170.0 / 16384.0
+    pt = lambda px, py: F.array(lon(px), lat(py))
+    line = F.array(pt(x0, y0), pt(midx, y0), pt(x1, y0), pt(x1, midy), pt(x1, y1))
+    df = cust.select(
+        F.lit("lines").alias("layer"),
+        F.lit(2).cast("int").alias("geom_type"),
+        k.alias("feature_id"),
+        F.array(F.array(line)).alias("geom"),
+    )
+    clipped = clip_features(df, z=2, projection="equirect")
+    feats = tiling.geom_features(simplify_geoms(clipped, tolerance=1.0))
+    decoded = tiling.decode_tiles(tiling.encode_tiles(feats))
+    return (
+        decoded.groupBy("tile_x", "tile_y")
+        .agg(
+            F.count("*").alias("n_features"),
+            F.sum("feature_id").alias("sum_ids"),
+            F.sum(F.size("geom_cmds")).cast("bigint").alias("n_cmd_ints"),
+            F.sum(
+                F.aggregate("geom_cmds", F.lit(0).cast("bigint"), lambda a, x: a + x)
+            ).alias("sum_cmds"),
+        )
+        .orderBy("tile_x", "tile_y")
+    )
+
+
+# Closed-form piece inventory per feature (see q_vector_pipeline):
+#   H runs   (t in ax..bx-1, ay): 6 ints, sum 8211 + 2*ry
+#   corner   (bx, ay):            8 ints, sum 8219 + 2*rx2
+#   V runs   (bx, t in ay+1..by-1): 6 ints, sum 8211 + 2*rx2
+#   V tail   (bx, by):            6 ints, sum 19 + 2*rx2 + 2*ry2
+Q_VECTOR_PIPELINE_SQL = """
+WITH d AS (
+  SELECT c_custkey AS k,
+         c_custkey % 2 AS ax,
+         c_custkey % 2 + 1 + (c_custkey // 2) % 2 AS bx,
+         (c_custkey // 4) % 2 AS ay,
+         (c_custkey // 4) % 2 + 1 + (c_custkey // 8) % 2 AS by,
+         101 + 2 * ((c_custkey * 61) % 1900) AS rx2,
+         101 + 2 * ((c_custkey * 73) % 1900) AS ry,
+         101 + 2 * ((c_custkey * 89) % 1900) AS ry2
+  FROM customer
+), ts AS (
+  SELECT unnest(generate_series(0, 3)) AS t
+), pieces AS (
+  SELECT k, t AS tx, ay AS ty, 6 AS n_ints, 8211 + 2 * ry AS s
+  FROM d CROSS JOIN ts WHERE t BETWEEN ax AND bx - 1
+  UNION ALL
+  SELECT k, bx, ay, 8, 8219 + 2 * rx2 FROM d
+  UNION ALL
+  SELECT k, bx AS tx, t AS ty, 6, 8211 + 2 * rx2
+  FROM d CROSS JOIN ts WHERE t BETWEEN ay + 1 AND by - 1
+  UNION ALL
+  SELECT k, bx, by, 6, 19 + 2 * rx2 + 2 * ry2 FROM d
+)
+SELECT tx::INT AS tile_x, ty::INT AS tile_y,
+       count(*)::BIGINT AS n_features, sum(k)::BIGINT AS sum_ids,
+       sum(n_ints)::BIGINT AS n_cmd_ints, sum(s)::BIGINT AS sum_cmds
+FROM pieces GROUP BY 1, 2 ORDER BY tile_x, tile_y
 """
 
 
