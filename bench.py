@@ -86,11 +86,84 @@ def bench_vector_pipeline(spark):
     return {"n_tiles": agg.n_tiles, "n_features": agg.n_features, "mvt_bytes": agg.bytes}
 
 
+def _parse_rest_time(s: str | None) -> float | None:
+    if not s:
+        return None
+    import datetime as _dt
+
+    try:
+        return (
+            _dt.datetime.strptime(s.replace("GMT", ""), "%Y-%m-%dT%H:%M:%S.%f")
+            .replace(tzinfo=_dt.timezone.utc)
+            .timestamp()
+        )
+    except ValueError:
+        return None
+
+
+def _attribution(spark, group: str) -> dict | None:
+    """Self-attributing evidence per query: pull this job group's jobs +
+    stages from the Spark status REST API and split the measured wall
+    into stage execution vs scheduler/driver gap. A loaded host shows a
+    large `gap_sec` (or stage wall >> executor CPU) with unchanged
+    `exec_run_sec`; a plan regression grows `exec_run_sec`/`n_stages`.
+    Returns None if the UI/REST server is unavailable (attribution is
+    additive evidence, never a bench failure)."""
+    import urllib.request
+
+    try:
+        base = spark.sparkContext.uiWebUrl
+        app = spark.sparkContext.applicationId
+        with urllib.request.urlopen(f"{base}/api/v1/applications/{app}/jobs", timeout=5) as r:
+            jobs = json.loads(r.read())
+        mine = [j for j in jobs if j.get("jobGroup") == group]
+        if not mine:
+            return None
+        stage_ids = sorted({s for j in mine for s in j.get("stageIds", [])})
+        with urllib.request.urlopen(
+            f"{base}/api/v1/applications/{app}/stages?status=complete", timeout=5
+        ) as r:
+            stages = json.loads(r.read())
+        by_id: dict[int, dict] = {}
+        for s in stages:
+            sid = s["stageId"]
+            if sid in stage_ids and (
+                sid not in by_id or s["attemptId"] > by_id[sid]["attemptId"]
+            ):
+                by_id[sid] = s
+        stage_wall = 0.0
+        exec_run_ms = 0
+        slowest = (0.0, None)
+        for s in by_id.values():
+            t0 = _parse_rest_time(s.get("firstTaskLaunchedTime") or s.get("submissionTime"))
+            t1 = _parse_rest_time(s.get("completionTime"))
+            dur = (t1 - t0) if t0 is not None and t1 is not None else 0.0
+            stage_wall += dur
+            exec_run_ms += int(s.get("executorRunTime", 0))
+            if dur > slowest[0]:
+                slowest = (dur, f"s{s['stageId']}:{s.get('name', '')[:40]}")
+        return {
+            "n_jobs": len(mine),
+            "n_stages": len(by_id),
+            "stage_wall_sec": round(stage_wall, 3),
+            "exec_run_sec": round(exec_run_ms / 1000.0, 3),
+            "slowest_stage": slowest[1],
+            "slowest_stage_sec": round(slowest[0], 3),
+        }
+    except Exception:
+        return None
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from vectortiles_spark.session import get_spark
 
-    spark = get_spark(app_name="bench")
+    spark = get_spark(
+        app_name="bench",
+        # status REST server ON for per-stage attribution (off by default
+        # in session.py; a bench run wants the evidence)
+        extra_conf={"spark.ui.enabled": "true", "spark.ui.port": "4050"},
+    )
     import __spark_entry__ as entrymod
 
     queries = entrymod.queries()
@@ -111,40 +184,66 @@ def main():
     # input table BEFORE the clock so generation cost isn't measured, and
     # run one untimed pass so python-worker startup + first-touch page
     # faults don't pollute the steady-state number)
+    sc = spark.sparkContext
+    attribution: dict[str, dict] = {}
+
+    # warmup-then-measure, best-of-N: this host's first-touch page-fault
+    # path is time-varying (same plan measured 0.5s and 4.2s minutes
+    # apart) and cold numbers run ~4x hot ones; min-of-N timed passes
+    # report the PLAN, not the host window. clearCache between passes so
+    # operators that .cache() internally (minhash signatures) still pay
+    # full compute each pass — warm JVM/workers, no result shortcuts.
+    warmup = os.environ.get("BENCH_WARMUP", "1") != "0"
+    best_of = max(1, int(os.environ.get("BENCH_BEST_OF", "2")))
+
+    def run_best(name: str, thunk):
+        """Warmup once (untimed), then best-of-N timed passes, each in its
+        own job group so the attribution matches the reported pass."""
+        if warmup:
+            thunk()
+            spark.catalog.clearCache()
+        best = (float("inf"), name, None)
+        for p in range(best_of):
+            group = f"{name}#p{p}" if best_of > 1 else name
+            sc.setJobGroup(group, f"bench {name} pass {p}")
+            t0 = time.perf_counter()
+            result = thunk()
+            dt = time.perf_counter() - t0
+            if dt < best[0]:
+                best = (dt, group, result)
+            spark.catalog.clearCache()
+        dt, group, result = best
+        timings[name] = round(dt, 3)
+        att = _attribution(spark, group)
+        if att is not None:
+            att["wall_sec"] = round(dt, 3)
+            att["gap_sec"] = round(max(0.0, dt - att["stage_wall_sec"]), 3)
+            attribution[name] = att
+        return dt, result
+
     _ensure_images(spark)
-    bench_mvt_encode(spark, sf_dir)
-    t0 = time.perf_counter()
-    stats = bench_mvt_encode(spark, sf_dir)
-    dt = time.perf_counter() - t0
-    timings["mvt_encode"] = round(dt, 3)
+    dt, stats = run_best("mvt_encode", lambda: bench_mvt_encode(spark, sf_dir))
     extras["mvt"] = {
         **{k: int(v) for k, v in stats.items()},
         "tiles_per_sec": round(stats["n_tiles"] / dt, 1),
         "features_per_sec": round(stats["n_features"] / dt, 1),
     }
 
-    # composed vector pipeline (clip -> simplify -> encode), same
-    # warmup-then-measure protocol as the flagship
+    # composed vector pipeline (clip -> simplify -> encode), same protocol
     _ensure_lines(spark)
-    bench_vector_pipeline(spark)
-    t0 = time.perf_counter()
-    vstats = bench_vector_pipeline(spark)
-    dt = time.perf_counter() - t0
-    timings["vector_pipeline"] = round(dt, 3)
+    dt, vstats = run_best("vector_pipeline", lambda: bench_vector_pipeline(spark))
     extras["vector"] = {
         **{k: int(v) for k, v in vstats.items()},
         "lines_in": N_LINES,
         "features_per_sec": round(vstats["n_features"] / dt, 1),
     }
-
     for name in headline:
         fn = queries[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        dt = time.perf_counter() - t0
-        timings[name] = round(dt, 3)
+        _, n = run_best(name, lambda: fn(spark, sf_dir).count())
         extras.setdefault("rows", {})[name] = n
+    sc.setJobGroup("", "")
+    if attribution:
+        extras["attribution"] = attribution
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]

@@ -806,13 +806,23 @@ def q_knn_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_ty": eq_tile_y(F.col("q_lat"), z),
         }
     )
-    offsets = spark.createDataFrame(
-        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)], "dx int, dy int"
+    # the 3x3 ring as an ARRAY-LITERAL explode (matching
+    # spatial_join.py's ring expansion): a generator inside the
+    # projection, not a local-relation crossJoin — one fewer stage, no
+    # BroadcastExchange, and the explode stays inside whole-stage codegen
+    ring = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
     )
-    probes = queries.crossJoin(F.broadcast(offsets)).select(
+    probes = queries.select(
+        "s_suppkey", "q_lon", "q_lat", "q_tx", "q_ty", F.explode(ring).alias("o")
+    ).select(
         "s_suppkey", "q_lon", "q_lat",
-        (F.col("q_tx") + F.col("dx")).alias("cand_tx"),
-        (F.col("q_ty") + F.col("dy")).alias("cand_ty"),
+        (F.col("q_tx") + F.col("o.dx")).alias("cand_tx"),
+        (F.col("q_ty") + F.col("o.dy")).alias("cand_ty"),
     )
     joined = probes.join(cand, ["cand_tx", "cand_ty"]).withColumn(
         "dist2",
