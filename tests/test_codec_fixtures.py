@@ -125,3 +125,46 @@ def test_unknown_geomtype_errors():
     raw = codec.RawLayer(name="bad", version=2, features=[codec.RawFeature(type=0)])
     with pytest.raises(ValueError, match="UNKNOWN"):
         codec.layer_from_raw(raw)
+
+
+def test_partial_decode_layer_selection():
+    """decode_tile(layers=...) returns exactly the selected layers, each
+    byte-equivalent to its full-decode twin; unknown names yield {}; the
+    skip path must not disturb parse positions (all 15 roads layers still
+    individually reachable)."""
+    data = load("roads")
+    full = codec.decode_tile(data)
+    # one layer: identical to the full decode's entry
+    one = codec.decode_tile(data, layers=["road"])
+    assert list(one) == ["road"]
+    assert codec.encode_layer(one["road"]) == codec.encode_layer(full["road"])
+    # a subset preserves tile order and content
+    sub = codec.decode_tile(data, layers={"water", "poi_label"})
+    assert set(sub) == {"water", "poi_label"}
+    for n in sub:
+        assert codec.encode_layer(sub[n]) == codec.encode_layer(full[n])
+    # every layer individually reachable (skip logic never corrupts pos)
+    for n in full:
+        assert list(codec.decode_tile(data, layers=[n])) == [n]
+    assert codec.decode_tile(data, layers=["no_such_layer"]) == {}
+    assert codec.decode_tile(data, layers=[]) == {}
+
+
+def test_decode_tiles_layer_selective(spark):
+    """Distributed decode_tiles(layers=...) equals the full decode filtered
+    to those layers, over a multi-layer encoded frame."""
+    from pyspark.sql import functions as F
+
+    from vectortiles_spark.operators import tiling
+    from vectortiles_spark.sources.synth import images_df
+
+    imgs = images_df(spark, 60, seed=11)
+    a = tiling.point_features(imgs, z=3, layer="images", feature_id=F.xxhash64("image_id"))
+    b = tiling.point_features(imgs, z=3, layer="roads", feature_id=F.xxhash64("image_id") + 1)
+    tiles = tiling.encode_tiles(a.union(b))
+    full = tiling.decode_tiles(tiles)
+    sel = tiling.decode_tiles(tiles, layers=["roads"])
+    key = lambda r: (r.tile_x, r.tile_y, r.layer, r.feature_id, tuple(r.geom_cmds))
+    want = sorted(key(r) for r in full.collect() if r.layer == "roads")
+    got = sorted(key(r) for r in sel.collect())
+    assert got == want and len(got) > 0

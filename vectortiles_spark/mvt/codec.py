@@ -217,21 +217,49 @@ def _parse_layer(buf: memoryview) -> RawLayer:
     return layer
 
 
-def parse_raw_tile(data: bytes) -> list[RawLayer]:
-    """Parse MVT bytes to raw protobuf-level layers (Tile.layers, field 3)."""
+def _peek_layer_name(buf) -> str | None:
+    """Read ONLY the name (field 1) of a layer message, skipping everything
+    else. Returns None if the message carries no name."""
+    pos = 0
+    end = len(buf)
+    while pos < end:
+        fnum, wt, pos = wire.read_tag(buf, pos)
+        if fnum == 1 and wt == wire.WT_LEN:
+            n, pos = wire.read_varint(buf, pos)
+            return bytes(buf[pos:pos + n]).decode("utf-8")
+        pos = wire.skip_field(buf, pos, wt)
+    return None
+
+
+def parse_raw_tile(data: bytes, layers=None) -> list[RawLayer]:
+    """Parse MVT bytes to raw protobuf-level layers (Tile.layers, field 3).
+
+    ``layers`` (an iterable of names) enables LAYER-SELECTIVE partial
+    decode — the reference's lazy-decode property (one layer of roads.mvt
+    in 6.4ms vs 9.8ms full, bench/Bench.hs:63-67) on the ingest path: a
+    non-matching layer message costs one name peek plus a length skip,
+    never feature/key/value parsing. Our encoder writes the name first,
+    so the peek usually touches only the message's leading bytes."""
     buf = memoryview(data)
     pos = 0
     end = len(buf)
-    layers: list[RawLayer] = []
+    want = None if layers is None else set(layers)
+    out: list[RawLayer] = []
     while pos < end:
         fnum, wt, pos = wire.read_tag(buf, pos)
         if fnum == 3 and wt == wire.WT_LEN:
             n, pos = wire.read_varint(buf, pos)
-            layers.append(_parse_layer(buf[pos:pos + n]))
+            if pos + n > end:
+                # memoryview slicing would silently truncate, letting the
+                # selective path SKIP a torn layer the full path rejects —
+                # keep both paths equally strict on malformed input
+                raise ValueError("truncated layer message")
+            if want is None or _peek_layer_name(buf[pos:pos + n]) in want:
+                out.append(_parse_layer(buf[pos:pos + n]))
             pos += n
         else:
             pos = wire.skip_field(buf, pos, wt)
-    return layers
+    return out
 
 
 # ---------------- raw -> canonical (fromProtobuf, Internal.hs:96-112) ----------------
@@ -265,9 +293,15 @@ def layer_from_raw(raw: RawLayer) -> Layer:
     )
 
 
-def decode_tile(data: bytes) -> dict[str, Layer]:
-    """tile :: ByteString -> VectorTile (ref lib/Geography/VectorTile.hs:70-71)."""
-    return {layer.name: layer for layer in (layer_from_raw(r) for r in parse_raw_tile(data))}
+def decode_tile(data: bytes, layers=None) -> dict[str, Layer]:
+    """tile :: ByteString -> VectorTile (ref lib/Geography/VectorTile.hs:70-71).
+
+    ``layers`` selects a subset by name without parsing the rest (see
+    parse_raw_tile)."""
+    return {
+        layer.name: layer
+        for layer in (layer_from_raw(r) for r in parse_raw_tile(data, layers=layers))
+    }
 
 
 # ---------------- canonical -> wire bytes (encode side) ----------------

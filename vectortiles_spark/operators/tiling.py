@@ -693,9 +693,15 @@ def encode_tiles(
     )
 
 
-def decode_tiles(tiles: DataFrame) -> DataFrame:
+def decode_tiles(tiles: DataFrame, layers: list[str] | None = None) -> DataFrame:
     """Inverse of encode_tiles: MVT blobs -> canonical feature rows
     (ref `tile`, lib/Geography/VectorTile.hs:70-71, distributed).
+
+    ``layers`` enables layer-selective partial decode: non-matching layer
+    messages inside each blob are length-skipped after a name peek (the
+    reference's lazy one-layer decode, bench/Bench.hs:63-67) — on a tile
+    ingest path reading one layer of a many-layer planet tileset this
+    skips the dominant share of per-blob parse work.
 
     Output uses the ARRAY<STRUCT> metadata form plus geometry command
     streams, so decode_tiles(encode_tiles(f)) roundtrips through the sink.
@@ -716,7 +722,7 @@ def decode_tiles(tiles: DataFrame) -> DataFrame:
                 b["tile_z"].to_pylist(), b["tile_x"].to_pylist(),
                 b["tile_y"].to_pylist(), b["mvt"].to_pylist(),
             ):
-                for name, layer in codec.decode_tile(raw).items():
+                for name, layer in codec.decode_tile(raw, layers=layers).items():
                     for f in layer.features:
                         rows["tile_z"].append(z)
                         rows["tile_x"].append(x)
