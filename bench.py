@@ -155,6 +155,7 @@ def _attribution(spark, group: str) -> dict | None:
 
 
 def main():
+    global N_IMAGES, IMAGES_CACHE, N_LINES, LINES_CACHE
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from vectortiles_spark.session import get_spark
 
@@ -226,6 +227,7 @@ def main():
     extras["mvt"] = {
         **{k: int(v) for k, v in stats.items()},
         "tiles_per_sec": round(stats["n_tiles"] / dt, 1),
+        "rows_per_sec": round(N_IMAGES / dt, 1),
         "features_per_sec": round(stats["n_features"] / dt, 1),
     }
 
@@ -241,6 +243,54 @@ def main():
         fn = queries[name]
         _, n = run_best(name, lambda: fn(spark, sf_dir).count())
         extras.setdefault("rows", {})[name] = n
+
+    # sf-large: the same two pipelines at 10x scale, so "per-row cost
+    # falls with scale" is a tracked artifact number, not a prose claim.
+    # Single timed pass (the suite above already warmed JVM + workers);
+    # BENCH_LARGE=0 skips, sizes override via BENCH_LARGE_IMAGES/_LINES.
+    if os.environ.get("BENCH_LARGE", "1") != "0":
+        small = {"imgs": (N_IMAGES, IMAGES_CACHE), "lines": (N_LINES, LINES_CACHE)}
+        N_IMAGES = int(os.environ.get("BENCH_LARGE_IMAGES", "2000000"))
+        IMAGES_CACHE = f"/tmp/bench_images_{N_IMAGES}"
+        N_LINES = int(os.environ.get("BENCH_LARGE_LINES", "200000"))
+        LINES_CACHE = f"/tmp/bench_lines_{N_LINES}"
+        try:
+            _ensure_images(spark)
+            sc.setJobGroup("mvt_encode_large", "bench mvt_encode sf-large")
+            t0 = time.perf_counter()
+            stats = bench_mvt_encode(spark, sf_dir)
+            dt = time.perf_counter() - t0
+            att = _attribution(spark, "mvt_encode_large") or {}
+            extras["sf_large"] = {
+                "mvt": {
+                    **{k: int(v) for k, v in stats.items()},
+                    "rows_in": N_IMAGES,
+                    "wall_sec": round(dt, 3),
+                    "tiles_per_sec": round(stats["n_tiles"] / dt, 1),
+                    # per-tile caps truncate features in hot metro tiles at
+                    # this scale; rows/s is the scale-comparable rate
+                    "rows_per_sec": round(N_IMAGES / dt, 1),
+                    "features_per_sec": round(stats["n_features"] / dt, 1),
+                    **({"stage_wall_sec": att.get("stage_wall_sec")} if att else {}),
+                }
+            }
+            _ensure_lines(spark)
+            sc.setJobGroup("vector_large", "bench vector_pipeline sf-large")
+            t0 = time.perf_counter()
+            vstats = bench_vector_pipeline(spark)
+            dt = time.perf_counter() - t0
+            att = _attribution(spark, "vector_large") or {}
+            extras["sf_large"]["vector"] = {
+                **{k: int(v) for k, v in vstats.items()},
+                "lines_in": N_LINES,
+                "wall_sec": round(dt, 3),
+                "lines_per_sec": round(N_LINES / dt, 1),
+                "features_per_sec": round(vstats["n_features"] / dt, 1),
+                **({"stage_wall_sec": att.get("stage_wall_sec")} if att else {}),
+            }
+        finally:
+            (N_IMAGES, IMAGES_CACHE) = small["imgs"]
+            (N_LINES, LINES_CACHE) = small["lines"]
     sc.setJobGroup("", "")
     if attribution:
         extras["attribution"] = attribution
