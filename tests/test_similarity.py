@@ -123,3 +123,74 @@ def test_ivf_assign_matches_numpy_argmax(spark):
     sims = cn @ cn[:16].T
     want = np.argmax(sims, axis=1)
     assert got == {int(v): int(c) for v, c in zip(pdf.vec_id, want)}
+
+
+def test_ivf_train_improves_recall_at_equal_nprobe(spark):
+    """k-means-refined centroids beat the lowest-id seeds at EQUAL nprobe
+    on clustered data. Construction: 8 well-separated blobs, with ids
+    assigned so ALL 8 seed centroids (lowest ids) fall inside blob 0 —
+    the seed quantizer folds 7/8 of the corpus into few cells, so probes
+    miss; Lloyd iterations must spread the centroids across blobs."""
+    rng = np.random.Generator(np.random.PCG64(17))
+    centers = rng.normal(size=(8, DIM))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    # ids 0..7: blob 0 only (degenerate seeds), then round-robin blobs
+    for b in [0] * 8 + [i % 8 for i in range(392)]:
+        v = centers[b] + 0.25 * rng.normal(size=DIM)
+        rows.append((vid, b, (v / np.linalg.norm(v)).astype(np.float32).tolist()))
+        vid += 1
+    pdf = pd.DataFrame(rows, columns=["vec_id", "blob", "embedding"])
+    cand = spark.createDataFrame(pdf[["vec_id", "embedding"]])
+    qs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "query_id": range(8),
+                "q_emb": [v.astype(np.float32).tolist() for v in centers],
+            }
+        )
+    )
+    exact = _brute_topk(
+        pdf[["vec_id", "embedding"]],
+        pd.DataFrame({"vec_id": range(8), "embedding": [v.tolist() for v in centers]}),
+        10,
+    )
+
+    def recall(df):
+        got = {}
+        for r in df.collect():
+            got.setdefault(r.query_id, set()).add(r.vec_id)
+        hits = sum(len(got.get(q, set()) & set(want)) for q, want in exact.items())
+        return hits / (10 * len(exact))
+
+    r_seed = recall(similarity.ivf_topk(qs, cand, k=10, n_cells=8, nprobe=2))
+    r_trained = recall(
+        similarity.ivf_topk(qs, cand, k=10, n_cells=8, nprobe=2, train_iters=3)
+    )
+    # measured (seed 17, noise 0.25): seed quantizer 0.787, trained 1.0 —
+    # the degenerate seeds split every blob across razor-thin cells while
+    # 3 Lloyd iterations separate them. Margins leave headroom but demand
+    # a decisive, not marginal, improvement at EQUAL nprobe.
+    assert r_trained >= r_seed + 0.15, (r_seed, r_trained)
+    assert r_trained >= 0.95, r_trained
+
+
+def test_ivf_train_keeps_assign_contract(spark):
+    """ivf_assign(centroids=ivf_train(...)) still matches the NumPy argmax
+    against the trained matrix, and empty input stays empty."""
+    pdf = _vecs(80, seed=3)
+    cand = spark.createDataFrame(pdf)
+    trained = similarity.ivf_train(cand, n_cells=8, n_iters=2)
+    assert len(trained) == 8
+    assigned, cent_rows = similarity.ivf_assign(cand, n_cells=8, centroids=trained)
+    got = {r.vec_id: r.centroid_id for r in assigned.collect()}
+    ids = [r[0] for r in cent_rows]
+    mat = np.asarray([r[1] for r in cent_rows], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    cm = np.array(pdf.embedding.tolist(), dtype=np.float64)
+    cm /= np.linalg.norm(cm, axis=1, keepdims=True)
+    want = np.argmax(cm @ mat.T, axis=1)
+    assert got == {int(v): ids[int(c)] for v, c in zip(pdf.vec_id, want)}
+    empty = cand.filter("vec_id < 0")
+    assert similarity.ivf_train(empty, n_cells=4, n_iters=2) == []
