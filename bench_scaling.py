@@ -40,7 +40,10 @@ from pyspark.sql import functions as F
 from vectortiles_spark.operators import tiling
 
 cpus = {cpus}
-spark = get_spark(app_name=f"scale{{cpus}}", master=f"local[{{cpus}}]", shuffle_partitions=64)
+spark = get_spark(
+    app_name=f"scale{{cpus}}", master={master!r}, shuffle_partitions=64,
+    extra_conf={extra_conf!r},
+)
 imgs = spark.read.parquet({images!r})
 feats = tiling.point_features(
     imgs, z=12, layer="images", feature_id=F.xxhash64("image_id"),
@@ -59,8 +62,21 @@ spark.stop()
 """
 
 
-def run_level(cpus: int, images: str, trials: int = 3) -> dict:
-    code = _CHILD.format(repo=str(REPO), cpus=cpus, images=images, trials=trials)
+def run_level(
+    cpus: int, images: str, trials: int = 3, master: str | None = None
+) -> dict:
+    """One fresh-JVM measurement. ``master`` defaults to local[cpus];
+    pass a local-cluster[n,c,mem] string for the multi-JVM tier (executor
+    JVMs need PYTHONPATH to import this repo's python workers)."""
+    extra = {}
+    if master is None:
+        master = f"local[{cpus}]"
+    else:
+        extra["spark.executorEnv.PYTHONPATH"] = str(REPO)
+    code = _CHILD.format(
+        repo=str(REPO), cpus=cpus, images=images, trials=trials,
+        master=master, extra_conf=extra,
+    )
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True, check=True
     )
@@ -116,6 +132,34 @@ def main():
         },
         "speedup": round(speedup, 2),
     }
+    if "--no-cluster-tier" not in sys.argv:
+        # MULTI-JVM tier (VERDICT r2 #8): the same N -> 4N pair as separate
+        # EXECUTOR processes — local-cluster[n,1,3072] runs n single-core
+        # executor JVMs with a real driver<->executor shuffle boundary, the
+        # closest thing to "N and 4N executors" this single box can host.
+        # Interleaved 4N/N/4N/N with the same symmetric best-of estimator.
+        cbig = run_level(4, images, trials=2, master="local-cluster[4,1,3072]")
+        csmall = run_level(1, images, trials=2, master="local-cluster[1,1,3072]")
+        cbig2 = run_level(4, images, trials=2, master="local-cluster[4,1,3072]")
+        csmall2 = run_level(1, images, trials=2, master="local-cluster[1,1,3072]")
+        if cbig2["sec"] < cbig["sec"]:
+            cbig = cbig2
+        if csmall2["sec"] < csmall["sec"]:
+            csmall = csmall2
+        cspeed = csmall["sec"] / cbig["sec"]
+        result["cluster_tier"] = {
+            "levels": {
+                "local-cluster[1,1,3072]": _level_entry(csmall),
+                "local-cluster[4,1,3072]": _level_entry(cbig),
+            },
+            "speedup": round(cspeed, 2),
+            "efficiency": round(cspeed / 4.0, 3),
+            "note": (
+                "1 -> 4 single-core executor JVMs (separate processes, real "
+                "shuffle boundary); same input and partitioning as the "
+                "local[] tier"
+            ),
+        }
     if probe:
         ceiling = run_level(16, images, trials=2)
         result["host_ceiling_probe"] = {
