@@ -249,6 +249,8 @@ def main():
     # Single timed pass (the suite above already warmed JVM + workers);
     # BENCH_LARGE=0 skips, sizes override via BENCH_LARGE_IMAGES/_LINES.
     if os.environ.get("BENCH_LARGE", "1") != "0":
+        # failure-isolated like _attribution: a /tmp-full or OOM during the
+        # 10x tier must not discard the completed small-suite artifact
         small = {"imgs": (N_IMAGES, IMAGES_CACHE), "lines": (N_LINES, LINES_CACHE)}
         N_IMAGES = int(os.environ.get("BENCH_LARGE_IMAGES", "2000000"))
         IMAGES_CACHE = f"/tmp/bench_images_{N_IMAGES}"
@@ -288,6 +290,8 @@ def main():
                 "features_per_sec": round(vstats["n_features"] / dt, 1),
                 **({"stage_wall_sec": att.get("stage_wall_sec")} if att else {}),
             }
+        except Exception as exc:  # noqa: BLE001
+            extras.setdefault("sf_large", {})["error"] = f"{type(exc).__name__}: {exc}"[:200]
         finally:
             (N_IMAGES, IMAGES_CACHE) = small["imgs"]
             (N_LINES, LINES_CACHE) = small["lines"]

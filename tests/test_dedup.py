@@ -151,8 +151,10 @@ def test_caps_bound_100k_mass_duplicates_in_bounded_time(spark):
     band bucket (5x10^9 candidate pairs per band uncapped; the join would
     not finish). With the caps the candidate space is cap^2, results are
     exactly the kept subset's pairs, and the jobs complete within a wall
-    bound that holds with ~4x headroom on a loaded host (measured 12.6s /
-    5.7s steady-state)."""
+    bound (measured 12.6s / 5.7s steady-state; bounds sized ~14-20x for
+    this host's documented 4-8x time-varying slowdowns — uncapped, the
+    5e9-pair join would run for hours or OOM, so even the loose bound
+    proves the guard)."""
     import time
 
     n, cap = 100_000, 50
@@ -166,7 +168,7 @@ def test_caps_bound_100k_mass_duplicates_in_bounded_time(spark):
     minhash_wall = time.perf_counter() - t0
     assert len(got) == cap * (cap - 1) // 2
     assert max(max(r.doc_a, r.doc_b) for r in got) == cap - 1
-    assert minhash_wall < 60.0, f"minhash 100k mass-dup took {minhash_wall:.1f}s"
+    assert minhash_wall < 180.0, f"minhash 100k mass-dup took {minhash_wall:.1f}s"
     spark.catalog.clearCache()
 
     t0 = time.perf_counter()
@@ -174,4 +176,4 @@ def test_caps_bound_100k_mass_duplicates_in_bounded_time(spark):
     simhash_wall = time.perf_counter() - t0
     assert len(got2) == cap * (cap - 1) // 2
     assert all(r.hamming == 0 for r in got2)
-    assert simhash_wall < 45.0, f"simhash 100k mass-dup took {simhash_wall:.1f}s"
+    assert simhash_wall < 120.0, f"simhash 100k mass-dup took {simhash_wall:.1f}s"
