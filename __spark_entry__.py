@@ -128,6 +128,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cosine_topk": QT.q_cosine_topk,
         "q_ivf_assign": QT.q_ivf_assign,
         "q_label_centroids": QT.q_label_centroids,
+        "q_stratified_sample": QT.q_stratified_sample,
+        "q_hash_split": QT.q_hash_split,
+        "q_tfidf_topk": QT.q_tfidf_topk,
         "q_mvt_roundtrip": Q.q_mvt_roundtrip,
         "q_mvt_roundtrip_geoms": Q.q_mvt_roundtrip_geoms,
         "q_raster_contours": Q.q_raster_contours,
@@ -184,4 +187,7 @@ def oracle_sql() -> dict[str, str]:
         "q_cosine_topk": QT.Q_COSINE_TOPK_SQL,
         "q_ivf_assign": QT.Q_IVF_ASSIGN_SQL,
         "q_label_centroids": QT.Q_LABEL_CENTROIDS_SQL,
+        "q_stratified_sample": QT.Q_STRATIFIED_SAMPLE_SQL,
+        "q_hash_split": QT.Q_HASH_SPLIT_SQL,
+        "q_tfidf_topk": QT.Q_TFIDF_SQL,
     }

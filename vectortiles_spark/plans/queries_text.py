@@ -600,3 +600,123 @@ WITH pos AS (
 SELECT label, round(sqrt(sum(c * c)), 6) AS centroid_norm
 FROM cent GROUP BY label ORDER BY label
 """
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling under the value oracle: the first
+    5 docs of every (lang, source) stratum by md5(doc_id) — the
+    reproducible, partitioning-invariant training-data subset pick
+    (operators/sampling.py). The md5 order is bit-identical in DuckDB, so
+    the oracle replays the exact kept set, not just its size."""
+    from ..operators.sampling import sample_per_group
+
+    (docs,) = load(spark, sf_dir, "documents")
+    picked = sample_per_group(docs, ["lang", "source"], 5, "doc_id")
+    return picked.select("lang", "source", "sample_rank", "doc_id").orderBy(
+        "lang", "source", "sample_rank"
+    )
+
+
+Q_STRATIFIED_SAMPLE_SQL = """
+SELECT lang, source, sample_rank, doc_id FROM (
+  SELECT lang, source, doc_id,
+         row_number() OVER (
+           PARTITION BY lang, source
+           ORDER BY md5(doc_id::VARCHAR), doc_id
+         ) AS sample_rank
+  FROM documents
+) WHERE sample_rank <= 5
+ORDER BY lang, source, sample_rank
+"""
+
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split under the value oracle: md5
+    bucket mod 100 -> contiguous weight ranges (98/1/1), a pure
+    projection (ZERO shuffle until this count). Counts + id-sum per
+    (split, lang) pin the exact assignment, not just the ratios."""
+    from ..operators.sampling import hash_split
+
+    (docs,) = load(spark, sf_dir, "documents")
+    split = hash_split(docs, "doc_id", {"train": 98, "val": 1, "test": 1})
+    return (
+        split.groupBy("split", "lang")
+        .agg(F.count("*").alias("n"), F.sum("doc_id").alias("sum_ids"))
+        .orderBy("split", "lang")
+    )
+
+
+Q_HASH_SPLIT_SQL = """
+WITH b AS (
+  SELECT lang, doc_id,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 98 THEN 'train'
+            WHEN bucket < 99 THEN 'val'
+            ELSE 'test' END AS split,
+       lang, count(*) AS n, sum(doc_id)::BIGINT AS sum_ids
+FROM b GROUP BY 1, 2 ORDER BY split, lang
+"""
+
+
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top terms per document under the value oracle: whitespace
+    tokenize -> per-doc term counts (tf) -> document frequency over the
+    FULL corpus -> score = tf * ln(N/df) -> top 3 terms per sampled doc.
+    Two shuffles (doc-term counts, term df) + one broadcast-size window —
+    the canonical corpus-statistics shape. Rank on the ROUNDED score so
+    tie order is engine-portable."""
+    (docs,) = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = toks.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n_docs = toks.select(F.count_distinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.filter(F.pmod(F.col("doc_id"), F.lit(29)) == 0)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "rank", "term", "score")
+        .orderBy("doc_id", "rank")
+    )
+
+
+Q_TFIDF_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+  FROM documents
+), toks_nz AS (
+  SELECT doc_id, term FROM toks WHERE term <> ''
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks_nz GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM toks_nz GROUP BY 1
+), nd AS (
+  SELECT count(DISTINCT doc_id) AS n_docs FROM toks_nz
+), scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * ln(nd.n_docs / dfreq.df), 6) AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN nd
+  WHERE tf.doc_id % 29 = 0
+)
+SELECT doc_id, rank, term, score FROM (
+  SELECT doc_id, term, score,
+         row_number() OVER (
+           PARTITION BY doc_id ORDER BY score DESC, term ASC
+         ) AS rank
+  FROM scored
+) WHERE rank <= 3
+ORDER BY doc_id, rank
+"""
