@@ -198,3 +198,41 @@ def test_tolerance_by_zoom(spark):
     assert [list(p) for p in out[4]] == zig
     with pytest.raises(ValueError, match="tile_z"):
         simplify_geoms(df.drop("tile_z"), 1.0, tolerance_by_zoom={2: 5.0}).collect()
+
+
+def test_dp_keep_mask_batch_equals_scalar_kernel():
+    """The level-synchronous whole-batch DP must make IDENTICAL keep
+    decisions to the scalar stack kernel on every ring — collinear runs,
+    duplicate-heavy lattices, spikes, near-collinear noise, varying
+    per-ring tolerances."""
+    import numpy as np
+
+    from vectortiles_spark.operators.simplify import dp_keep_mask, dp_keep_mask_batch
+
+    rng = np.random.default_rng(11)
+    rings = []
+    for i in range(800):
+        k = int(rng.integers(1, 60))
+        mode = i % 5
+        if mode == 0:
+            r = np.cumsum(rng.normal(0, 30, (k, 2)), axis=0)
+        elif mode == 1:
+            r = np.column_stack([np.arange(k), np.zeros(k)])
+        elif mode == 2:
+            r = rng.integers(0, 5, (k, 2)).astype(float)
+        elif mode == 3:
+            r = np.column_stack([np.arange(k), rng.normal(0, 1, k)])
+        else:
+            r = np.zeros((k, 2))
+            r[:, 0] = np.arange(k)
+            r[k // 2] = [k // 2, 500]
+        rings.append(np.rint(r).astype(float))
+    tols = rng.uniform(0.5, 40, len(rings))
+    P = np.concatenate(rings)
+    lens = np.array([len(r) for r in rings])
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    mask = dp_keep_mask_batch(P, starts, lens, tols**2)
+    for i, r in enumerate(rings):
+        want = dp_keep_mask(r, tols[i])
+        got = mask[starts[i] : starts[i] + lens[i]]
+        assert np.array_equal(want, got), (i, lens[i], tols[i])

@@ -357,40 +357,191 @@ def clip_polyline(pts: np.ndarray, x0: float, y0: float, x1: float, y1: float):
     t0 = np.clip(tmin, 0.0, 1.0)
     t1 = np.clip(tmax, 0.0, 1.0)
     ok = t0 < t1  # strict: zero-length survivors add nothing
+    if not ok.any():
+        return []
     if ok.all() and not t0.any() and (t1 == 1.0).all():
         # fully inside: the common case for features spanning few tiles —
-        # skip the per-segment chaining loop entirely
+        # skip chain assembly entirely
         return [pts.astype(np.float64)]
+    # Vectorized chain assembly (was a per-segment Python loop — the
+    # dominant cost of the whole clip stage at planet scale). A kept
+    # segment CONTINUES the previous chain iff the previous segment was
+    # kept, ran through its end (t1 == 1), and this one starts at its
+    # beginning (t0 == 0); otherwise it STARTS a new chain. Starts emit
+    # (entry point, exit point); continuations emit only their exit —
+    # interleaved into one buffer by cumulative offsets, then split at
+    # the chain-start positions.
+    keep = np.flatnonzero(ok)
+    ak, bk, dk = a[keep], bb[keep], d[keep]
+    t0k, t1k = t0[keep], t1[keep]
+    # exact original vertices at t==0/t==1: recomputing a + t*d in float
+    # re-derives the endpoint with rounding (a + 1.0*(b - a) != b for
+    # ~40% of mixed-magnitude pairs) and used to break the
+    # chain-continuity check, splitting continuous lines
+    p0 = np.where((t0k == 0.0)[:, None], ak, ak + t0k[:, None] * dk)
+    p1 = np.where((t1k == 1.0)[:, None], bk, ak + t1k[:, None] * dk)
+    prev_ok = np.concatenate(([False], ok[:-1]))
+    prev_t1 = np.concatenate(([0.0], t1[:-1]))
+    cont = prev_ok[keep] & (prev_t1[keep] == 1.0) & (t0k == 0.0)
+    start = ~cont
+    start_i = start.astype(np.int64)
+    counts = 1 + start_i
+    pos = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    buf = np.empty((int(counts.sum()), 2), np.float64)
+    buf[pos[start]] = p0[start]
+    buf[pos + start_i] = p1
+    return np.split(buf, pos[start][1:])
+
+
+def _clip_lines_batched(
+    seg_a: np.ndarray,
+    seg_b: np.ndarray,
+    sc: np.ndarray,
+    feat_of_part: np.ndarray,
+    covers: np.ndarray,
+    extent: int,
+    buffer_px: int,
+    n: int,
+):
+    """Whole-batch polyline clipping: every (part, covered tile) emission
+    of every LINESTRING feature in one set of array operations.
+
+    The per-feature path costs ~20 NumPy dispatches per (feature, tile)
+    on ~50-segment arrays — dispatch overhead, not compute, dominates the
+    clip stage. Here the Liang-Barsky parameters, chain assembly, tile
+    localization, rounding dedupe, and the exact-tiling high-edge
+    ownership test all run ONCE over the concatenated rows (segments
+    repeated per covered tile), with per-row rect bounds; only emission
+    bookkeeping and the final per-chain tolist remain Python. Semantics
+    are identical to clip_polyline + _localize_line per tile (the
+    differential test in tests/test_clip.py pins this).
+
+    Inputs: seg_a/seg_b = concatenated segment endpoints over all parts
+    (feature order), sc = segment count per part, feat_of_part = owning
+    feature index per part, covers = (F, 4) int array of
+    tx_lo/tx_hi/ty_lo/ty_hi per feature.
+
+    Returns a list of ((feature_idx, tx, ty), [chain_int_lists...])
+    grouped per output row, in (feature, ty, tx) order.
+    """
+    seg_base = np.concatenate(([0], np.cumsum(sc)[:-1]))
+    # emissions ordered (feature, ty, tx, part) — matching the
+    # per-feature path's nesting so multi-chain rows keep part order
+    parts_of: dict[int, list[int]] = {}
+    for pi, fi in enumerate(feat_of_part):
+        if sc[pi]:
+            parts_of.setdefault(int(fi), []).append(pi)
+    em_part, em_tx, em_ty = [], [], []
+    for fi, pl in parts_of.items():
+        tx_lo, tx_hi, ty_lo, ty_hi = covers[fi]
+        for ty in range(ty_lo, ty_hi + 1):
+            for tx in range(tx_lo, tx_hi + 1):
+                for pi in pl:
+                    em_part.append(pi)
+                    em_tx.append(tx)
+                    em_ty.append(ty)
+    if not em_part:
+        return []
+    em_part = np.asarray(em_part, np.int64)
+    em_tx = np.asarray(em_tx, np.int64)
+    em_ty = np.asarray(em_ty, np.int64)
+    lens = sc[em_part]
+    total = int(lens.sum())
+    em_row_start = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    gidx = np.repeat(seg_base[em_part], lens) + (
+        np.arange(total) - np.repeat(em_row_start, lens)
+    )
+    row_em = np.repeat(np.arange(len(em_part)), lens)
+    a = seg_a[gidx]
+    b = seg_b[gidx]
+    d = b - a
+    fx0 = np.repeat((em_tx * extent - buffer_px).astype(np.float64), lens)
+    fx1 = np.repeat(((em_tx + 1) * extent + buffer_px).astype(np.float64), lens)
+    fy0 = np.repeat((em_ty * extent - buffer_px).astype(np.float64), lens)
+    fy1 = np.repeat(((em_ty + 1) * extent + buffer_px).astype(np.float64), lens)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        tx0 = np.where(d[:, 0] != 0, (fx0 - a[:, 0]) / d[:, 0], np.where(a[:, 0] >= fx0, -np.inf, np.inf))
+        tx1 = np.where(d[:, 0] != 0, (fx1 - a[:, 0]) / d[:, 0], np.where(a[:, 0] <= fx1, np.inf, -np.inf))
+        ty0 = np.where(d[:, 1] != 0, (fy0 - a[:, 1]) / d[:, 1], np.where(a[:, 1] >= fy0, -np.inf, np.inf))
+        ty1 = np.where(d[:, 1] != 0, (fy1 - a[:, 1]) / d[:, 1], np.where(a[:, 1] <= fy1, np.inf, -np.inf))
+    tmin = np.maximum(np.minimum(tx0, tx1), np.minimum(ty0, ty1))
+    tmax = np.minimum(np.maximum(tx0, tx1), np.maximum(ty0, ty1))
+    t0 = np.clip(tmin, 0.0, 1.0)
+    t1 = np.clip(tmax, 0.0, 1.0)
+    ok = t0 < t1
+    if not ok.any():
+        return []
+    first_row = np.zeros(total, bool)
+    first_row[em_row_start] = True
+    prev_ok = np.concatenate(([False], ok[:-1]))
+    prev_t1 = np.concatenate(([0.0], t1[:-1]))
+    cont = ok & prev_ok & (prev_t1 == 1.0) & (t0 == 0.0) & ~first_row
+    keep = np.flatnonzero(ok)
+    ak, bk, dk = a[keep], b[keep], d[keep]
+    t0k, t1k = t0[keep], t1[keep]
+    # exact original vertices at t==0/1 (see clip_polyline)
+    p0 = np.where((t0k == 0.0)[:, None], ak, ak + t0k[:, None] * dk)
+    p1 = np.where((t1k == 1.0)[:, None], bk, ak + t1k[:, None] * dk)
+    startk = ~cont[keep]
+    sk = startk.astype(np.int64)
+    counts = 1 + sk
+    pos = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    buf = np.empty((int(counts.sum()), 2), np.float64)
+    buf[pos[startk]] = p0[startk]
+    buf[pos + sk] = p1
+    chain_starts = pos[startk]                      # (C,) buffer offsets
+    chain_em = row_em[keep][startk]                 # emission per chain
+    n_chain = len(chain_starts)
+    chain_len = np.diff(np.concatenate((chain_starts, [len(buf)])))
+    buf_chain = np.repeat(np.arange(n_chain), chain_len)
+    # exact-tiling high-edge ownership, on the UNROUNDED floats: a chain
+    # lying entirely on the (unbuffered) high edge belongs to the next
+    # tile. all(v == edge) <=> min == max == edge, via reduceat.
+    if buffer_px == 0:
+        ex1 = ((em_tx[chain_em] + 1) * extent).astype(np.float64)
+        ey1 = ((em_ty[chain_em] + 1) * extent).astype(np.float64)
+        min_x = np.minimum.reduceat(buf[:, 0], chain_starts)
+        max_x = np.maximum.reduceat(buf[:, 0], chain_starts)
+        min_y = np.minimum.reduceat(buf[:, 1], chain_starts)
+        max_y = np.maximum.reduceat(buf[:, 1], chain_starts)
+        on_hi_x = (min_x == ex1) & (max_x == ex1) & (em_tx[chain_em] < n - 1)
+        on_hi_y = (min_y == ey1) & (max_y == ey1) & (em_ty[chain_em] < n - 1)
+        edge_drop = on_hi_x | on_hi_y
+    else:
+        edge_drop = np.zeros(n_chain, bool)
+    # localize + round + consecutive-dedupe, all rows at once
+    off = np.column_stack(
+        ((em_tx[chain_em] * extent).astype(np.float64), (em_ty[chain_em] * extent).astype(np.float64))
+    )
+    ip = np.rint(buf - off[buf_chain]).astype(np.int64)
+    first_pt = np.zeros(len(buf), bool)
+    first_pt[chain_starts] = True
+    same_prev = np.concatenate(([False], np.all(ip[1:] == ip[:-1], axis=1)))
+    keep_pt = first_pt | ~same_prev
+    kept_per_chain = np.add.reduceat(keep_pt.astype(np.int64), chain_starts)
+    live = (kept_per_chain >= 2) & ~edge_drop
+    if not live.any():
+        return []
+    # assemble rows grouped by (feature, ty, tx); chains are already in
+    # that order because emissions were
+    fi_of_chain = feat_of_part[em_part[chain_em]]
     out = []
-    cur: list[np.ndarray] = []
-    for i in range(len(a)):
-        if not ok[i]:
-            if len(cur) >= 2:
-                out.append(np.asarray(cur))
-            cur = []
-            continue
-        # exact original vertices at t==0/t==1: recomputing a + t*d in
-        # float re-derives the endpoint with rounding (a + 1.0*(b - a)
-        # != b for ~40% of mixed-magnitude pairs) and used to break the
-        # chain-continuity check, splitting continuous lines
-        p0 = a[i] if t0[i] == 0.0 else a[i] + t0[i] * d[i]
-        p1 = bb[i] if t1[i] == 1.0 else a[i] + t1[i] * d[i]
-        if not cur:
-            cur = [p0, p1]
-        elif t0[i] == 0.0:
-            # structurally contiguous: cur is only non-empty when the
-            # previous segment survived through t1 == 1.0, so its chain
-            # ends exactly at pts[i] == p0
-            cur.append(p1)
-        else:
-            if len(cur) >= 2:
-                out.append(np.asarray(cur))
-            cur = [p0, p1]
-        if t1[i] < 1.0:  # exits the rect: the chain breaks here
-            out.append(np.asarray(cur))
-            cur = []
-    if len(cur) >= 2:
-        out.append(np.asarray(cur))
+    cur_key = None
+    cur_parts: list = []
+    ipl = ip  # alias
+    for c in np.flatnonzero(live):
+        s = chain_starts[c]
+        e = s + chain_len[c]
+        pts_c = ipl[s:e][keep_pt[s:e]].tolist()
+        key = (int(fi_of_chain[c]), int(em_tx[chain_em[c]]), int(em_ty[chain_em[c]]))
+        if key != cur_key:
+            if cur_parts:
+                out.append((cur_key, cur_parts))
+            cur_key = key
+            cur_parts = []
+        cur_parts.append(pts_c)
+    if cur_parts:
+        out.append((cur_key, cur_parts))
     return out
 
 
@@ -483,6 +634,13 @@ def clip_features(
                 px, py = proj(flat[:, 0], flat[:, 1], z_top, extent)
                 return np.column_stack([px, py])
 
+            # LINESTRING features route to the whole-batch kernel
+            # (_clip_lines_batched): collectors for parts + bboxes
+            line_parts: list[np.ndarray] = []   # one (k,2) ring per part
+            line_part_feat: list[int] = []      # owning line-feature ordinal
+            line_meta: list[tuple] = []         # (layer, fid) per ordinal
+            line_bbox: list[tuple] = []         # (xmin, ymin, xmax, ymax)
+
             for (layer, gt, fid), raw_parts in zip(
                 zip(layers, gts, fids),
                 feature_parts(b[geom_col], np.float64, transform=project_block),
@@ -501,6 +659,14 @@ def clip_features(
                     continue
                 x_min, y_min = allpts[:, 0].min(), allpts[:, 1].min()
                 x_max, y_max = allpts[:, 0].max(), allpts[:, 1].max()
+                if gt == GEOM_LINESTRING:
+                    fi = len(line_meta)
+                    line_meta.append((layer, fid))
+                    line_bbox.append((x_min, y_min, x_max, y_max))
+                    for part in proj_parts:
+                        line_parts.append(part[0])
+                        line_part_feat.append(fi)
+                    continue
                 for zz in zs:
                     # lower zooms reuse the z_top projection: dividing by
                     # a power of two is exact in float64
@@ -545,21 +711,6 @@ def clip_features(
                                     if m.any():
                                         kept = np.rint(p[m] - (ox, oy)).astype(np.int64)
                                         out_parts.extend([[pt.tolist()]] for pt in kept)
-                            elif gt == GEOM_LINESTRING:
-                                for part in zparts:
-                                    for sub in clip_polyline(part[0], x0, y0, x1, y1):
-                                        # edge ownership decided on the UNROUNDED
-                                        # floats: a line 0.3 px inside the edge
-                                        # rounds onto it, but the neighbor's clip
-                                        # (also unrounded) would drop it — testing
-                                        # rounded coords lost such lines entirely
-                                        if (open_hi_x and (sub[:, 0] == x1).all()) or (
-                                            open_hi_y and (sub[:, 1] == y1).all()
-                                        ):
-                                            continue  # exactly on the high edge: the neighbor owns it
-                                        loc = _localize_line(sub, ox, oy)
-                                        if loc is not None:
-                                            out_parts.append([loc])
                             elif gt == GEOM_POLYGON:
                                 for part in zparts:
                                     if not len(part) or len(part[0]) == 0:
@@ -598,6 +749,44 @@ def clip_features(
                             rows["geom_type"].append(gt)
                             rows["feature_id"].append(fid)
                             rows["geom"].append(out_parts)
+
+            if line_parts:
+                # segment blocks built ONCE at z_top; lower zooms divide
+                # by a power of two (exact in float64), and bbox covers
+                # reuse the same clamp arithmetic as the per-feature path
+                sc = np.asarray([max(0, len(p) - 1) for p in line_parts], np.int64)
+                feat_of_part = np.asarray(line_part_feat, np.int64)
+                nonempty = [p for p in line_parts if len(p) >= 2]
+                seg_a0 = (
+                    np.concatenate([p[:-1] for p in nonempty])
+                    if nonempty else np.empty((0, 2))
+                )
+                seg_b0 = (
+                    np.concatenate([p[1:] for p in nonempty])
+                    if nonempty else np.empty((0, 2))
+                )
+                bbox = np.asarray(line_bbox, np.float64).reshape(-1, 4)
+                for zz in zs:
+                    scale = float(1 << (z_top - zz))
+                    n = 1 << zz
+                    sa = seg_a0 if scale == 1.0 else seg_a0 / scale
+                    sb = seg_b0 if scale == 1.0 else seg_b0 / scale
+                    covers = np.empty((len(bbox), 4), np.int64)
+                    covers[:, 0] = np.clip(np.floor((bbox[:, 0] / scale - buffer_px) / extent), 0, n - 1)
+                    covers[:, 1] = np.clip(np.floor((bbox[:, 2] / scale + buffer_px) / extent), 0, n - 1)
+                    covers[:, 2] = np.clip(np.floor((bbox[:, 1] / scale - buffer_px) / extent), 0, n - 1)
+                    covers[:, 3] = np.clip(np.floor((bbox[:, 3] / scale + buffer_px) / extent), 0, n - 1)
+                    for (fi, tx, ty), chains in _clip_lines_batched(
+                        sa, sb, sc, feat_of_part, covers, extent, buffer_px, n
+                    ):
+                        layer, fid = line_meta[fi]
+                        rows["tile_z"].append(zz)
+                        rows["tile_x"].append(tx)
+                        rows["tile_y"].append(ty)
+                        rows["layer"].append(layer)
+                        rows["geom_type"].append(GEOM_LINESTRING)
+                        rows["feature_id"].append(fid)
+                        rows["geom"].append([[c] for c in chains])
             yield pa.record_batch(
                 {
                     "tile_z": pa.array(rows["tile_z"], pa.int32()),

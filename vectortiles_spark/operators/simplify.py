@@ -77,6 +77,66 @@ def dp_keep_mask(pts: np.ndarray, tol: float) -> np.ndarray:
     return keep
 
 
+def dp_keep_mask_batch(
+    P: np.ndarray, starts: np.ndarray, lengths: np.ndarray, tol2: np.ndarray
+) -> np.ndarray:
+    """Douglas-Peucker keep-masks for MANY polylines at once: `P` is the
+    concatenation of all rings' points, `starts`/`lengths` delimit rings,
+    `tol2` is the squared tolerance per ring.
+
+    Level-synchronous formulation of the classic recursion: every round
+    processes ALL active (i, j) intervals of every ring together — the
+    interior points of all intervals go through one vectorized
+    point-to-segment distance pass, the per-interval (first) argmax comes
+    from paired maximum/minimum.reduceat, and intervals that split feed
+    the next round. Identical keep decisions to dp_keep_mask (the scalar
+    kernel processes intervals in a different ORDER, but keeps are
+    order-independent); ~one round per split-tree LEVEL instead of ~20
+    NumPy dispatches per interval, which is what makes whole-batch
+    simplification of planet tile fragments cheap."""
+    M = len(P)
+    keep = np.zeros(M, bool)
+    if M == 0:
+        return keep
+    P = P.astype(np.float64, copy=False)
+    nz = lengths > 0
+    ends = starts + lengths - 1
+    keep[starts[nz]] = True
+    keep[ends[nz]] = True
+    big = lengths > 2
+    act_i = starts[big]
+    act_j = ends[big]
+    act_t2 = tol2[big].astype(np.float64)
+    while len(act_i):
+        L = act_j - act_i - 1  # interior points per interval (>= 1)
+        total = int(L.sum())
+        iv = np.repeat(np.arange(len(act_i)), L)
+        row_start = np.concatenate(([0], np.cumsum(L)[:-1]))
+        gidx = np.repeat(act_i + 1, L) + (np.arange(total) - np.repeat(row_start, L))
+        Pi = P[act_i][iv]
+        d = (P[act_j] - P[act_i])[iv]
+        seg = P[gidx]
+        l2 = (d * d).sum(1)
+        sp = ((seg - Pi) * d).sum(1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = np.clip(np.where(l2 > 0, sp / l2, 0.0), 0.0, 1.0)
+        proj = Pi + t[:, None] * d
+        dist2 = ((seg - proj) ** 2).sum(1)
+        maxv = np.maximum.reduceat(dist2, row_start)
+        # FIRST argmax per interval (np.argmax semantics)
+        cand = np.where(dist2 == maxv[iv], np.arange(total), total)
+        first = np.minimum.reduceat(cand, row_start)
+        split = maxv > act_t2
+        ks = gidx[first[split]]
+        keep[ks] = True
+        ni = np.concatenate([act_i[split], ks])
+        nj = np.concatenate([ks, act_j[split]])
+        nt = np.concatenate([act_t2[split], act_t2[split]])
+        deep = nj > ni + 1
+        act_i, act_j, act_t2 = ni[deep], nj[deep], nt[deep]
+    return keep
+
+
 def _to_int_pts(ring) -> np.ndarray:
     """Round (never truncate) to the integer grid and collapse consecutive
     duplicates that sub-pixel rounding creates — a zero-length LineTo or a
@@ -181,15 +241,57 @@ def simplify_geoms(
             else:
                 tols = None
             # shared Arrow-native unnest (arrow_geom.feature_parts): each
-            # ring reaches the DP kernel as a zero-copy NumPy view —
-            # to_pylist + per-ring list->array conversion dominated the
-            # pass otherwise
-            new = [
-                simplify_parts(gt, parts, tolerance if tols is None else tols[fi])
-                for fi, (gt, parts) in enumerate(
-                    zip(gts, feature_parts(b[geom_col], np.float64))
+            # ring reaches the kernels as a zero-copy NumPy view.
+            # LINESTRING rows batch through dp_keep_mask_batch (all rings
+            # of the batch in one level-synchronous DP — the per-ring
+            # stack kernel's ~20 dispatches/interval dominated the whole
+            # vector pipeline); other types keep the scalar path.
+            new: list = [None] * len(gts)
+            ring_feat: list[int] = []
+            ring_views: list[np.ndarray] = []
+            for fi, (gt, parts) in enumerate(
+                zip(gts, feature_parts(b[geom_col], np.float64))
+            ):
+                if gt == GEOM_LINESTRING:
+                    new[fi] = []
+                    for part in parts or []:
+                        if len(part) == 0 or len(part[0]) == 0:
+                            continue
+                        ring_feat.append(fi)
+                        ring_views.append(
+                            np.asarray(part[0], np.float64).reshape(-1, 2)
+                        )
+                else:
+                    new[fi] = simplify_parts(
+                        gt, parts, tolerance if tols is None else tols[fi]
+                    )
+            if ring_views:
+                R = np.concatenate(ring_views)
+                rlens = np.asarray([len(r) for r in ring_views], np.int64)
+                rstarts = np.concatenate(([0], np.cumsum(rlens)[:-1]))
+                # round + consecutive-dedupe for ALL rings at once
+                # (_to_int_pts semantics, vectorized)
+                ip = np.rint(R).astype(np.int64)
+                firstflag = np.zeros(len(ip), bool)
+                firstflag[rstarts] = True
+                same = np.concatenate(
+                    ([False], np.all(ip[1:] == ip[:-1], axis=1))
                 )
-            ]
+                keep_pt = firstflag | ~same
+                dlens = np.add.reduceat(keep_pt.astype(np.int64), rstarts)
+                D = ip[keep_pt]
+                dstarts = np.concatenate(([0], np.cumsum(dlens)[:-1]))
+                if tols is None:
+                    t2 = np.full(len(ring_views), float(tolerance) ** 2)
+                else:
+                    t2 = np.asarray([float(tols[f]) ** 2 for f in ring_feat])
+                mask = dp_keep_mask_batch(D.astype(np.float64), dstarts, dlens, t2)
+                nkept = np.add.reduceat(mask.astype(np.int64), dstarts)
+                for ri in range(len(ring_views)):
+                    if dlens[ri] >= 2 and nkept[ri] >= 2:
+                        s = dstarts[ri]
+                        e = s + dlens[ri]
+                        new[ring_feat[ri]].append([D[s:e][mask[s:e]].tolist()])
             cols = {}
             for name in b.schema.names:
                 cols[name] = (
