@@ -249,6 +249,12 @@ def simplify_geoms(
             new: list = [None] * len(gts)
             ring_feat: list[int] = []
             ring_views: list[np.ndarray] = []
+            ring_closed: list[bool] = []
+            # polygon structure: fi -> list of parts, each part a list of
+            # ring SLOTS (batch index, or None for empty rings that are
+            # degenerate by definition but must keep their position so an
+            # empty exterior still vetoes the part)
+            poly_struct: dict[int, list[list]] = {}
             for fi, (gt, parts) in enumerate(
                 zip(gts, feature_parts(b[geom_col], np.float64))
             ):
@@ -258,9 +264,26 @@ def simplify_geoms(
                         if len(part) == 0 or len(part[0]) == 0:
                             continue
                         ring_feat.append(fi)
+                        ring_closed.append(False)
                         ring_views.append(
                             np.asarray(part[0], np.float64).reshape(-1, 2)
                         )
+                elif gt == GEOM_POLYGON:
+                    struct = []
+                    for part in parts or []:
+                        slots = []
+                        for r in part:
+                            if len(r) == 0:
+                                slots.append(None)
+                            else:
+                                slots.append(len(ring_views))
+                                ring_feat.append(fi)
+                                ring_closed.append(True)
+                                ring_views.append(
+                                    np.asarray(r, np.float64).reshape(-1, 2)
+                                )
+                        struct.append(slots)
+                    poly_struct[fi] = struct
                 else:
                     new[fi] = simplify_parts(
                         gt, parts, tolerance if tols is None else tols[fi]
@@ -287,11 +310,38 @@ def simplify_geoms(
                     t2 = np.asarray([float(tols[f]) ** 2 for f in ring_feat])
                 mask = dp_keep_mask_batch(D.astype(np.float64), dstarts, dlens, t2)
                 nkept = np.add.reduceat(mask.astype(np.int64), dstarts)
+
+                def ring_out(ri):
+                    """simplify_ring's drop rules on the batch results."""
+                    s = dstarts[ri]
+                    e = s + dlens[ri]
+                    kept = D[s:e][mask[s:e]]
+                    if ring_closed[ri]:
+                        if len(kept) < 4:
+                            return None
+                        x, y = kept[:-1, 0], kept[:-1, 1]
+                        if np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)) == 0:
+                            return None  # zero area corrupts sign grouping
+                    elif len(kept) < 2:
+                        return None
+                    return kept.tolist()
+
                 for ri in range(len(ring_views)):
-                    if dlens[ri] >= 2 and nkept[ri] >= 2:
-                        s = dstarts[ri]
-                        e = s + dlens[ri]
-                        new[ring_feat[ri]].append([D[s:e][mask[s:e]].tolist()])
+                    if not ring_closed[ri]:
+                        line = ring_out(ri)
+                        if line is not None:
+                            new[ring_feat[ri]].append([line])
+                for fi, struct in poly_struct.items():
+                    out_parts = []
+                    for slots in struct:
+                        rings = [None if ri is None else ring_out(ri) for ri in slots]
+                        if not rings or rings[0] is None:
+                            continue  # exterior collapsed: drop the part
+                        out_parts.append([r for r in rings if r is not None])
+                    new[fi] = out_parts
+            for fi in poly_struct:
+                if new[fi] is None:  # batch had no non-empty rings at all
+                    new[fi] = []
             cols = {}
             for name in b.schema.names:
                 cols[name] = (
