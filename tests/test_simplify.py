@@ -236,3 +236,50 @@ def test_dp_keep_mask_batch_equals_scalar_kernel():
         want = dp_keep_mask(r, tols[i])
         got = mask[starts[i] : starts[i] + lens[i]]
         assert np.array_equal(want, got), (i, lens[i], tols[i])
+
+
+def test_simplify_geoms_batched_equals_scalar_on_mixed_batches(spark):
+    """The batched simplify path (lines + polygon rings through
+    dp_keep_mask_batch) must equal simplify_parts feature-for-feature on
+    mixed batches: points, walks, squares with holes, zero-area sliver
+    parts, empty-ring slots."""
+    import numpy as np
+
+    from vectortiles_spark.operators.simplify import simplify_geoms, simplify_parts
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(300):
+        gt = [1, 2, 3][i % 3]
+        if gt == 1:
+            geom = [[[[int(rng.integers(0, 4096)), int(rng.integers(0, 4096))]]]]
+        elif gt == 2:
+            k = int(rng.integers(2, 40))
+            pts = np.cumsum(rng.normal(0, 25, (k, 2)), axis=0).astype(int) + 2000
+            geom = [[pts.tolist()]]
+        else:
+            o = rng.integers(100, 3000, 2)
+            s = int(rng.integers(6, 400))
+            x0, y0 = int(o[0]), int(o[1])
+            ext = [[x0, y0], [x0 + s, y0], [x0 + s, y0 + s], [x0, y0 + s], [x0, y0]]
+            part = [ext]
+            if i % 4 == 0 and s > 40:
+                a, bq = x0 + s // 4, y0 + s // 4
+                c, d = x0 + s // 2, y0 + s // 2
+                part.append([[a, bq], [a, d], [c, d], [c, bq], [a, bq]])
+            geom = [part]
+            if i % 5 == 0:
+                geom.append([[[0, 0], [1, 0], [2, 0], [0, 0]]])  # zero-area part
+        rows.append((4, i % 16, i % 13, "mix", gt, i, geom))
+    df = spark.createDataFrame(
+        rows,
+        "tile_z int, tile_x int, tile_y int, layer string, geom_type int, "
+        "feature_id bigint, geom array<array<array<array<bigint>>>>",
+    )
+    got = {r.feature_id: r.geom for r in simplify_geoms(df, tolerance=12.0).collect()}
+    for r in rows:
+        want = simplify_parts(
+            r[4], [[list(map(list, ring)) for ring in part] for part in r[6]], 12.0
+        )
+        g = [[[list(p) for p in ring] for ring in part] for part in got[r[5]]]
+        assert g == want, r[5]
