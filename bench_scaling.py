@@ -138,14 +138,15 @@ def main():
         # executor JVMs with a real driver<->executor shuffle boundary, the
         # closest thing to "N and 4N executors" this single box can host.
         # Interleaved 4N/N/4N/N with the same symmetric best-of estimator.
-        # trials are per-level: the 4-executor level's short trials leave
-        # a bigger cold fraction (executor JVM + python worker spin-up
-        # amortizes over ~30s, not ~104s), so it needs more warm passes —
+        # SYMMETRIC trial counts at both levels (unequal min-sampling
+        # would bias the efficiency estimator toward whichever level draws
+        # more samples); 4 trials each because executor-JVM + python
+        # worker spin-up leaves a visible cold fraction in ~30s trials —
         # measured 39.9s best-of-2 vs 30.8s best-of-4 on a quiet host
         cbig = run_level(4, images, trials=4, master="local-cluster[4,1,3072]")
-        csmall = run_level(1, images, trials=2, master="local-cluster[1,1,3072]")
+        csmall = run_level(1, images, trials=4, master="local-cluster[1,1,3072]")
         cbig2 = run_level(4, images, trials=4, master="local-cluster[4,1,3072]")
-        csmall2 = run_level(1, images, trials=2, master="local-cluster[1,1,3072]")
+        csmall2 = run_level(1, images, trials=4, master="local-cluster[1,1,3072]")
         if cbig2["sec"] < cbig["sec"]:
             cbig = cbig2
         if csmall2["sec"] < csmall["sec"]:

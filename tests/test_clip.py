@@ -560,3 +560,111 @@ def test_clip_polygon_exact_random_concave_vs_rasterization():
             _signed_shoelace(r) for p in clip_polygon_exact([closed], x0, y0, x1, y1) for r in p
         )
         assert abs(got_closed - got) < 1e-9
+
+
+def _scalar_line_clip_reference(parts_l, pf, bbox, extent, buffer_px, n):
+    """Per-(feature, tile) reference built from clip_polyline +
+    _localize_line — the semantics _clip_lines_batched must reproduce."""
+    from vectortiles_spark.operators.clip import _localize_line, clip_polyline
+
+    out = {}
+    nfeat = len(bbox)
+    parts_by_f = {}
+    for p, f in zip(parts_l, pf):
+        parts_by_f.setdefault(f, []).append(p)
+    for fi in range(nfeat):
+        xm, ym, xM, yM = bbox[fi]
+        tx_lo = min(n - 1, max(0, int(math.floor((xm - buffer_px) / extent))))
+        tx_hi = min(n - 1, max(0, int(math.floor((xM + buffer_px) / extent))))
+        ty_lo = min(n - 1, max(0, int(math.floor((ym - buffer_px) / extent))))
+        ty_hi = min(n - 1, max(0, int(math.floor((yM + buffer_px) / extent))))
+        for ty in range(ty_lo, ty_hi + 1):
+            for tx in range(tx_lo, tx_hi + 1):
+                x0, y0 = tx * extent - buffer_px, ty * extent - buffer_px
+                x1, y1 = (tx + 1) * extent + buffer_px, (ty + 1) * extent + buffer_px
+                open_x = buffer_px == 0 and tx < n - 1
+                open_y = buffer_px == 0 and ty < n - 1
+                parts = []
+                for part in parts_by_f.get(fi, []):
+                    for sub in clip_polyline(part, x0, y0, x1, y1):
+                        if (open_x and (sub[:, 0] == x1).all()) or (
+                            open_y and (sub[:, 1] == y1).all()
+                        ):
+                            continue
+                        loc = _localize_line(sub, float(tx * extent), float(ty * extent))
+                        if loc is not None:
+                            parts.append(loc)
+                if parts:
+                    out[(fi, tx, ty)] = parts
+    return out
+
+
+@pytest.mark.parametrize("buffer_px", [0, 8])
+def test_clip_lines_batched_equals_scalar_reference(buffer_px, monkeypatch):
+    """The whole-batch line-clip kernel must reproduce the per-tile
+    clip_polyline + _localize_line semantics exactly — including the
+    unbuffered high-edge ownership rule and lattice geometry landing ON
+    tile boundaries — and the memory-bounding CHUNKED path must agree
+    with the unchunked one."""
+    import vectortiles_spark.operators.clip as C
+
+    rng = np.random.default_rng(19)
+    extent, n = 1000, 8
+    parts_l, pf, bbox = [], [], []
+    for fi in range(300):
+        nparts = 1 if fi % 4 else 2
+        rings = []
+        for _ in range(nparts):
+            k = int(rng.integers(2, 40))
+            if fi % 5 == 0:  # lattice-aligned (exactly on boundaries)
+                r = rng.integers(0, 2 * n, (k, 2)).astype(np.float64) * (extent / 2)
+            else:
+                r = np.cumsum(rng.normal(0, 300, (k, 2)), axis=0) + 3000
+            rings.append(r)
+        allp = np.concatenate(rings)
+        bbox.append((allp[:, 0].min(), allp[:, 1].min(), allp[:, 0].max(), allp[:, 1].max()))
+        for r in rings:
+            parts_l.append(r)
+            pf.append(fi)
+    sc = np.asarray([max(0, len(p) - 1) for p in parts_l], np.int64)
+    ne = [p for p in parts_l if len(p) >= 2]
+    seg_a = np.concatenate([p[:-1] for p in ne])
+    seg_b = np.concatenate([p[1:] for p in ne])
+    bb = np.asarray(bbox)
+    covers = np.empty((len(bb), 4), np.int64)
+    covers[:, 0] = np.clip(np.floor((bb[:, 0] - buffer_px) / extent), 0, n - 1)
+    covers[:, 1] = np.clip(np.floor((bb[:, 2] + buffer_px) / extent), 0, n - 1)
+    covers[:, 2] = np.clip(np.floor((bb[:, 1] - buffer_px) / extent), 0, n - 1)
+    covers[:, 3] = np.clip(np.floor((bb[:, 3] + buffer_px) / extent), 0, n - 1)
+    want = _scalar_line_clip_reference(parts_l, pf, bbox, extent, buffer_px, n)
+    got = {
+        k: parts
+        for k, parts in C._clip_lines_batched(
+            seg_a, seg_b, sc, np.asarray(pf), covers, extent, buffer_px, n
+        )
+    }
+    assert got == want
+    # CHUNKED path: shrink the row bound so the same input goes through
+    # the chunk-and-stitch branch — results must be identical, including
+    # (feature, tile) groups straddling a chunk boundary
+    monkeypatch.setattr(C, "_CHUNK_ROWS", 500)
+    got_chunked = {
+        k: parts
+        for k, parts in C._clip_lines_batched(
+            seg_a, seg_b, sc, np.asarray(pf), covers, extent, buffer_px, n
+        )
+    }
+    assert got_chunked == want
+    monkeypatch.setattr(C, "_CHUNK_ROWS", 2_000_000)
+    big_parts = [np.column_stack([np.linspace(0, n * extent, 3000), np.full(3000, 1.0)])]
+    big_pf = [0]
+    big_bbox = [(0.0, 1.0, float(n * extent), 1.0)]
+    sc2 = np.asarray([2999], np.int64)
+    covers2 = np.asarray([[0, n - 1, 0, 0]], np.int64)
+    got_big = C._clip_lines_batched(
+        big_parts[0][:-1].copy(), big_parts[0][1:].copy(), sc2, np.asarray(big_pf),
+        covers2, extent, buffer_px, n,
+    )
+    want_big = _scalar_line_clip_reference(big_parts, big_pf, big_bbox, extent, buffer_px, n)
+    got_big_d = {k: p for k, p in got_big}
+    assert got_big_d == want_big

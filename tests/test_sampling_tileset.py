@@ -95,3 +95,14 @@ def test_tileset_write_read_roundtrip(spark, tmp_path):
         for r in tiling.decode_tiles(tiles).collect()
     )
     assert a == b
+
+
+def test_read_tileset_missing_zoom_is_empty_not_error(spark, tmp_path):
+    from vectortiles_spark.sources.tileset import read_tileset
+
+    root = str(tmp_path / "none")
+    assert read_tileset(spark, root).count() == 0
+    assert read_tileset(spark, root, z=9).count() == 0
+    assert [f.name for f in read_tileset(spark, root).schema.fields] == [
+        "tile_z", "tile_x", "tile_y", "mvt",
+    ]

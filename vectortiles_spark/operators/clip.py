@@ -86,6 +86,10 @@ def project_webmercator(lon: np.ndarray, lat: np.ndarray, z: int, extent: int):
 
 _PROJECTIONS = {"equirect": project_equirect, "webmercator": project_webmercator}
 
+# row bound for one _clip_lines_batched slice (segments x covered tiles);
+# ~20 temporaries of this length peak around 300-600 MB
+_CHUNK_ROWS = 2_000_000
+
 
 def _clip_ring_halfplane(pts: np.ndarray, axis: int, bound: float, keep_le: bool):
     """One Sutherland-Hodgman pass: keep the side of `axis == bound` given
@@ -445,6 +449,45 @@ def _clip_lines_batched(
     em_part = np.asarray(em_part, np.int64)
     em_tx = np.asarray(em_tx, np.int64)
     em_ty = np.asarray(em_ty, np.int64)
+    all_lens = sc[em_part]
+    # Bound peak memory: total rows = segments x covered tiles, and ONE
+    # long feature spanning a wide bbox at high zoom (a 5k-segment ferry
+    # track over 100x100 tiles) would materialize ~20 temporaries of 25M
+    # rows in one go where the per-tile loop peaked at O(segments).
+    # Emissions are independent through chain assembly, so process them
+    # in row-bounded chunks and stitch (fi, tx, ty) groups that straddle
+    # a chunk boundary back together afterwards.
+    if int(all_lens.sum()) > _CHUNK_ROWS:
+        bounds = [0]
+        acc = 0
+        for e, ln in enumerate(all_lens):
+            acc += int(ln)
+            if acc > _CHUNK_ROWS:
+                bounds.append(e + 1)
+                acc = 0
+        if bounds[-1] != len(em_part):
+            bounds.append(len(em_part))
+        merged: list = []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            part_out = _clip_lines_emissions(
+                seg_a, seg_b, sc, feat_of_part,
+                em_part[s:e], em_tx[s:e], em_ty[s:e], extent, buffer_px, n,
+            )
+            if merged and part_out and merged[-1][0] == part_out[0][0]:
+                merged[-1][1].extend(part_out[0][1])
+                part_out = part_out[1:]
+            merged.extend(part_out)
+        return merged
+    return _clip_lines_emissions(
+        seg_a, seg_b, sc, feat_of_part, em_part, em_tx, em_ty, extent, buffer_px, n
+    )
+
+
+def _clip_lines_emissions(
+    seg_a, seg_b, sc, feat_of_part, em_part, em_tx, em_ty, extent, buffer_px, n
+):
+    """Row-wise half of _clip_lines_batched for one emission slice."""
+    seg_base = np.concatenate(([0], np.cumsum(sc)[:-1]))
     lens = sc[em_part]
     total = int(lens.sum())
     em_row_start = np.concatenate(([0], np.cumsum(lens)[:-1]))
@@ -528,11 +571,10 @@ def _clip_lines_batched(
     out = []
     cur_key = None
     cur_parts: list = []
-    ipl = ip  # alias
     for c in np.flatnonzero(live):
         s = chain_starts[c]
         e = s + chain_len[c]
-        pts_c = ipl[s:e][keep_pt[s:e]].tolist()
+        pts_c = ip[s:e][keep_pt[s:e]].tolist()
         key = (int(fi_of_chain[c]), int(em_tx[chain_em[c]]), int(em_ty[chain_em[c]]))
         if key != cur_key:
             if cur_parts:

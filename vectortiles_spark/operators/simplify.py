@@ -309,7 +309,6 @@ def simplify_geoms(
                 else:
                     t2 = np.asarray([float(tols[f]) ** 2 for f in ring_feat])
                 mask = dp_keep_mask_batch(D.astype(np.float64), dstarts, dlens, t2)
-                nkept = np.add.reduceat(mask.astype(np.int64), dstarts)
 
                 def ring_out(ri):
                     """simplify_ring's drop rules on the batch results."""

@@ -35,11 +35,18 @@ def write_tileset(tiles: DataFrame, root: str, partitions: int | None = None) ->
         cols = cols.repartition(partitions)
 
     def write_part(rows):
+        import uuid
+
+        # attempt-unique temp name: two attempts of the same task (zombie
+        # + retry, or speculative execution) sharing one ".tmp" path could
+        # interleave writes and PUBLISH a torn tile via the other
+        # attempt's rename — per-attempt suffix keeps rename atomicity
+        suffix = f".{os.getpid()}.{uuid.uuid4().hex[:8]}.tmp"
         for r in rows:
             d = os.path.join(root, str(r.tile_z), str(r.tile_x))
             os.makedirs(d, exist_ok=True)
             final = os.path.join(d, f"{r.tile_y}.mvt")
-            tmp = final + ".tmp"
+            tmp = final + suffix
             with open(tmp, "wb") as f:
                 f.write(bytes(r.mvt))
             os.replace(tmp, final)
@@ -55,11 +62,22 @@ def read_tileset(spark, root: str, z: int | None = None) -> DataFrame:
     whole-stage codegen). ``z`` narrows the glob BEFORE listing, so a
     single-zoom read never even enumerates other zooms' files."""
     glob = f"{root}/{z if z is not None else '*'}/*/*.mvt"
-    df = (
-        spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.mvt")
-        .load(glob)
-    )
+    try:
+        df = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.mvt")
+            .load(glob)
+        )
+        df.schema  # force analysis so PATH_NOT_FOUND surfaces here
+    except Exception as exc:
+        # binaryFile rejects a glob with zero matches (PATH_NOT_FOUND);
+        # an absent zoom or an empty tileset is a legitimate empty read,
+        # not a job kill
+        if "PATH_NOT_FOUND" not in str(exc):
+            raise
+        return spark.createDataFrame(
+            [], "tile_z int, tile_x int, tile_y int, mvt binary"
+        )
     path = F.col("path")
     return df.select(
         F.regexp_extract(path, r"/(\d+)/(\d+)/(\d+)\.mvt$", 1).cast("int").alias("tile_z"),
