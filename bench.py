@@ -258,6 +258,8 @@ def main():
         LINES_CACHE = f"/tmp/bench_lines_{N_LINES}"
         try:
             _ensure_images(spark)
+            if warmup:
+                bench_mvt_encode(spark, sf_dir)  # first-touch + JIT outside the clock
             sc.setJobGroup("mvt_encode_large", "bench mvt_encode sf-large")
             t0 = time.perf_counter()
             stats = bench_mvt_encode(spark, sf_dir)
@@ -277,6 +279,8 @@ def main():
                 }
             }
             _ensure_lines(spark)
+            if warmup:
+                bench_vector_pipeline(spark)
             sc.setJobGroup("vector_large", "bench vector_pipeline sf-large")
             t0 = time.perf_counter()
             vstats = bench_vector_pipeline(spark)
