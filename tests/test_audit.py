@@ -107,3 +107,37 @@ def test_tile_pyramid_single_shuffle(spark):
     pyr = tiling.tile_pyramid(leaf, leaf_z=6, min_z=2)
     audit.assert_no_cartesian(pyr)
     assert audit.count_shuffles(pyr) == 1
+
+
+def test_hash_split_is_pure_projection(spark):
+    """hash_split must add ZERO shuffles and read only the columns used —
+    at 10^12 rows the split is a scan, not a data movement."""
+    from vectortiles_spark.operators.sampling import hash_split
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "lang")
+    split = hash_split(docs, "doc_id", {"train": 8, "val": 1, "test": 1})
+    assert audit.count_shuffles(split) == 0
+    audit.assert_read_schema_only(split, {"doc_id", "lang"})
+    assert audit.has_whole_stage_codegen(split)
+
+
+def test_sample_per_group_single_shuffle(spark):
+    """Stratified sampling costs exactly the one window shuffle on the
+    group keys (same exchange a groupBy would pay)."""
+    from vectortiles_spark.operators.sampling import sample_per_group
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    picked = sample_per_group(docs, ["lang", "source"], 5, "doc_id")
+    assert audit.count_shuffles(picked) == 1
+
+
+def test_tfidf_shuffle_budget(spark):
+    """TF-IDF = doc-term counts + term df + count-distinct + final window:
+    the corpus-statistics shape needs a handful of exchanges, but must
+    never go cartesian and the tiny n_docs side must broadcast."""
+    from vectortiles_spark.plans.queries_text import q_tfidf_topk
+
+    df = q_tfidf_topk(spark, SF)
+    audit.assert_no_cartesian(df)
+    audit.assert_broadcast_join(df)
+    assert audit.count_shuffles(df) <= 8
