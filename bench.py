@@ -300,11 +300,45 @@ def main():
             (N_IMAGES, IMAGES_CACHE) = small["imgs"]
             (N_LINES, LINES_CACHE) = small["lines"]
     sc.setJobGroup("", "")
-    if attribution:
-        extras["attribution"] = attribution
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    # Full per-stage attribution + sf_large detail go to a SIDECAR file:
+    # round 3's single stdout line outgrew the driver's tail-capture window
+    # and BENCH_r03.json came back "parsed": null. The driver contract needs
+    # a compact machine-readable LAST line; humans read the sidecar.
+    sidecar = {
+        "attribution": attribution,
+        "sf_large": extras.get("sf_large"),
+        "mvt": extras.get("mvt"),
+        "vector": extras.get("vector"),
+        "rows": extras.get("rows"),
+    }
+    sidecar_path = Path(__file__).resolve().parent / "BENCH" / "attribution.json"
+    try:
+        sidecar_path.parent.mkdir(exist_ok=True)
+        sidecar_path.write_text(json.dumps(sidecar, indent=1))
+    except OSError:
+        pass  # sidecar is additive evidence, never a bench failure
+
+    # Compact headline: totals + per-query walls + core throughput +
+    # sf_large walls only. Keep this line SHORT (well under any plausible
+    # stdout tail window) and make it the final stdout line.
+    mvt = extras.get("mvt", {})
+    vec = extras.get("vector", {})
+    compact_tp = {
+        "mvt_tiles_per_sec": mvt.get("tiles_per_sec"),
+        "mvt_rows_per_sec": mvt.get("rows_per_sec"),
+        "vector_features_per_sec": vec.get("features_per_sec"),
+    }
+    large = extras.get("sf_large") or {}
+    if large and "error" not in large:
+        compact_tp["sf_large_mvt_wall_sec"] = large.get("mvt", {}).get("wall_sec")
+        compact_tp["sf_large_mvt_rows_per_sec"] = large.get("mvt", {}).get("rows_per_sec")
+        compact_tp["sf_large_vector_wall_sec"] = large.get("vector", {}).get("wall_sec")
+    elif large:
+        compact_tp["sf_large_error"] = large["error"][:80]
     print(
         json.dumps(
             {
@@ -313,7 +347,7 @@ def main():
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "throughput": extras,
+                "throughput": compact_tp,
             }
         )
     )

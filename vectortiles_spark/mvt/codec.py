@@ -254,7 +254,10 @@ def parse_raw_tile(data: bytes, layers=None) -> list[RawLayer]:
                 # selective path SKIP a torn layer the full path rejects —
                 # keep both paths equally strict on malformed input
                 raise ValueError("truncated layer message")
-            if want is None or _peek_layer_name(buf[pos:pos + n]) in want:
+            # a nameless layer message (no field-1) classifies as "" on the
+            # full path (RawLayer default name) — treat a None peek the same
+            # so selective and full decode agree on malformed input
+            if want is None or (_peek_layer_name(buf[pos:pos + n]) or "") in want:
                 out.append(_parse_layer(buf[pos:pos + n]))
             pos += n
         else:

@@ -428,7 +428,6 @@ def _clip_lines_batched(
     Returns a list of ((feature_idx, tx, ty), [chain_int_lists...])
     grouped per output row, in (feature, ty, tx) order.
     """
-    seg_base = np.concatenate(([0], np.cumsum(sc)[:-1]))
     # emissions ordered (feature, ty, tx, part) — matching the
     # per-feature path's nesting so multi-chain rows keep part order
     parts_of: dict[int, list[int]] = {}

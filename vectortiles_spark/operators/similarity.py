@@ -194,8 +194,22 @@ def ivf_train(
             norms[norms == 0.0] = 1.0
             return pd.Series(np.argmax((mat / norms) @ cent_unit.T, axis=1))
 
+        # spherical k-means update: assignment is cosine over UNIT rows, so
+        # the re-center must average unit vectors too (a raw mean lets
+        # high-magnitude members dominate the cell). Normalize each member
+        # in the posexplode stage, then normalize the mean below.
+        row_norm = F.sqrt(
+            F.aggregate(
+                F.col(emb), F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")
+            )
+        )
+        unit_emb = F.transform(
+            F.col(emb),
+            lambda x: x.cast("double")
+            / F.when(row_norm > 0.0, row_norm).otherwise(F.lit(1.0)),
+        )
         stats = (
-            candidates.select(cell_of(F.col(emb)).alias("cell"), F.col(emb))
+            candidates.select(cell_of(F.col(emb)).alias("cell"), unit_emb.alias(emb))
             .select("cell", F.posexplode(F.col(emb)).alias("pos", "val"))
             .groupBy("cell", "pos")
             .agg(F.sum(F.col("val").cast("double")).alias("s"), F.count("*").alias("n"))

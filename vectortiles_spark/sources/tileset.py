@@ -70,10 +70,12 @@ def read_tileset(spark, root: str, z: int | None = None) -> DataFrame:
         )
         df.schema  # force analysis so PATH_NOT_FOUND surfaces here
     except Exception as exc:
-        # binaryFile rejects a glob with zero matches (PATH_NOT_FOUND);
-        # an absent zoom or an empty tileset is a legitimate empty read,
-        # not a job kill
-        if "PATH_NOT_FOUND" not in str(exc):
+        # binaryFile rejects a glob with zero matches; an absent zoom or an
+        # empty tileset is a legitimate empty read, not a job kill. Newer
+        # Spark raises PATH_NOT_FOUND, older AnalysisException says
+        # "Path does not exist" — match both.
+        msg = str(exc)
+        if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
             raise
         return spark.createDataFrame(
             [], "tile_z int, tile_x int, tile_y int, mvt binary"
