@@ -1,0 +1,304 @@
+"""Differential tests: the vectorized decode kernels (mvt/fastdecode.py)
+must be indistinguishable from the scalar per-feature path on every input —
+well-formed, non-canonical, and malformed alike."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from vectortiles_spark.mvt import codec, fastdecode, geometry, wire
+
+FIXTURES = [
+    "/root/reference/test/onepoint.mvt",
+    "/root/reference/test/linestring.mvt",
+    "/root/reference/test/polygon.mvt",
+    "/root/reference/test/roads.mvt",
+    "/root/reference/test/clearlake.mvt",
+]
+
+
+def scalar_decode(data, layers=None):
+    """Run decode_tile with every batch gate disabled (pure scalar path)."""
+    old_min = codec._BATCH_MIN_FEATURES
+    old_ag = fastdecode.assemble_geoms
+
+    def scalar_geoms(types, vals, cnt):
+        offs = np.cumsum(cnt) - cnt
+        return [
+            geometry.geom_from_stream(int(types[i]), vals[offs[i]:offs[i] + cnt[i]])
+            for i in range(types.size)
+        ]
+
+    codec._BATCH_MIN_FEATURES = 10**9
+    fastdecode.assemble_geoms = scalar_geoms
+    try:
+        return codec.decode_tile(data, layers=layers)
+    finally:
+        codec._BATCH_MIN_FEATURES = old_min
+        fastdecode.assemble_geoms = old_ag
+
+
+def assert_tiles_equal(a, b):
+    assert list(a) == list(b)
+    for name in a:
+        la, lb = a[name], b[name]
+        assert (la.version, la.extent) == (lb.version, lb.extent)
+        assert len(la.features) == len(lb.features)
+        for fa, fb in zip(la.features, lb.features):
+            assert fa.canonical() == fb.canonical()
+
+
+@pytest.mark.parametrize("path", FIXTURES)
+def test_fixture_differential(path):
+    with open(path, "rb") as f:
+        data = f.read()
+    assert_tiles_equal(scalar_decode(data), codec.decode_tile(data))
+
+
+def test_varints_at_matches_scalar():
+    rng = np.random.default_rng(7)
+    vals = np.concatenate([
+        rng.integers(0, 128, 50, dtype=np.uint64),
+        rng.integers(128, 1 << 20, 50, dtype=np.uint64),
+        rng.integers(0, 1 << 62, 20, dtype=np.uint64),
+        np.array([0, 127, 128, (1 << 64) - 1], dtype=np.uint64),
+    ])
+    buf = wire.encode_varints(vals)
+    b = np.frombuffer(buf, dtype=np.uint8)
+    # scalar positions
+    mv = memoryview(buf)
+    pos_list, p = [], 0
+    for _ in range(vals.size):
+        pos_list.append(p)
+        _, p = wire.read_varint(mv, p)
+    pos = np.array(pos_list, dtype=np.int64)
+    out, nxt, ok = fastdecode.varints_at(b, pos, np.full(vals.size, b.size))
+    assert ok.all()
+    np.testing.assert_array_equal(out, vals)
+    # truncated lane: limit cuts a multibyte varint
+    big = np.flatnonzero(vals >= 128)[0]
+    out2, _, ok2 = fastdecode.varints_at(b, pos[big:big + 1], np.array([pos[big] + 1]))
+    assert not ok2[0]
+    # >10-byte varint
+    bad = np.frombuffer(b"\x80" * 11 + b"\x01", dtype=np.uint8)
+    _, _, ok3 = fastdecode.varints_at(bad, np.array([0]), np.array([12]))
+    assert not ok3[0]
+
+
+def _tile_with_features(feats, name="layer", keys=(), values=()):
+    """Hand-build a layer wire message from raw (id, tags, type, geometry)."""
+    body = bytearray()
+    body += wire.len_delimited(1, name.encode())
+    for k in keys:
+        body += wire.len_delimited(3, k.encode())
+    for v in values:
+        body += wire.len_delimited(4, wire.tag_bytes(5, wire.WT_VARINT) + wire.encode_varint(v))
+    for fid, tags, ftype, geom in feats:
+        f = bytearray()
+        f += wire.tag_bytes(1, wire.WT_VARINT) + wire.encode_varint(fid)
+        if len(tags):
+            f += wire.packed_uint32(2, np.asarray(tags, dtype=np.uint64))
+        f += wire.tag_bytes(3, wire.WT_VARINT) + wire.encode_varint(ftype)
+        f += wire.packed_uint32(4, np.asarray(geom, dtype=np.uint64))
+        body += wire.len_delimited(2, bytes(f))
+    body += wire.tag_bytes(15, wire.WT_VARINT) + wire.encode_varint(2)
+    return bytes(wire.len_delimited(3, bytes(body)))
+
+
+def _geom_stream(gtype, rng):
+    """Random CANONICAL command stream for a geometry type."""
+    z = lambda a: geometry.zig(np.asarray(a, dtype=np.int64))
+    if gtype == 1:
+        k = rng.integers(1, 6)
+        pts = rng.integers(-500, 500, (k, 2))
+        return np.concatenate([[1 | (k << 3)], z(pts.ravel())]).astype(np.uint32)
+    out = []
+    nparts = rng.integers(1, 4)
+    for _ in range(nparts):
+        k = int(rng.integers(2, 6))
+        out.append([1 | (1 << 3)])
+        out.append(z(rng.integers(-300, 300, 2)))
+        out.append([2 | (k << 3)])
+        out.append(z(rng.integers(-300, 300, 2 * k)))
+        if gtype == 3:
+            out.append([7 | (1 << 3)])
+    return np.concatenate([np.asarray(x) for x in out]).astype(np.uint32)
+
+
+def test_random_canonical_differential():
+    rng = np.random.default_rng(42)
+    for trial in range(20):
+        feats = []
+        nk = 3
+        for i in range(rng.integers(8, 40)):
+            gtype = int(rng.integers(1, 4))
+            tags = rng.integers(0, nk, 2 * rng.integers(0, 3))
+            feats.append((int(rng.integers(0, 1 << 40)), tags, gtype, _geom_stream(gtype, rng)))
+        data = _tile_with_features(feats, keys=["a", "b", "c"], values=[1, 2, 3])
+        assert_tiles_equal(scalar_decode(data), codec.decode_tile(data))
+
+
+def test_noncanonical_streams_differential():
+    """Multi-point MoveTo (extra points dropped), split LineTo runs, odd
+    trailing params, empty streams — every quirk the scalar path has."""
+    z = lambda a: geometry.zig(np.asarray(a, dtype=np.int64)).astype(np.uint64)
+
+    streams = {
+        # linestring with MoveTo count=2 (scalar keeps only the first pair)
+        2: np.concatenate([[1 | (2 << 3)], z([5, 5, 9, 9]), [2 | (2 << 3)], z([1, 1, 2, 2])]),
+        # point with odd trailing param (dropped by pairsWith)
+        1: np.concatenate([[1 | (2 << 3)], z([3, 4, 7])]),
+        # polygon with a MoveTo count=2 (extra move pair dropped by scalar)
+        3: np.concatenate([[1 | (2 << 3)], z([0, 0, 9, 9]), [2 | (2 << 3)], z([4, 0, 0, 4]), [7 | (1 << 3)]]),
+    }
+    for gtype, s in streams.items():
+        feats = [(i, [], gtype, s) for i in range(10)]
+        data = _tile_with_features(feats)
+        assert_tiles_equal(scalar_decode(data), codec.decode_tile(data))
+
+
+def test_malformed_inputs_agree():
+    """Both paths must either raise (any clean error) or agree."""
+    z = lambda a: geometry.zig(np.asarray(a, dtype=np.int64)).astype(np.uint64)
+    cases = [
+        # bad command id 0
+        [(1, [], 1, np.array([0 | (1 << 3), 2, 2], dtype=np.uint64))],
+        # ClosePath with count != 1
+        [(1, [], 3, np.concatenate([[1 | (1 << 3)], z([0, 0]), [2 | (2 << 3)], z([4, 0, 0, 4]), [7 | (2 << 3)]]))],
+        # point with zero commands
+        [(1, [], 1, np.array([], dtype=np.uint64))],
+        # linestring missing the LineTo
+        [(1, [], 2, np.concatenate([[1 | (1 << 3)], z([5, 5])]))],
+        # UNKNOWN geometry type
+        [(1, [], 0, np.array([1 | (1 << 3), 2, 2], dtype=np.uint64))],
+        [(1, [], 5, np.array([1 | (1 << 3), 2, 2], dtype=np.uint64))],
+    ]
+    for case in cases:
+        feats = case * 10  # over the batch threshold
+        data = _tile_with_features(feats)
+        try:
+            batch = codec.decode_tile(data)
+            err_b = None
+        except (ValueError, IndexError) as e:
+            batch, err_b = None, type(e)
+        try:
+            scal = scalar_decode(data)
+            err_s = None
+        except (ValueError, IndexError) as e:
+            scal, err_s = None, type(e)
+        assert (batch is None) == (scal is None)
+        if batch is not None:
+            assert_tiles_equal(scal, batch)
+        else:
+            assert err_b is err_s
+
+
+def test_wire_anomalies_fall_back_identically():
+    """Feature messages with unpacked repeated fields, repeated packed
+    chunks, fixed32/64 packed fields, and unknown fields: batch must defer
+    to the scalar parser and produce its exact result."""
+    geom = wire.packed_uint32(4, np.array([1 | (1 << 3), 2, 2], dtype=np.uint64))
+
+    def feature(parts):
+        return wire.len_delimited(2, b"".join(parts))
+
+    body = bytearray()
+    body += wire.len_delimited(1, b"t")
+    f_parts = [
+        # unpacked repeated geometry (three varint field-4 entries)
+        [wire.tag_bytes(3, 0), wire.encode_varint(1)]
+        + [wire.tag_bytes(4, 0) + wire.encode_varint(v) for v in (1 | (1 << 3), 2, 2)],
+        # two packed geometry chunks (scalar concatenates)
+        [wire.tag_bytes(3, 0), wire.encode_varint(1),
+         wire.packed_uint32(4, np.array([1 | (1 << 3)], dtype=np.uint64)),
+         wire.packed_uint32(4, np.array([2, 2], dtype=np.uint64))],
+        # unknown field 9 fixed64 + normal geometry
+        [wire.tag_bytes(9, 1), b"\x00" * 8, wire.tag_bytes(3, 0), wire.encode_varint(1), geom],
+        # unknown field 8 LEN
+        [wire.len_delimited(8, b"junk"), wire.tag_bytes(3, 0), wire.encode_varint(1), geom],
+    ] * 3  # 12 features -> batch path
+    for parts in f_parts:
+        body += feature(parts)
+    data = bytes(wire.len_delimited(3, bytes(body)))
+    assert_tiles_equal(scalar_decode(data), codec.decode_tile(data))
+
+
+@given(st.binary(max_size=400))
+@settings(max_examples=150, deadline=None)
+def test_fuzz_batch_vs_scalar(data):
+    try:
+        batch = codec.decode_tile(data)
+    except (ValueError, IndexError, UnicodeDecodeError, OverflowError):
+        batch = "err"
+    try:
+        scal = scalar_decode(data)
+    except (ValueError, IndexError, UnicodeDecodeError, OverflowError):
+        scal = "err"
+    if batch == "err" or scal == "err":
+        assert batch == scal
+    else:
+        assert_tiles_equal(scal, batch)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**32 - 1), min_size=0, max_size=60))
+@settings(max_examples=200, deadline=None)
+def test_fuzz_geometry_streams_differential(vals):
+    """Same random stream for 10 identical features: batch assemble vs
+    scalar geom_from_stream must agree (decode or both-raise)."""
+    s = np.array(vals, dtype=np.uint32)
+    for gt in (1, 2, 3):
+        types = np.full(10, gt, dtype=np.int64)
+        streams = np.tile(s, 10)
+        cnt = np.full(10, s.size, dtype=np.int64)
+        ERR = object()
+        try:
+            batch = fastdecode.assemble_geoms(types, streams, cnt)
+        except (ValueError, IndexError):
+            batch = ERR
+        try:
+            scal = geometry.geom_from_stream(gt, s)
+        except (ValueError, IndexError):
+            scal = ERR
+        if batch is ERR or scal is ERR:
+            assert batch is ERR and scal is ERR
+            continue
+        g = batch[0]
+        if gt == 1:
+            np.testing.assert_array_equal(g, scal)
+        elif gt == 2:
+            assert len(g) == len(scal)
+            for a, b in zip(g, scal):
+                np.testing.assert_array_equal(a, b)
+        else:
+            assert len(g) == len(scal)
+            for pa, pb in zip(g, scal):
+                assert len(pa) == len(pb)
+                for ra, rb in zip(pa, pb):
+                    np.testing.assert_array_equal(ra, rb)
+
+
+def test_selective_decode_still_matches_batch():
+    with open("/root/reference/test/roads.mvt", "rb") as f:
+        data = f.read()
+    full = codec.decode_tile(data)
+    for name in ("water", "road", "poi_label"):
+        sel = codec.decode_tile(data, layers=[name])
+        assert list(sel) == [name]
+        assert_tiles_equal({name: full[name]}, sel)
+
+
+def test_decode_speed_budget():
+    """Regression fence for the round-4 perf fix: full roads.mvt decode
+    must stay well under the old 63 ms (reference baseline: 9.98 ms;
+    target <=2x). Generous bound for noisy CI hosts."""
+    import time
+
+    with open("/root/reference/test/roads.mvt", "rb") as f:
+        data = f.read()
+    codec.decode_tile(data)
+    best = min(
+        (lambda t0: (codec.decode_tile(data), time.perf_counter() - t0)[1])(time.perf_counter())
+        for _ in range(5)
+    )
+    assert best < 0.045, f"roads.mvt decode regressed: {best*1000:.1f} ms"

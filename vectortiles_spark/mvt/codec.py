@@ -186,10 +186,22 @@ def _parse_feature(buf: memoryview) -> RawFeature:
     return f
 
 
+# below this many features the scalar per-feature parser wins (the batch
+# kernels have a fixed NumPy setup cost per layer)
+_BATCH_MIN_FEATURES = 8
+
+
 def _parse_layer(buf: memoryview) -> RawLayer:
+    """Parse one layer message. The field walk is Python (few iterations:
+    one per feature/key/value), but feature MESSAGES are only framed here —
+    all features wire-parse together in fastdecode.parse_features_batch
+    (one vectorized round per protobuf field instead of a Python loop per
+    feature). Irregular features fall back to the scalar _parse_feature,
+    in order, so malformed-input behavior is unchanged."""
     pos = 0
     end = len(buf)
     layer = RawLayer()
+    fspans: list[tuple[int, int]] = []
     while pos < end:
         fnum, wt, pos = wire.read_tag(buf, pos)
         if fnum == 15 and wt == wire.WT_VARINT:
@@ -200,7 +212,7 @@ def _parse_layer(buf: memoryview) -> RawLayer:
             pos += n
         elif fnum == 2 and wt == wire.WT_LEN:
             n, pos = wire.read_varint(buf, pos)
-            layer.features.append(_parse_feature(buf[pos:pos + n]))
+            fspans.append((pos, n))
             pos += n
         elif fnum == 3 and wt == wire.WT_LEN:
             n, pos = wire.read_varint(buf, pos)
@@ -214,6 +226,31 @@ def _parse_layer(buf: memoryview) -> RawLayer:
             layer.extent, pos = wire.read_varint(buf, pos)
         else:
             pos = wire.skip_field(buf, pos, wt)
+    if len(fspans) < _BATCH_MIN_FEATURES:
+        layer.features = [_parse_feature(buf[s:s + n]) for s, n in fspans]
+        return layer
+    from . import fastdecode
+
+    b = np.frombuffer(buf, dtype=np.uint8)
+    fstart = np.fromiter((s for s, _ in fspans), dtype=np.int64, count=len(fspans))
+    flen = np.fromiter((n for _, n in fspans), dtype=np.int64, count=len(fspans))
+    bf = fastdecode.parse_features_batch(b, fstart, flen)
+    toff = np.cumsum(bf.tag_cnt) - bf.tag_cnt
+    goff = np.cumsum(bf.geom_cnt) - bf.geom_cnt
+    feats: list[RawFeature] = []
+    for i, (s, n) in enumerate(fspans):
+        if bf.irregular[i]:
+            feats.append(_parse_feature(buf[s:s + n]))
+        else:
+            feats.append(
+                RawFeature(
+                    id=int(bf.ids[i]),
+                    tags=bf.tag_vals[toff[i]:toff[i] + bf.tag_cnt[i]],
+                    type=int(bf.types[i]),
+                    geometry=bf.geom_vals[goff[i]:goff[i] + bf.geom_cnt[i]],
+                )
+            )
+    layer.features = feats
     return layer
 
 
@@ -276,14 +313,32 @@ def layer_from_raw(raw: RawLayer) -> Layer:
     """
     if not raw.features:
         raise ValueError("VectorTile.features: `[RawFeature]` empty")
+    n = len(raw.features)
+    geoms = None
+    types = np.fromiter((rf.type for rf in raw.features), dtype=np.int64, count=n)
+    cnt = np.fromiter((rf.geometry.size for rf in raw.features), dtype=np.int64, count=n)
+    # batch when there are many features OR few-but-huge ones (a single
+    # multipolygon with hundreds of rings gains as much as many points)
+    if n >= _BATCH_MIN_FEATURES or int(cnt.sum()) >= 256:
+        from . import fastdecode
+
+        streams = (
+            np.concatenate([np.asarray(rf.geometry, dtype=np.uint32) for rf in raw.features])
+            if int(cnt.sum())
+            else np.zeros(0, dtype=np.uint32)
+        )
+        # decodes every feature's geometry in a fixed number of vectorized
+        # rounds; malformed/unknown-type lanes delegate to the scalar twin
+        # in feature order, so the first bad feature raises identically
+        geoms = fastdecode.assemble_geoms(types, streams, cnt)
     feats: list[Feature] = []
-    for rf in raw.features:
+    for i, rf in enumerate(raw.features):
         if rf.type not in (GEOM_POINT, GEOM_LINESTRING, GEOM_POLYGON):
             raise ValueError("Geometry type of UNKNOWN given.")
         tags = np.asarray(rf.tags, dtype=np.int64)
         tags = tags[: (tags.size // 2) * 2].reshape(-1, 2)
-        meta = {raw.keys[k]: raw.values[v] for k, v in tags}
-        geom = geom_from_stream(rf.type, rf.geometry)
+        meta = {raw.keys[k]: raw.values[v] for k, v in tags.tolist()}
+        geom = geoms[i] if geoms is not None else geom_from_stream(rf.type, rf.geometry)
         feats.append(Feature(rf.id, meta, rf.type, geom))
     # points first, then linestrings, then polygons (Internal.hs:304-308
     # splits by type; stable within type)
