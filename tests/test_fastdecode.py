@@ -302,3 +302,29 @@ def test_decode_speed_budget():
         for _ in range(5)
     )
     assert best < 0.045, f"roads.mvt decode regressed: {best*1000:.1f} ms"
+
+
+def test_decode_tiles_noncanonical_fallback(spark):
+    """The distributed ingest path must re-canonicalize non-canonical
+    streams exactly like stream->geom->stream (its fast path only copies
+    streams the canonical mask proves are fixed points)."""
+    z = lambda a: geometry.zig(np.asarray(a, dtype=np.int64)).astype(np.uint64)
+    # linestring whose MoveTo declares TWO pairs: scalar decode drops the
+    # second pair, so the re-encoded stream differs from the input
+    noncanon = np.concatenate(
+        [[1 | (2 << 3)], z([5, 5, 9, 9]), [2 | (2 << 3)], z([1, 1, 2, 2])]
+    )
+    canon_expected = geometry.geom_to_stream(
+        2, geometry.geom_from_stream(2, noncanon.astype(np.uint32))
+    ).astype(np.int64)
+    feats = [(i, [], 2, noncanon) for i in range(12)]
+    data = _tile_with_features(feats)
+    from vectortiles_spark.operators import tiling
+
+    df = spark.createDataFrame([(3, 1, 2, bytearray(data))],
+                               "tile_z int, tile_x int, tile_y int, mvt binary")
+    out = tiling.decode_tiles(df).collect()
+    assert len(out) == 12
+    for r in out:
+        assert r.geom_type == 2
+        np.testing.assert_array_equal(np.array(r.geom_cmds), canon_expected)

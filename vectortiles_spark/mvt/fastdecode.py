@@ -556,3 +556,55 @@ def assemble_geoms(types: np.ndarray, vals: np.ndarray, cnt: np.ndarray) -> list
         for fi in np.flatnonzero(fallback):
             out[fi] = geom_from_stream(int(types[fi]), vals[offs[fi]:offs[fi] + cnt[fi]])
     return out
+
+
+def canonical_stream_mask(types: np.ndarray, vals: np.ndarray, cnt: np.ndarray) -> np.ndarray:
+    """Per-feature bool: the stream is already in the canonical encoder
+    form, i.e. geom_to_stream(geom_from_stream(s)) == s byte-for-byte.
+
+    zig/unzig and parse_cmd/unparse_cmd are exact inverses on uint32, so
+    canonicality is purely STRUCTURAL: one MoveTo with every declared pair
+    present (points); strict (MoveTo c=1, LineTo c>=1 full) pairs
+    (linestrings); strict (MoveTo c=1, LineTo c>=2 full, ClosePath)
+    triples (polygons). The distributed ingest path copies canonical
+    streams through without building geometry objects at all; the rest
+    take the scalar decode+re-encode detour (which also raises on invalid
+    input exactly like the per-feature path).
+    """
+    n = types.size
+    feat, cid, cc, ps, pt, badf = _parse_command_table(vals, cnt)
+    ncmds = np.bincount(feat, minlength=n)
+    ok = ~badf
+    full = pt == 2 * cc  # every declared pair present in the buffer
+
+    is_pt = types == GEOM_POINT
+    row0 = np.minimum(np.cumsum(ncmds) - ncmds, max(cid.size - 1, 0))
+    if cid.size:
+        pt_ok = (ncmds == 1) & (cid[row0] == CMD_MOVETO) & (cc[row0] >= 1) & full[row0]
+    else:
+        pt_ok = np.zeros(n, dtype=bool)
+    ok &= ~is_pt | pt_ok
+
+    for gtype, period in ((GEOM_LINESTRING, 2), (GEOM_POLYGON, 3)):
+        is_g = types == gtype
+        ok &= ~is_g | (ncmds % period == 0)
+        gfe = np.flatnonzero(is_g & ok)
+        rows = np.flatnonzero(_feat_mask(n, gfe)[feat])
+        if not rows.size:
+            continue
+        slot = rows - np.repeat(row0[gfe], ncmds[gfe])
+        phase = slot % period
+        min_line = 1 if gtype == GEOM_LINESTRING else 2
+        rok = np.where(
+            phase == 0,
+            (cid[rows] == CMD_MOVETO) & (cc[rows] == 1) & full[rows],
+            (cid[rows] == CMD_LINETO) & (cc[rows] >= min_line) & full[rows],
+        )
+        if period == 3:
+            third = phase == 2
+            rok[third] = cid[rows[third]] == CMD_CLOSEPATH
+        badrows = rows[~rok]
+        if badrows.size:
+            ok &= ~_feat_mask(n, feat[badrows])
+    ok &= (types == GEOM_POINT) | (types == GEOM_LINESTRING) | (types == GEOM_POLYGON)
+    return ok

@@ -705,33 +705,61 @@ def decode_tiles(tiles: DataFrame, layers: list[str] | None = None) -> DataFrame
 
     Output uses the ARRAY<STRUCT> metadata form plus geometry command
     streams, so decode_tiles(encode_tiles(f)) roundtrips through the sink.
-    Decode is the verification/ingest path, not the encode hot path —
-    per-tile Python with the reference-validated codec is appropriate here.
+
+    Fast path (round 4): raw-layer wire parse (fastdecode batch kernels)
+    plus canonical-stream pass-through — geom_to_stream(geom_from_stream(s))
+    is s itself for streams in canonical encoder form (zig/parse_cmd are
+    exact inverses), so those features never materialize geometry objects;
+    only non-canonical streams take the scalar decode+re-encode detour,
+    which also raises on malformed input exactly like decode_tile.
     """
     import pyarrow as pa
 
-    from ..mvt.geometry import geom_to_stream
+    from ..mvt import fastdecode
+    from ..mvt.geometry import geom_from_stream, geom_to_stream
 
     def run(batches):
         for b in batches:
             rows = {k: [] for k in (
                 "tile_z", "tile_x", "tile_y", "layer", "geom_type",
-                "feature_id", "meta", "geom_cmds",
+                "feature_id", "meta",
             )}
+            cmd_chunks: list[np.ndarray] = []
+            cmd_lens: list[int] = []
             for z, x, y, raw in zip(
                 b["tile_z"].to_pylist(), b["tile_x"].to_pylist(),
                 b["tile_y"].to_pylist(), b["mvt"].to_pylist(),
             ):
-                for name, layer in codec.decode_tile(raw, layers=layers).items():
-                    for f in layer.features:
+                for rl in codec.parse_raw_tile(raw, layers=layers):
+                    if not rl.features:
+                        raise ValueError("VectorTile.features: `[RawFeature]` empty")
+                    nf = len(rl.features)
+                    types = np.fromiter((rf.type for rf in rl.features), np.int64, count=nf)
+                    cnt = np.fromiter((rf.geometry.size for rf in rl.features), np.int64, count=nf)
+                    streams = (
+                        np.concatenate([np.asarray(rf.geometry, np.uint32) for rf in rl.features])
+                        if int(cnt.sum()) else np.zeros(0, np.uint32)
+                    )
+                    canon = fastdecode.canonical_stream_mask(types, streams, cnt)
+                    offs = np.cumsum(cnt) - cnt
+                    # points first, then lines, then polygons (stable) —
+                    # the order layer_from_raw's sort produces
+                    order = np.argsort(types, kind="stable")
+                    for i in order.tolist():
+                        rf = rl.features[i]
+                        if rf.type not in (1, 2, 3):
+                            raise ValueError("Geometry type of UNKNOWN given.")
                         rows["tile_z"].append(z)
                         rows["tile_x"].append(x)
                         rows["tile_y"].append(y)
-                        rows["layer"].append(name)
-                        rows["geom_type"].append(f.geom_type)
+                        rows["layer"].append(rl.name)
+                        rows["geom_type"].append(rf.type)
                         # wire carries uint64 ids; Spark BIGINT is signed
-                        fid = f.feature_id
+                        fid = rf.id
                         rows["feature_id"].append(fid - (1 << 64) if fid >= (1 << 63) else fid)
+                        tags = np.asarray(rf.tags, dtype=np.int64)
+                        tags = tags[: (tags.size // 2) * 2].reshape(-1, 2)
+                        meta = {rl.keys[k]: rl.values[v] for k, v in tags.tolist()}
                         rows["meta"].append([
                             {
                                 "key": k,
@@ -741,11 +769,19 @@ def decode_tiles(tiles: DataFrame, layers: list[str] | None = None) -> DataFrame
                                 "i": int(v) if tag in (codec.VAL_INT, codec.VAL_UINT, codec.VAL_SINT) else None,
                                 "b": bool(v) if tag == codec.VAL_BOOL else None,
                             }
-                            for k, (tag, v) in sorted(f.metadata.items())
+                            for k, (tag, v) in sorted(meta.items())
                         ])
-                        rows["geom_cmds"].append(
-                            geom_to_stream(f.geom_type, f.geom).astype(np.int64).tolist()
-                        )
+                        if canon[i]:
+                            s = streams[offs[i]:offs[i] + cnt[i]]
+                        else:
+                            s = geom_to_stream(rf.type, geom_from_stream(rf.type, rf.geometry))
+                        cmd_chunks.append(s)
+                        cmd_lens.append(int(s.size))
+            all_cmds = (
+                np.concatenate(cmd_chunks).astype(np.int64)
+                if cmd_chunks else np.zeros(0, np.int64)
+            )
+            offsets = np.concatenate(([0], np.cumsum(cmd_lens, dtype=np.int64)))
             yield pa.record_batch(
                 {
                     "tile_z": pa.array(rows["tile_z"], pa.int32()),
@@ -759,7 +795,9 @@ def decode_tiles(tiles: DataFrame, layers: list[str] | None = None) -> DataFrame
                         pa.field("s", pa.string()), pa.field("d", pa.float64()),
                         pa.field("i", pa.int64()), pa.field("b", pa.bool_()),
                     ]))),
-                    "geom_cmds": pa.array(rows["geom_cmds"], pa.list_(pa.int64())),
+                    "geom_cmds": pa.ListArray.from_arrays(
+                        pa.array(offsets, pa.int32()), pa.array(all_cmds, pa.int64())
+                    ),
                 }
             )
 
