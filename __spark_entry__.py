@@ -69,21 +69,6 @@ def _q_image_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("decode_ok", "psnr_ok", "caption_preserved")
 
 
-def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: IVF-flat ANN top-k (recall vs the exact baseline is
-    asserted in tests/test_similarity.py; assignment is a shuffle-free
-    batch-matmul over driver-held seed centroids)."""
-    from vectortiles_spark.operators.similarity import ivf_topk
-
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    qs = emb.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
-    )
-    cand = emb.select("vec_id", "embedding")
-    res = ivf_topk(qs, cand, k=10, n_cells=16, nprobe=4)
-    return res.withColumn("cosine", F.round("cosine", 6)).orderBy("query_id", "rank")
-
-
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from vectortiles_spark.plans import queries as Q
     from vectortiles_spark.plans import queries_text as QT
@@ -133,12 +118,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tfidf_topk": QT.q_tfidf_topk,
         "q_mvt_roundtrip": Q.q_mvt_roundtrip,
         "q_mvt_roundtrip_geoms": Q.q_mvt_roundtrip_geoms,
+        "q_tileset_roundtrip": Q.q_tileset_roundtrip,
+        "q_ivf_topk": QT.q_ivf_topk,
         "q_raster_contours": Q.q_raster_contours,
         "q_vector_pipeline": Q.q_vector_pipeline,
         # non-SQL-expressible (rows-only checks)
         "q_mvt_tiles": _q_mvt_tiles,
         "q_image_invariants": _q_image_invariants,
-        "q_ivf_topk": _q_ivf_topk,
     }
 
 
@@ -172,6 +158,8 @@ def oracle_sql() -> dict[str, str]:
         "q_knn_exact": Q.Q_KNN_EXACT_SQL,
         "q_cell_colocate": Q.Q_CELL_COLOCATE_SQL,
         "q_mvt_roundtrip_geoms": Q.Q_MVT_ROUNDTRIP_GEOMS_SQL,
+        "q_tileset_roundtrip": Q.Q_TILESET_ROUNDTRIP_SQL,
+        "q_ivf_topk": QT.Q_IVF_TOPK_SQL,
         "q_raster_contours": Q.Q_RASTER_CONTOURS_SQL,
         "q_vector_pipeline": Q.Q_VECTOR_PIPELINE_SQL,
         "q_dedup_exact": QT.Q_DEDUP_EXACT_SQL,

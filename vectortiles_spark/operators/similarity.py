@@ -159,6 +159,7 @@ def ivf_train(
     n_iters: int = 3,
     cand_id: str = "vec_id",
     emb: str = "embedding",
+    round_dp: int | None = None,
 ) -> list:
     """Spark-native k-means refinement of the IVF coarse quantizer:
     start from the deterministic lowest-id seeds and run `n_iters` Lloyd
@@ -167,7 +168,12 @@ def ivf_train(
     the candidate side), then re-center each cell as the normalized mean
     of its members (posexplode -> groupBy(cell, pos): ONE n_cells x dim
     shuffle per iteration, collected to the driver where the quantizer
-    lives). Empty cells keep their previous centroid. Returns
+    lives). Empty cells keep their previous centroid. ``round_dp`` rounds
+    each re-centered unit component to that many decimals: the per-cell
+    float sums arrive in nondeterministic partition order, so rounding
+    makes the trained quantizer bit-stable across re-executions (and
+    replayable by an external engine summing in a different order).
+    Returns
     (centroid_id, c_emb) rows in the ivf_assign centroid shape, keeping
     the seed ids as labels so downstream id typing is unchanged."""
     seed = (
@@ -222,7 +228,8 @@ def ivf_train(
         for cell, mean in acc.items():
             nrm = float(np.linalg.norm(mean))
             if nrm > 0:
-                new[cell] = mean / nrm
+                unit_mean = mean / nrm
+                new[cell] = np.round(unit_mean, round_dp) if round_dp else unit_mean
         unit = new
     return [(ids[i], [float(v) for v in unit[i]]) for i in range(len(ids))]
 
@@ -301,6 +308,7 @@ def ivf_topk(
     q_emb: str = "q_emb",
     emb: str = "embedding",
     train_iters: int = 0,
+    train_round_dp: int | None = None,
 ) -> DataFrame:
     """IVF-flat approximate top-k: partition candidates into `n_cells`
     Voronoi cells, probe the `nprobe` nearest cells per query,
@@ -316,7 +324,7 @@ def ivf_topk(
     them). The only shuffle left is the final per-query top-k. At 10^12
     vectors this is the classic coarse-quantizer layout."""
     trained = (
-        ivf_train(candidates, n_cells, train_iters, cand_id, emb)
+        ivf_train(candidates, n_cells, train_iters, cand_id, emb, round_dp=train_round_dp)
         if train_iters > 0
         else None
     )

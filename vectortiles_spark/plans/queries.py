@@ -16,6 +16,8 @@ Spark DataFrame code is the primary implementation; the oracle is ANSI SQL.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1052,6 +1054,26 @@ def q_mvt_roundtrip_geoms(spark: SparkSession, sf_dir: str) -> DataFrame:
     order, ring order, or a single zigzag delta changes it."""
     from vectortiles_spark.operators import tiling
 
+    rows = _lattice_geom_rows(spark, sf_dir)
+    feats = tiling.geom_features(rows)
+    decoded = tiling.decode_tiles(tiling.encode_tiles(feats))
+    return (
+        decoded.groupBy("tile_x", "tile_y", "layer")
+        .agg(
+            F.count("*").alias("n_features"),
+            F.sum("feature_id").alias("sum_ids"),
+            F.sum(F.size("geom_cmds")).cast("bigint").alias("n_cmd_ints"),
+            F.sum(
+                F.aggregate("geom_cmds", F.lit(0).cast("bigint"), lambda a, x: a + x)
+            ).alias("sum_cmds"),
+        )
+        .orderBy("tile_x", "tile_y", "layer")
+    )
+
+
+def _lattice_geom_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The closed-form line+polygon corpus shared by q_mvt_roundtrip_geoms
+    and q_tileset_roundtrip (expected command streams documented below)."""
     (cust,) = load(spark, sf_dir, "customer")
     k = F.col("c_custkey")
     i32 = lambda c: c.cast("int")
@@ -1089,7 +1111,7 @@ def q_mvt_roundtrip_geoms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(F.array(pt(ax, ay), pt(ax + d, ay + 2), pt(ax + 2 * d, ay)))
     )
     is_poly = (k % 2) == 0
-    rows = cust.select(
+    return cust.select(
         F.lit(4).alias("tile_z"),
         (k % 16).cast("int").alias("tile_x"),
         ((k / 16).cast("long") % 16).cast("int").alias("tile_y"),
@@ -1098,8 +1120,32 @@ def q_mvt_roundtrip_geoms(spark: SparkSession, sf_dir: str) -> DataFrame:
         k.alias("feature_id"),
         F.when(is_poly, poly_geom).otherwise(line_geom).alias("geom"),
     )
-    feats = tiling.geom_features(rows)
-    decoded = tiling.decode_tiles(tiling.encode_tiles(feats))
+
+
+def q_tileset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole MVT INGEST circle under the value oracle: the lattice
+    corpus -> encode_tiles -> write_tileset ({z}/{x}/{y}.mvt on disk,
+    sources/tileset.py:26) -> read_tileset (binaryFile scan, :57) ->
+    decode_tiles(layers=['polys']) — i.e. the reference's `tile` entry
+    point (lib/Geography/VectorTile.hs:70-71) exercised as a FILESYSTEM
+    source with layer-SELECTIVE partial decode (every tile carries both
+    layers, so the 'lines' messages are genuinely length-skipped).
+
+    Oracle: the q_mvt_roundtrip_geoms closed-form stream sums filtered to
+    the polys layer. Any torn file, mis-addressed path, lost tile, or
+    selective-decode divergence shifts the per-tile aggregates."""
+    import shutil
+    import tempfile
+
+    from vectortiles_spark.operators import tiling
+    from vectortiles_spark.sources.tileset import read_tileset, write_tileset
+
+    rows = _lattice_geom_rows(spark, sf_dir)
+    tiles = tiling.encode_tiles(tiling.geom_features(rows))
+    root = os.path.join(tempfile.gettempdir(), "q_tileset_roundtrip")
+    shutil.rmtree(root, ignore_errors=True)
+    write_tileset(tiles, root)
+    decoded = tiling.decode_tiles(read_tileset(spark, root, z=4), layers=["polys"])
     return (
         decoded.groupBy("tile_x", "tile_y", "layer")
         .agg(
@@ -1112,6 +1158,36 @@ def q_mvt_roundtrip_geoms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tile_x", "tile_y", "layer")
     )
+
+
+Q_TILESET_ROUNDTRIP_SQL = """
+WITH derived AS (
+  SELECT c_custkey AS k,
+         cast(c_custkey % 16 AS INT) AS tile_x,
+         cast((c_custkey // 16) % 16 AS INT) AS tile_y,
+         (c_custkey % 4) = 0 AS has_hole,
+         (c_custkey % 8) = 2 AS two_part,
+         16 * (c_custkey % 7) + 16 AS ox,
+         16 * ((c_custkey // 7) % 7) + 16 AS oy,
+         8 + (c_custkey % 5) * 8 AS s
+  FROM customer WHERE (c_custkey % 2) = 0
+), expected AS (
+  SELECT k, tile_x, tile_y, 'polys' AS layer,
+         CASE WHEN has_hole OR two_part THEN 22 ELSE 11 END AS n_ints,
+         CASE WHEN has_hole THEN 97 + 2 * ox + 2 * oy + 11 * s
+              WHEN two_part THEN 225 + 2 * ox + 2 * oy + 14 * s
+              ELSE 49 + 2 * ox + 2 * oy + 6 * s END AS stream_sum
+  FROM derived
+)
+SELECT tile_x, tile_y, layer,
+       count(*) AS n_features,
+       sum(k)::BIGINT AS sum_ids,
+       sum(n_ints)::BIGINT AS n_cmd_ints,
+       sum(stream_sum)::BIGINT AS sum_cmds
+FROM expected
+GROUP BY tile_x, tile_y, layer
+ORDER BY tile_x, tile_y, layer
+"""
 
 
 # closed-form expected command streams (zigzag: zig(n)=2n for n>=0, 2|n|-1

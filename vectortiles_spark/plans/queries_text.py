@@ -576,6 +576,128 @@ ORDER BY vec_id
 """
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN under the FULL value oracle: 2 Lloyd training
+    iterations (spherical k-means, centroids rounded to 9 dp so the
+    nondeterministic-partition-order float sums can't leak into the
+    quantizer), coarse assignment, nprobe=4 probe, exact cosine top-10.
+
+    Portability: every dot/norm on both engines is a SEQUENTIAL float64
+    fold over identical inputs (Spark aggregate/zip_with vs DuckDB
+    list_dot_product), so probe sims and final cosines match bit-for-bit;
+    the only engine-divergent ops are the trained-centroid means (rounded
+    away at 9 dp) and the batch-matmul assignment sums (BLAS vs
+    sequential, ~1e-15 noise vs measured >=1e-5 argmax margins). The
+    float32 truncation the probe stage inherits from createDataFrame's
+    array<float> schema is replayed with an explicit ::FLOAT::DOUBLE
+    round-trip in the SQL."""
+    from ..operators.similarity import ivf_topk
+
+    (emb,) = load(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    cand = emb.select("vec_id", "embedding")
+    res = ivf_topk(qs, cand, k=10, n_cells=16, nprobe=4, train_iters=2, train_round_dp=9)
+    return res.withColumn("cosine", F.round("cosine", 6)).orderBy("query_id", "rank")
+
+
+Q_IVF_TOPK_SQL = """
+WITH seeds AS (
+  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS c_raw
+  FROM embeddings ORDER BY vec_id LIMIT 16
+), cent0 AS (
+  SELECT centroid_id,
+         list_transform(c_raw, x -> x / sqrt(list_dot_product(c_raw, c_raw))) AS c_emb
+  FROM seeds
+), a1 AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id AS cell,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.embedding::DOUBLE[], c.c_emb) DESC,
+                      c.centroid_id ASC) AS rn
+    FROM embeddings e CROSS JOIN cent0 c
+  ) WHERE rn = 1
+), u1 AS (
+  SELECT cell, generate_subscripts(embedding, 1) AS dim,
+         unnest(embedding)::DOUBLE
+           / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS v
+  FROM a1
+), m1 AS (
+  SELECT cell, list(c ORDER BY dim) AS m FROM (
+    SELECT cell, dim, avg(v) AS c FROM u1 GROUP BY 1, 2
+  ) GROUP BY cell
+), cent1 AS (
+  SELECT c0.centroid_id,
+         CASE WHEN m.m IS NULL OR list_dot_product(m.m, m.m) <= 0 THEN c0.c_emb
+              ELSE list_transform(m.m, x -> round(x / sqrt(list_dot_product(m.m, m.m)), 9))
+         END AS c_emb
+  FROM cent0 c0 LEFT JOIN m1 m ON m.cell = c0.centroid_id
+), a2 AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id AS cell,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.embedding::DOUBLE[], c.c_emb) DESC,
+                      c.centroid_id ASC) AS rn
+    FROM embeddings e CROSS JOIN cent1 c
+  ) WHERE rn = 1
+), u2 AS (
+  SELECT cell, generate_subscripts(embedding, 1) AS dim,
+         unnest(embedding)::DOUBLE
+           / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS v
+  FROM a2
+), m2 AS (
+  SELECT cell, list(c ORDER BY dim) AS m FROM (
+    SELECT cell, dim, avg(v) AS c FROM u2 GROUP BY 1, 2
+  ) GROUP BY cell
+), cent2 AS (
+  SELECT c1.centroid_id,
+         CASE WHEN m.m IS NULL OR list_dot_product(m.m, m.m) <= 0 THEN c1.c_emb
+              ELSE list_transform(m.m, x -> round(x / sqrt(list_dot_product(m.m, m.m)), 9))
+         END AS c_emb
+  FROM cent1 c1 LEFT JOIN m2 m ON m.cell = c1.centroid_id
+), cassign AS (
+  -- final assignment re-normalizes the trained centroids (ivf_assign's
+  -- _centroid_arrays), so the per-centroid norm division is mirrored here
+  SELECT vec_id, embedding, cell FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id AS cell,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.embedding::DOUBLE[], c.c_emb)
+                      / sqrt(list_dot_product(c.c_emb, c.c_emb)) DESC,
+                      c.centroid_id ASC) AS rn
+    FROM embeddings e CROSS JOIN cent2 c
+  ) WHERE rn = 1
+), cent_f32 AS (
+  -- the probe stage reads centroids back through an array<float> schema
+  SELECT centroid_id, list_transform(c_emb, x -> (x::FLOAT)::DOUBLE) AS c_emb
+  FROM cent2
+), probes AS (
+  SELECT query_id, q_emb, cell FROM (
+    SELECT q.vec_id AS query_id, q.embedding AS q_emb, c.centroid_id AS cell,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY list_dot_product(q.embedding::DOUBLE[], c.c_emb)
+                      / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+                         * sqrt(list_dot_product(c.c_emb, c.c_emb))) DESC,
+                      c.centroid_id ASC) AS rn
+    FROM embeddings q CROSS JOIN cent_f32 c WHERE q.vec_id < 8
+  ) WHERE rn <= 4
+), scored AS (
+  SELECT p.query_id, a.vec_id,
+         list_dot_product(p.q_emb::DOUBLE[], a.embedding::DOUBLE[])
+           / (sqrt(list_dot_product(p.q_emb::DOUBLE[], p.q_emb::DOUBLE[]))
+              * sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))) AS cos_raw
+  FROM probes p JOIN cassign a USING (cell)
+)
+SELECT query_id, vec_id, round(cos_raw, 6) AS cosine, rank FROM (
+  SELECT query_id, vec_id, cos_raw,
+         row_number() OVER (PARTITION BY query_id
+           ORDER BY cos_raw DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 10
+ORDER BY query_id, rank
+"""
+
+
 def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector aggregate: per-label centroid norms — posexplode + groupBy
     (the embedding-stats shape: unnest once, aggregate columnar)."""
