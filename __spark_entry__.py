@@ -35,24 +35,6 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
-def _q_mvt_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: the flagship MVT sink over sf_dir customers (binary MVT
-    output is not SQL-expressible; per-tile counts ARE value-checked by
-    q_tile_assign against the same tile math)."""
-    from vectortiles_spark.operators import tiling
-    from vectortiles_spark.plans.queries import lat_of, lon_of
-
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    pts = cust.select("c_custkey", "c_mktsegment", lon_of(F.col("c_custkey")), lat_of(F.col("c_custkey")))
-    feats = tiling.point_features(
-        pts, z=6, layer="customers", feature_id=F.col("c_custkey"),
-        meta={"segment": F.col("c_mktsegment")},
-    )
-    return tiling.encode_tiles(feats).select(
-        "tile_z", "tile_x", "tile_y", "n_features", F.length("mvt").alias("mvt_bytes")
-    )
-
-
 def _q_image_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: per-row image invariant gate (decode/re-encode PSNR>=40,
     phash match, caption preserved) over a deterministic synthetic image
@@ -122,8 +104,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ivf_topk": QT.q_ivf_topk,
         "q_raster_contours": Q.q_raster_contours,
         "q_vector_pipeline": Q.q_vector_pipeline,
+        "q_mvt_tiles": Q.q_mvt_tiles,
         # non-SQL-expressible (rows-only checks)
-        "q_mvt_tiles": _q_mvt_tiles,
         "q_image_invariants": _q_image_invariants,
     }
 
@@ -159,6 +141,7 @@ def oracle_sql() -> dict[str, str]:
         "q_cell_colocate": Q.Q_CELL_COLOCATE_SQL,
         "q_mvt_roundtrip_geoms": Q.Q_MVT_ROUNDTRIP_GEOMS_SQL,
         "q_tileset_roundtrip": Q.Q_TILESET_ROUNDTRIP_SQL,
+        "q_mvt_tiles": Q.Q_MVT_TILES_SQL,
         "q_ivf_topk": QT.Q_IVF_TOPK_SQL,
         "q_raster_contours": Q.Q_RASTER_CONTOURS_SQL,
         "q_vector_pipeline": Q.Q_VECTOR_PIPELINE_SQL,

@@ -422,6 +422,87 @@ FROM px GROUP BY 1, 2 ORDER BY tile_x, tile_y
 Q_TILE_ASSIGN_MERC_SQL = _merc_sql()
 
 
+def q_mvt_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship MVT point sink under the FULL value oracle: customers
+    -> WebMercator point features with a string tag -> one blob per tile,
+    checked on (n_features, mvt_bytes). The blob length is CLOSED-FORM:
+    every varint length is a deterministic function of (custkey, px, py)
+    and the tile's distinct segments, so the oracle recomputes the exact
+    byte count of each tile — a one-byte deviation anywhere in the wire
+    layout (framing, dictionaries, zigzag, packed geometry) fails the
+    hash. Verified byte-exact against encode_tiles on sf0.001/sf0.01."""
+    from vectortiles_spark.operators import tiling
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    pts = cust.select(
+        "c_custkey", "c_mktsegment", lon_of(F.col("c_custkey")), lat_of(F.col("c_custkey"))
+    )
+    feats = tiling.point_features(
+        pts, z=6, layer="customers", feature_id=F.col("c_custkey"),
+        meta={"segment": F.col("c_mktsegment")},
+    )
+    return tiling.encode_tiles(feats).select(
+        "tile_z", "tile_x", "tile_y",
+        F.col("n_features").cast("bigint").alias("n_features"),
+        F.length("mvt").cast("bigint").alias("mvt_bytes"),
+    ).orderBy("tile_x", "tile_y")
+
+
+def _vl(expr: str) -> str:
+    """SQL varint byte length of a non-negative integer expression."""
+    return (
+        f"(CASE WHEN {expr} < 128 THEN 1 WHEN {expr} < 16384 THEN 2 "
+        f"WHEN {expr} < 2097152 THEN 3 WHEN {expr} < 268435456 THEN 4 ELSE 5 END)"
+    )
+
+
+def _mvt_tiles_sql() -> str:
+    """Closed-form blob bytes: layer fixed overhead 16 (name 'customers'
+    2+9, version 2, extent 3) + keys 9 ('segment') + per-distinct-segment
+    values (4 + strlen) + per-feature 2 + (1+vl(id)) + 4 (tags) + 2 (type)
+    + (2 + 1 + vl(zig px) + vl(zig py)); blob = 1 + vl(L) + L."""
+    import math as _m
+
+    n = float(1 << _MERC_Z)
+    clamp = repr(_m.nextafter(n, 0.0))
+    fbytes = (
+        f"2 + 1 + {_vl('c_custkey')} + 4 + 2 + 3 + {_vl('2 * px')} + {_vl('2 * py')}"
+    )
+    return f"""
+WITH pts AS (
+  SELECT c_custkey, c_mktsegment,
+         {_sql_lon('c_custkey')} AS lon, {_sql_lat('c_custkey')} AS lat
+  FROM customer
+), m AS (
+  SELECT c_custkey, c_mktsegment,
+         (lon + 180.0) / 360.0 * {n} AS fx,
+         (1.0 - ln(tan(radians(lat)) + sqrt(tan(radians(lat)) * tan(radians(lat)) + 1.0)) / pi()) / 2.0 * {n} AS fy
+  FROM pts
+), g AS (
+  SELECT c_custkey, c_mktsegment,
+         cast(least(floor(fx), {int(n) - 1}) AS INT) AS tile_x,
+         cast(greatest(0, least(floor(fy), {int(n) - 1})) AS INT) AS tile_y,
+         least(floor((least(fx, {clamp}) - floor(least(fx, {clamp}))) * 4096.0), 4095)::BIGINT AS px,
+         least(floor((greatest(0.0, least(fy, {clamp})) - floor(greatest(0.0, least(fy, {clamp})))) * 4096.0), 4095)::BIGINT AS py
+  FROM m
+), agg AS (
+  SELECT tile_x, tile_y, count(*) AS n_features, sum({fbytes})::BIGINT AS fb
+  FROM g GROUP BY 1, 2
+), seg AS (
+  SELECT tile_x, tile_y, sum(4 + length(s))::BIGINT AS vbytes FROM (
+    SELECT DISTINCT tile_x, tile_y, c_mktsegment AS s FROM g
+  ) GROUP BY 1, 2
+)
+SELECT 6 AS tile_z, a.tile_x, a.tile_y, a.n_features::BIGINT AS n_features,
+       (1 + {_vl('(25 + s.vbytes + a.fb)')} + 25 + s.vbytes + a.fb)::BIGINT AS mvt_bytes
+FROM agg a JOIN seg s USING (tile_x, tile_y)
+ORDER BY a.tile_x, a.tile_y
+"""
+
+
+Q_MVT_TILES_SQL = _mvt_tiles_sql()
+
+
 def q_quadkey(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bing/Azure quadkey addressing under the value oracle: customer
     tiles at z=6 -> quadkey strings (pure Column bit arithmetic) and the
