@@ -222,3 +222,32 @@ def test_tile_pyramid_rollup(spark):
     assert lvl5.sort_index().equals(want.sort_index().rename_axis(["tile_x", "tile_y"]))
     with pytest.raises(ValueError):
         tile_pyramid(leaf, leaf_z=6, min_z=7)
+
+
+def test_salted_cap_identical_to_single_phase(spark):
+    """The salted two-phase cap must keep exactly the rows the one-window
+    cap keeps, with the hot tile spread over (tile, salt) tasks in phase 1
+    (no task materializes the uncapped tile)."""
+    import re
+
+    n_hot = 200_000
+    df = spark.range(n_hot).select(
+        F.lit(5).alias("tile_z"),
+        # one metro tile with 90% of rows + a long tail of cold tiles
+        F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(
+            (F.col("id") % 31).cast("int")
+        ).alias("tile_x"),
+        F.lit(3).alias("tile_y"),
+        F.lit("layer0").alias("layer"),
+        F.col("id").alias("feature_id"),
+    )
+    salted = tiling.cap_features_per_tile(df, 1000, salt_buckets=16)
+    plain = tiling.cap_features_per_tile(df, 1000, salt_buckets=0)
+    a = {(r.tile_x, r.feature_id) for r in salted.collect()}
+    b = {(r.tile_x, r.feature_id) for r in plain.collect()}
+    assert a == b and len(a) > 1000
+    # plan audit: the first window's exchange must partition by the salt
+    # (that is what bounds per-task input on the hot tile)
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    exchanges = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert any("__salt" in e for e in exchanges), exchanges

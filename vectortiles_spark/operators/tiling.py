@@ -207,16 +207,49 @@ def geom_features(
     return base.mapInArrow(encode, out_schema)
 
 
-def cap_features_per_tile(features: DataFrame, max_per_tile: int, order_by: str = "feature_id") -> DataFrame:
+def cap_features_per_tile(
+    features: DataFrame,
+    max_per_tile: int,
+    order_by: str = "feature_id",
+    salt_buckets: int = 16,
+) -> DataFrame:
     """Deterministic hot-tile bound: keep the first `max_per_tile` features
-    per (tile, layer) by `order_by`. This runs BEFORE the encode shuffle so
-    no single task ever receives an unbounded metro tile (SURVEY.md §2.D10)."""
+    per (tile, layer) by `order_by`, SALTED two-phase (SURVEY.md §2.D10).
+
+    A single window over the tile key would land an uncapped metro tile on
+    one task before the cap applies — the straggler the cap exists to
+    prevent. Phase 1 windows over (tile, layer, salt): each task sees at
+    most rows/salt_buckets of the hottest tile and keeps its per-salt
+    first `max_per_tile` (the global first-N is a subset of every salt's
+    first-N, so nothing needed survives outside the quota). Phase 2
+    re-ranks the <= salt_buckets * max_per_tile survivors exactly —
+    bounded input, and byte-identical output to the single-phase window
+    when `order_by` is a key (pinned by tests/test_tiling_e2e.py). The
+    downstream encode of a capped tile is likewise bounded at
+    max_per_tile rows per task. ``salt_buckets<=1`` keeps the one-window
+    path."""
     part_cols = ["tile_z", "tile_x", "tile_y"] + (["layer"] if "layer" in features.columns else [])
     w = Window.partitionBy(*part_cols).orderBy(F.col(order_by))
-    return (
-        features.withColumn("__rn", F.row_number().over(w))
+    if not salt_buckets or salt_buckets <= 1:
+        return (
+            features.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= max_per_tile)
+            .drop("__rn")
+        )
+    # salt from the order key itself: deterministic under retries and
+    # independent of partition layout
+    salt = F.pmod(F.xxhash64(F.col(order_by)), F.lit(salt_buckets))
+    w1 = Window.partitionBy(*part_cols, "__salt").orderBy(F.col(order_by))
+    pre = (
+        features.withColumn("__salt", salt)
+        .withColumn("__rn", F.row_number().over(w1))
         .filter(F.col("__rn") <= max_per_tile)
         .drop("__rn")
+    )
+    return (
+        pre.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= max_per_tile)
+        .drop("__rn", "__salt")
     )
 
 
