@@ -110,8 +110,27 @@ class Layer:
 
 
 def _parse_value(buf: memoryview) -> tuple:
-    pos = 0
     end = len(buf)
+    # single-field fast paths (tag byte + payload exactly filling the
+    # message): short strings and small scalars — the dominant shapes
+    if end >= 2:
+        t = buf[0]
+        if t == 0x0A:  # field 1 string, 1-byte length
+            n = buf[1]
+            if n < 128 and 2 + n == end:
+                return (VAL_STRING, bytes(buf[2:2 + n]).decode("utf-8"))
+        elif end == 2:
+            v = buf[1]
+            if v < 128:
+                if t == 0x28:
+                    return (VAL_UINT, v)
+                if t == 0x20:
+                    return (VAL_INT, v)
+                if t == 0x30:
+                    return (VAL_SINT, (v >> 1) ^ -(v & 1))
+                if t == 0x38:
+                    return (VAL_BOOL, bool(v))
+    pos = 0
     out: tuple | None = None
     while pos < end:
         fnum, wt, pos = wire.read_tag(buf, pos)
@@ -202,28 +221,39 @@ def _parse_layer(buf: memoryview) -> RawLayer:
     end = len(buf)
     layer = RawLayer()
     fspans: list[tuple[int, int]] = []
+    # the walk is the per-field hot loop of the whole decode: single-byte
+    # tags and lengths (the overwhelmingly common case) are read inline,
+    # multi-byte ones through wire.read_varint — identical values either
+    # way, and an out-of-bounds read raises IndexError like read_varint
     while pos < end:
-        fnum, wt, pos = wire.read_tag(buf, pos)
-        if fnum == 15 and wt == wire.WT_VARINT:
-            layer.version, pos = wire.read_varint(buf, pos)
-        elif fnum == 1 and wt == wire.WT_LEN:
-            n, pos = wire.read_varint(buf, pos)
-            layer.name = bytes(buf[pos:pos + n]).decode("utf-8")
+        key = buf[pos]
+        if key < 128:
+            pos += 1
+        else:
+            key, pos = wire.read_varint(buf, pos)
+        fnum = key >> 3
+        wt = key & 7
+        if wt == wire.WT_LEN:
+            n = buf[pos]
+            if n < 128:
+                pos += 1
+            else:
+                n, pos = wire.read_varint(buf, pos)
+            if fnum == 2:
+                fspans.append((pos, n))
+            elif fnum == 1:
+                layer.name = bytes(buf[pos:pos + n]).decode("utf-8")
+            elif fnum == 3:
+                layer.keys.append(bytes(buf[pos:pos + n]).decode("utf-8"))
+            elif fnum == 4:
+                layer.values.append(_parse_value(buf[pos:pos + n]))
             pos += n
-        elif fnum == 2 and wt == wire.WT_LEN:
-            n, pos = wire.read_varint(buf, pos)
-            fspans.append((pos, n))
-            pos += n
-        elif fnum == 3 and wt == wire.WT_LEN:
-            n, pos = wire.read_varint(buf, pos)
-            layer.keys.append(bytes(buf[pos:pos + n]).decode("utf-8"))
-            pos += n
-        elif fnum == 4 and wt == wire.WT_LEN:
-            n, pos = wire.read_varint(buf, pos)
-            layer.values.append(_parse_value(buf[pos:pos + n]))
-            pos += n
-        elif fnum == 5 and wt == wire.WT_VARINT:
-            layer.extent, pos = wire.read_varint(buf, pos)
+        elif wt == wire.WT_VARINT:
+            v, pos = wire.read_varint(buf, pos)
+            if fnum == 15:
+                layer.version = v
+            elif fnum == 5:
+                layer.extent = v
         else:
             pos = wire.skip_field(buf, pos, wt)
     if len(fspans) < _BATCH_MIN_FEATURES:

@@ -58,6 +58,12 @@ def varints_at(
     2^64 exactly like wire.read_varint.
     """
     n = pos.size
+    # fast path: every lane in bounds and single-byte (the overwhelmingly
+    # common case for field tags and small lengths)
+    if n and int(pos.max()) < b.size:
+        first = b[pos]
+        if (first < 128).all() and bool((pos < limit).all()):
+            return first.astype(np.uint64), pos + 1, np.ones(n, dtype=bool)
     val = np.zeros(n, dtype=np.uint64)
     cur = pos.astype(np.int64).copy()
     done = np.zeros(n, dtype=bool)
@@ -274,17 +280,14 @@ def _parse_command_table(vals: np.ndarray, cnt: np.ndarray):
     # one vectorized round per command is pure overhead — finish those lanes
     # with a plain-int Python scan over their own stream instead
     tail_cutoff = max(4, n // 64)
-    t_feat: list[int] = []
-    t_cid: list[int] = []
-    t_cc: list[int] = []
-    t_ps: list[int] = []
-    t_pt: list[int] = []
+    t_rows: list[tuple[int, int, int, int, int]] = []
     while True:
         active = (pos < fend) & ~bad
         ia = np.flatnonzero(active)
         if ia.size == 0:
             break
         if ia.size <= tail_cutoff:
+            append = t_rows.append
             for i in ia.tolist():
                 p = int(pos[i])
                 e = int(fend[i])
@@ -293,22 +296,22 @@ def _parse_command_table(vals: np.ndarray, cnt: np.ndarray):
                 while q < rest:
                     cmd = sl[q]
                     cidv = cmd & 7
-                    ccv = cmd >> 3
                     if cidv == CMD_CLOSEPATH:
+                        ccv = cmd >> 3
                         if ccv != 1:
                             bad[i] = True
                             break
                         take = 0
                     elif cidv == CMD_MOVETO or cidv == CMD_LINETO:
-                        take = min(2 * ccv, rest - q - 1)
+                        ccv = cmd >> 3
+                        take = 2 * ccv
+                        rem = rest - q - 1
+                        if take > rem:
+                            take = rem
                     else:
                         bad[i] = True
                         break
-                    t_feat.append(i)
-                    t_cid.append(cidv)
-                    t_cc.append(ccv)
-                    t_ps.append(p + q + 1)
-                    t_pt.append(take)
+                    append((i, cidv, ccv, p + q + 1, take))
                     q += 1 + take
             break
         cmd = vals[pos[ia]].astype(np.int64)
@@ -326,12 +329,13 @@ def _parse_command_table(vals: np.ndarray, cnt: np.ndarray):
         r_ps.append(ps)
         r_pt.append(take)
         pos[ia] = ps + take
-    if t_feat:
-        r_feat.append(np.asarray(t_feat, dtype=np.int64))
-        r_cid.append(np.asarray(t_cid, dtype=np.int64))
-        r_cc.append(np.asarray(t_cc, dtype=np.int64))
-        r_ps.append(np.asarray(t_ps, dtype=np.int64))
-        r_pt.append(np.asarray(t_pt, dtype=np.int64))
+    if t_rows:
+        t_arr = np.asarray(t_rows, dtype=np.int64)
+        r_feat.append(t_arr[:, 0])
+        r_cid.append(t_arr[:, 1])
+        r_cc.append(t_arr[:, 2])
+        r_ps.append(t_arr[:, 3])
+        r_pt.append(t_arr[:, 4])
     if not r_feat:
         z = np.zeros(0, dtype=np.int64)
         return z, z, z, z, z, bad
