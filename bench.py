@@ -308,12 +308,34 @@ def main():
     # round 3's single stdout line outgrew the driver's tail-capture window
     # and BENCH_r03.json came back "parsed": null. The driver contract needs
     # a compact machine-readable LAST line; humans read the sidecar.
+    # decode-parity datum (BASELINE.md: reference full roads.mvt decode =
+    # 9.98 ms/core): pure-Python microbench, pennies next to the suite
+    decode_ms = None
+    try:
+        from vectortiles_spark.mvt import codec as _codec
+
+        with open("/root/reference/test/roads.mvt", "rb") as f:
+            _roads = f.read()
+        _codec.decode_tile(_roads)
+        decode_ms = round(
+            min(
+                (lambda t0: (_codec.decode_tile(_roads), time.perf_counter() - t0)[1])(
+                    time.perf_counter()
+                )
+                for _ in range(10)
+            )
+            * 1000.0,
+            2,
+        )
+    except OSError:
+        pass
     sidecar = {
         "attribution": attribution,
         "sf_large": extras.get("sf_large"),
         "mvt": extras.get("mvt"),
         "vector": extras.get("vector"),
         "rows": extras.get("rows"),
+        "decode_roads_ms": decode_ms,
     }
     sidecar_path = Path(__file__).resolve().parent / "BENCH" / "attribution.json"
     try:
@@ -331,6 +353,7 @@ def main():
         "mvt_tiles_per_sec": mvt.get("tiles_per_sec"),
         "mvt_rows_per_sec": mvt.get("rows_per_sec"),
         "vector_features_per_sec": vec.get("features_per_sec"),
+        "decode_roads_ms": decode_ms,
     }
     large = extras.get("sf_large") or {}
     if large and "error" not in large:

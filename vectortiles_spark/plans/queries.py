@@ -1223,7 +1223,10 @@ def q_tileset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     rows = _lattice_geom_rows(spark, sf_dir)
     tiles = tiling.encode_tiles(tiling.geom_features(rows))
-    root = os.path.join(tempfile.gettempdir(), "q_tileset_roundtrip")
+    # sf-scoped scratch root: a caller interleaving two scale factors must
+    # not have the second write invalidate the first's lazy read
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    root = os.path.join(tempfile.gettempdir(), f"q_tileset_roundtrip_{tag}")
     shutil.rmtree(root, ignore_errors=True)
     write_tileset(tiles, root)
     decoded = tiling.decode_tiles(read_tileset(spark, root, z=4), layers=["polys"])
