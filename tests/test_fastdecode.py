@@ -328,3 +328,42 @@ def test_decode_tiles_noncanonical_fallback(spark):
     for r in out:
         assert r.geom_type == 2
         np.testing.assert_array_equal(np.array(r.geom_cmds), canon_expected)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**32 - 1), min_size=0, max_size=50))
+@settings(max_examples=200, deadline=None)
+def test_canonical_mask_implies_fixed_point(vals):
+    """If the mask claims a stream canonical, decode+re-encode must return
+    the exact same uint32 stream (the property decode_tiles' pass-through
+    relies on); if it claims non-canonical, the stream must either raise
+    or genuinely differ under re-encode OR be a legitimate fallback."""
+    s = np.array(vals, dtype=np.uint32)
+    for gt in (1, 2, 3):
+        mask = fastdecode.canonical_stream_mask(
+            np.array([gt], dtype=np.int64), s, np.array([s.size], dtype=np.int64)
+        )
+        if mask[0]:
+            rt = geometry.geom_to_stream(gt, geometry.geom_from_stream(gt, s))
+            np.testing.assert_array_equal(rt.astype(np.uint32), s)
+
+
+def test_canonical_mask_on_canonical_and_mutated_streams():
+    """Every encoder-produced stream must be flagged canonical (the fast
+    path must actually fire), and single-int mutations must never be
+    flagged canonical unless they truly round-trip unchanged."""
+    rng = np.random.default_rng(11)
+    for _ in range(30):
+        gt = int(rng.integers(1, 4))
+        s = _geom_stream(gt, rng)
+        assert fastdecode.canonical_stream_mask(
+            np.array([gt], dtype=np.int64), s, np.array([s.size], dtype=np.int64)
+        )[0], (gt, s)
+        for _ in range(10):
+            v = s.copy()
+            v[rng.integers(0, s.size)] = rng.integers(0, 200)
+            m = fastdecode.canonical_stream_mask(
+                np.array([gt], dtype=np.int64), v, np.array([v.size], dtype=np.int64)
+            )[0]
+            if m:
+                rt = geometry.geom_to_stream(gt, geometry.geom_from_stream(gt, v))
+                np.testing.assert_array_equal(rt.astype(np.uint32), v)
