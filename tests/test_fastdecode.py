@@ -301,7 +301,9 @@ def test_decode_speed_budget():
         (lambda t0: (codec.decode_tile(data), time.perf_counter() - t0)[1])(time.perf_counter())
         for _ in range(5)
     )
-    assert best < 0.045, f"roads.mvt decode regressed: {best*1000:.1f} ms"
+    # measured ~10 ms on a quiet host (reference baseline 9.98 ms);
+    # generous bound for noisy CI windows
+    assert best < 0.030, f"roads.mvt decode regressed: {best*1000:.1f} ms"
 
 
 def test_decode_tiles_noncanonical_fallback(spark):

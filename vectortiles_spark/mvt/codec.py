@@ -70,6 +70,11 @@ class RawLayer:
     keys: list[str] = field(default_factory=list)
     values: list[tuple] = field(default_factory=list)  # (tag, python value)
     extent: int | None = None
+    # when the batch wire parser produced this layer with NO irregular
+    # features, the columnar arrays ride along so downstream consumers
+    # (layer_from_raw, decode_tiles) skip re-concatenating the per-feature
+    # slices; excluded from equality/repr — it is a cache, not content
+    batch: object = field(default=None, compare=False, repr=False)
 
 
 @dataclass
@@ -210,21 +215,19 @@ def _parse_feature(buf: memoryview) -> RawFeature:
 _BATCH_MIN_FEATURES = 8
 
 
-def _parse_layer(buf: memoryview) -> RawLayer:
-    """Parse one layer message. The field walk is Python (few iterations:
-    one per feature/key/value), but feature MESSAGES are only framed here —
-    all features wire-parse together in fastdecode.parse_features_batch
-    (one vectorized round per protobuf field instead of a Python loop per
-    feature). Irregular features fall back to the scalar _parse_feature,
-    in order, so malformed-input behavior is unchanged."""
-    pos = 0
-    end = len(buf)
+def _walk_layer(buf: memoryview, pos: int, end: int) -> tuple[RawLayer, list[tuple[int, int]]]:
+    """Field-walk one layer message inside the FULL tile buffer: returns
+    the layer (features NOT parsed) plus its feature spans as (start, len)
+    offsets into ``buf`` — the whole tile's spans then wire-parse together
+    in ONE fastdecode.parse_features_batch call (one vectorized round per
+    protobuf field across every feature of every layer).
+
+    The walk is the per-field hot loop of the whole decode: single-byte
+    tags and lengths (the overwhelmingly common case) are read inline,
+    multi-byte ones through wire.read_varint — identical values either
+    way, and an out-of-bounds read raises IndexError like read_varint."""
     layer = RawLayer()
     fspans: list[tuple[int, int]] = []
-    # the walk is the per-field hot loop of the whole decode: single-byte
-    # tags and lengths (the overwhelmingly common case) are read inline,
-    # multi-byte ones through wire.read_varint — identical values either
-    # way, and an out-of-bounds read raises IndexError like read_varint
     while pos < end:
         key = buf[pos]
         if key < 128:
@@ -239,14 +242,19 @@ def _parse_layer(buf: memoryview) -> RawLayer:
                 pos += 1
             else:
                 n, pos = wire.read_varint(buf, pos)
+            # clamp payloads to the layer end: the old slice-based walk
+            # truncated overrunning fields at the layer boundary via
+            # memoryview slicing — reading into the NEXT layer's bytes
+            # would change malformed-input behavior
+            hi = pos + n if pos + n < end else end
             if fnum == 2:
-                fspans.append((pos, n))
+                fspans.append((pos, hi - pos))
             elif fnum == 1:
-                layer.name = bytes(buf[pos:pos + n]).decode("utf-8")
+                layer.name = bytes(buf[pos:hi]).decode("utf-8")
             elif fnum == 3:
-                layer.keys.append(bytes(buf[pos:pos + n]).decode("utf-8"))
+                layer.keys.append(bytes(buf[pos:hi]).decode("utf-8"))
             elif fnum == 4:
-                layer.values.append(_parse_value(buf[pos:pos + n]))
+                layer.values.append(_parse_value(buf[pos:hi]))
             pos += n
         elif wt == wire.WT_VARINT:
             v, pos = wire.read_varint(buf, pos)
@@ -256,32 +264,7 @@ def _parse_layer(buf: memoryview) -> RawLayer:
                 layer.extent = v
         else:
             pos = wire.skip_field(buf, pos, wt)
-    if len(fspans) < _BATCH_MIN_FEATURES:
-        layer.features = [_parse_feature(buf[s:s + n]) for s, n in fspans]
-        return layer
-    from . import fastdecode
-
-    b = np.frombuffer(buf, dtype=np.uint8)
-    fstart = np.fromiter((s for s, _ in fspans), dtype=np.int64, count=len(fspans))
-    flen = np.fromiter((n for _, n in fspans), dtype=np.int64, count=len(fspans))
-    bf = fastdecode.parse_features_batch(b, fstart, flen)
-    toff = np.cumsum(bf.tag_cnt) - bf.tag_cnt
-    goff = np.cumsum(bf.geom_cnt) - bf.geom_cnt
-    feats: list[RawFeature] = []
-    for i, (s, n) in enumerate(fspans):
-        if bf.irregular[i]:
-            feats.append(_parse_feature(buf[s:s + n]))
-        else:
-            feats.append(
-                RawFeature(
-                    id=int(bf.ids[i]),
-                    tags=bf.tag_vals[toff[i]:toff[i] + bf.tag_cnt[i]],
-                    type=int(bf.types[i]),
-                    geometry=bf.geom_vals[goff[i]:goff[i] + bf.geom_cnt[i]],
-                )
-            )
-    layer.features = feats
-    return layer
+    return layer, fspans
 
 
 def _peek_layer_name(buf) -> str | None:
@@ -311,7 +294,7 @@ def parse_raw_tile(data: bytes, layers=None) -> list[RawLayer]:
     pos = 0
     end = len(buf)
     want = None if layers is None else set(layers)
-    out: list[RawLayer] = []
+    walked: list[tuple[RawLayer, list[tuple[int, int]]]] = []
     while pos < end:
         fnum, wt, pos = wire.read_tag(buf, pos)
         if fnum == 3 and wt == wire.WT_LEN:
@@ -325,11 +308,61 @@ def parse_raw_tile(data: bytes, layers=None) -> list[RawLayer]:
             # full path (RawLayer default name) — treat a None peek the same
             # so selective and full decode agree on malformed input
             if want is None or (_peek_layer_name(buf[pos:pos + n]) or "") in want:
-                out.append(_parse_layer(buf[pos:pos + n]))
+                walked.append(_walk_layer(buf, pos, pos + n))
             pos += n
         else:
             pos = wire.skip_field(buf, pos, wt)
-    return out
+
+    total = sum(len(sp) for _, sp in walked)
+    if total < _BATCH_MIN_FEATURES:
+        for layer, fspans in walked:
+            layer.features = [_parse_feature(buf[s:s + n]) for s, n in fspans]
+        return [layer for layer, _ in walked]
+
+    # ONE whole-tile batch wire parse over every feature of every layer —
+    # per-layer calls would pay the fixed vectorization setup 15x on a
+    # roads-shaped tile
+    from . import fastdecode
+
+    b = np.frombuffer(buf, dtype=np.uint8)
+    all_spans = [sp for _, fspans in walked for sp in fspans]
+    fstart = np.fromiter((s for s, _ in all_spans), dtype=np.int64, count=total)
+    flen = np.fromiter((n for _, n in all_spans), dtype=np.int64, count=total)
+    bf = fastdecode.parse_features_batch(b, fstart, flen)
+    toff = np.cumsum(bf.tag_cnt) - bf.tag_cnt
+    goff = np.cumsum(bf.geom_cnt) - bf.geom_cnt
+    base = 0
+    for layer, fspans in walked:
+        nf = len(fspans)
+        feats: list[RawFeature] = []
+        for j, (s, n) in enumerate(fspans):
+            i = base + j
+            if bf.irregular[i]:
+                feats.append(_parse_feature(buf[s:s + n]))
+            else:
+                feats.append(
+                    RawFeature(
+                        id=int(bf.ids[i]),
+                        tags=bf.tag_vals[toff[i]:toff[i] + bf.tag_cnt[i]],
+                        type=int(bf.types[i]),
+                        geometry=bf.geom_vals[goff[i]:goff[i] + bf.geom_cnt[i]],
+                    )
+                )
+        layer.features = feats
+        if nf and not bf.irregular[base:base + nf].any():
+            lo, hi = base, base + nf
+            g0 = goff[lo]
+            g1 = goff[hi - 1] + bf.geom_cnt[hi - 1]
+            t0 = toff[lo]
+            t1 = toff[hi - 1] + bf.tag_cnt[hi - 1]
+            layer.batch = fastdecode.BatchFeatures(
+                bf.ids[lo:hi], bf.types[lo:hi],
+                bf.tag_vals[t0:t1], bf.tag_cnt[lo:hi],
+                bf.geom_vals[g0:g1], bf.geom_cnt[lo:hi],
+                bf.irregular[lo:hi],
+            )
+        base += nf
+    return [layer for layer, _ in walked]
 
 
 # ---------------- raw -> canonical (fromProtobuf, Internal.hs:96-112) ----------------
@@ -345,18 +378,29 @@ def layer_from_raw(raw: RawLayer) -> Layer:
         raise ValueError("VectorTile.features: `[RawFeature]` empty")
     n = len(raw.features)
     geoms = None
-    types = np.fromiter((rf.type for rf in raw.features), dtype=np.int64, count=n)
-    cnt = np.fromiter((rf.geometry.size for rf in raw.features), dtype=np.int64, count=n)
+    if raw.batch is not None:
+        # the wire parser's columnar arrays are authoritative when no
+        # feature was irregular — skip re-deriving them from the slices
+        types = raw.batch.types
+        cnt = raw.batch.geom_cnt
+    else:
+        types = np.fromiter((rf.type for rf in raw.features), dtype=np.int64, count=n)
+        cnt = np.fromiter((rf.geometry.size for rf in raw.features), dtype=np.int64, count=n)
     # batch when there are many features OR few-but-huge ones (a single
     # multipolygon with hundreds of rings gains as much as many points)
     if n >= _BATCH_MIN_FEATURES or int(cnt.sum()) >= 256:
         from . import fastdecode
 
-        streams = (
-            np.concatenate([np.asarray(rf.geometry, dtype=np.uint32) for rf in raw.features])
-            if int(cnt.sum())
-            else np.zeros(0, dtype=np.uint32)
-        )
+        if raw.batch is not None:
+            streams = raw.batch.geom_vals
+        else:
+            streams = (
+                np.concatenate(
+                    [np.asarray(rf.geometry, dtype=np.uint32) for rf in raw.features]
+                )
+                if int(cnt.sum())
+                else np.zeros(0, dtype=np.uint32)
+            )
         # decodes every feature's geometry in a fixed number of vectorized
         # rounds; malformed/unknown-type lanes delegate to the scalar twin
         # in feature order, so the first bad feature raises identically

@@ -767,12 +767,15 @@ def decode_tiles(tiles: DataFrame, layers: list[str] | None = None) -> DataFrame
                     if not rl.features:
                         raise ValueError("VectorTile.features: `[RawFeature]` empty")
                     nf = len(rl.features)
-                    types = np.fromiter((rf.type for rf in rl.features), np.int64, count=nf)
-                    cnt = np.fromiter((rf.geometry.size for rf in rl.features), np.int64, count=nf)
-                    streams = (
-                        np.concatenate([np.asarray(rf.geometry, np.uint32) for rf in rl.features])
-                        if int(cnt.sum()) else np.zeros(0, np.uint32)
-                    )
+                    if rl.batch is not None:
+                        types, cnt, streams = rl.batch.types, rl.batch.geom_cnt, rl.batch.geom_vals
+                    else:
+                        types = np.fromiter((rf.type for rf in rl.features), np.int64, count=nf)
+                        cnt = np.fromiter((rf.geometry.size for rf in rl.features), np.int64, count=nf)
+                        streams = (
+                            np.concatenate([np.asarray(rf.geometry, np.uint32) for rf in rl.features])
+                            if int(cnt.sum()) else np.zeros(0, np.uint32)
+                        )
                     canon = fastdecode.canonical_stream_mask(types, streams, cnt)
                     offs = np.cumsum(cnt) - cnt
                     # points first, then lines, then polygons (stable) —
