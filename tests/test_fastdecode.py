@@ -23,7 +23,7 @@ def scalar_decode(data, layers=None):
     old_min = codec._BATCH_MIN_FEATURES
     old_ag = fastdecode.assemble_geoms
 
-    def scalar_geoms(types, vals, cnt):
+    def scalar_geoms(types, vals, cnt, defer_fallback=False):
         offs = np.cumsum(cnt) - cnt
         return [
             geometry.geom_from_stream(int(types[i]), vals[offs[i]:offs[i] + cnt[i]])
@@ -289,21 +289,30 @@ def test_selective_decode_still_matches_batch():
 
 
 def test_decode_speed_budget():
-    """Regression fence for the round-4 perf fix: full roads.mvt decode
-    must stay well under the old 63 ms (reference baseline: 9.98 ms;
-    target <=2x). Generous bound for noisy CI hosts."""
+    """Regression fence for the round-4 perf fix, host-independent: the
+    batch path must beat the forced-scalar path by a wide margin on the
+    same machine in the same run (measured ~6x on a quiet host; the old
+    scalar-only path was 63 ms vs the reference's 9.98 ms baseline).
+    A wall-clock bound would flake on loaded CI hosts."""
     import time
 
     with open("/root/reference/test/roads.mvt", "rb") as f:
         data = f.read()
-    codec.decode_tile(data)
-    best = min(
-        (lambda t0: (codec.decode_tile(data), time.perf_counter() - t0)[1])(time.perf_counter())
-        for _ in range(5)
+
+    def best_of(fn, k=5):
+        fn()
+        out = []
+        for _ in range(k):
+            t0 = time.perf_counter()
+            fn()
+            out.append(time.perf_counter() - t0)
+        return min(out)
+
+    t_batch = best_of(lambda: codec.decode_tile(data))
+    t_scalar = best_of(lambda: scalar_decode(data))
+    assert t_batch < t_scalar / 2.5, (
+        f"batch decode regressed: {t_batch*1000:.1f} ms vs scalar {t_scalar*1000:.1f} ms"
     )
-    # measured ~10 ms on a quiet host (reference baseline 9.98 ms);
-    # generous bound for noisy CI windows
-    assert best < 0.030, f"roads.mvt decode regressed: {best*1000:.1f} ms"
 
 
 def test_decode_tiles_noncanonical_fallback(spark):
@@ -369,3 +378,71 @@ def test_canonical_mask_on_canonical_and_mutated_streams():
             if m:
                 rt = geometry.geom_to_stream(gt, geometry.geom_from_stream(gt, v))
                 np.testing.assert_array_equal(rt.astype(np.uint32), v)
+
+
+def test_varint_torn_at_layer_boundary_raises():
+    """A layer ending with a bare varint-field tag (no value) must raise
+    like the old slice-based walk — never silently consume the next
+    layer's framing bytes (round-4 review finding)."""
+    inner_a = wire.len_delimited(1, b"a") + wire.tag_bytes(15, wire.WT_VARINT)
+    layer_b = _tile_with_features([(1, [], 1, np.array([9, 2, 2], dtype=np.uint64))], name="b")
+    data = bytes(wire.len_delimited(3, bytes(inner_a))) + layer_b
+    with pytest.raises((IndexError, ValueError)):
+        codec.decode_tile(data)
+
+
+def test_meta_error_precedes_later_geometry_error():
+    """Feature 0 with an out-of-range tag index and feature 5 with a
+    malformed stream: the scalar path raises feature 0's meta IndexError
+    first — the batch path must too (deferred geometry fallback)."""
+    good = np.array([1 | (1 << 3), 2, 2], dtype=np.uint64)
+    bad_geom = np.array([0 | (1 << 3), 2, 2], dtype=np.uint64)
+    feats = [(0, [99, 0], 1, good)] + [(i, [], 1, good) for i in range(1, 5)] \
+        + [(5, [], 1, bad_geom)] + [(i, [], 1, good) for i in range(6, 10)]
+    data = _tile_with_features(feats, keys=["k"], values=[1])
+    for fn in (codec.decode_tile, scalar_decode):
+        with pytest.raises(IndexError):
+            fn(data)
+
+
+def test_huge_type_varint_matches_scalar():
+    """A type varint >= 2^63 must parse to the same (huge positive) value
+    on both wire paths, and both decode paths must raise UNKNOWN."""
+    s = np.array([1 | (1 << 3), 2, 2], dtype=np.uint64)
+    feats = [(i, [], 1, s) for i in range(9)]
+    data = bytearray(_tile_with_features(feats))
+    # splice one more feature whose type field is 2^63
+    f = (wire.tag_bytes(1, 0) + wire.encode_varint(99)
+         + wire.tag_bytes(3, 0) + wire.encode_varint(1 << 63)
+         + wire.packed_uint32(4, s))
+    inner = wire.len_delimited(1, b"layer") + wire.len_delimited(2, f)
+    for n_extra in range(9):
+        inner += wire.len_delimited(2, f)
+    data2 = bytes(wire.len_delimited(3, bytes(inner)))
+    raw_b = codec.parse_raw_tile(data2)[0]
+    old = codec._BATCH_MIN_FEATURES
+    codec._BATCH_MIN_FEATURES = 10**9
+    try:
+        raw_s = codec.parse_raw_tile(data2)[0]
+    finally:
+        codec._BATCH_MIN_FEATURES = old
+    assert raw_b.features[0].type == raw_s.features[0].type == (1 << 63)
+    with pytest.raises((ValueError, OverflowError)):
+        codec.decode_tile(data2)
+
+
+def test_decode_tiles_duplicate_layer_names(spark):
+    """Two wire layers with the same name: decode_tile keeps the LAST —
+    decode_tiles must emit exactly that layer's rows, not both."""
+    s = np.array([1 | (1 << 3), 2, 2], dtype=np.uint64)
+    one = _tile_with_features([(i, [], 1, s) for i in range(10)], name="dup")
+    two = _tile_with_features([(i, [], 1, s) for i in range(20, 23)], name="dup")
+    data = one + two  # two field-3 layer messages, same name
+    t = codec.decode_tile(data)
+    assert [f.feature_id for f in t["dup"].features] == [20, 21, 22]
+    from vectortiles_spark.operators import tiling
+
+    df = spark.createDataFrame([(1, 0, 0, bytearray(data))],
+                               "tile_z int, tile_x int, tile_y int, mvt binary")
+    out = tiling.decode_tiles(df).collect()
+    assert sorted(r.feature_id for r in out) == [20, 21, 22]

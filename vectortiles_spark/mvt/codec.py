@@ -226,6 +226,11 @@ def _walk_layer(buf: memoryview, pos: int, end: int) -> tuple[RawLayer, list[tup
     tags and lengths (the overwhelmingly common case) are read inline,
     multi-byte ones through wire.read_varint — identical values either
     way, and an out-of-bounds read raises IndexError like read_varint."""
+    # bound every read at the layer end (a zero-copy truncated view keeps
+    # offsets global): a varint torn at the layer boundary must raise
+    # IndexError like the old slice-based walk, never silently consume
+    # the NEXT layer's framing bytes
+    buf = buf[:end]
     layer = RawLayer()
     fspans: list[tuple[int, int]] = []
     while pos < end:
@@ -402,9 +407,11 @@ def layer_from_raw(raw: RawLayer) -> Layer:
                 else np.zeros(0, dtype=np.uint32)
             )
         # decodes every feature's geometry in a fixed number of vectorized
-        # rounds; malformed/unknown-type lanes delegate to the scalar twin
-        # in feature order, so the first bad feature raises identically
-        geoms = fastdecode.assemble_geoms(types, streams, cnt)
+        # rounds; malformed/unknown-type lanes come back as None and run
+        # the scalar twin AT THEIR TURN in the loop below, so the first
+        # bad feature raises identically even when an earlier feature's
+        # metadata (not geometry) is the malformed part
+        geoms = fastdecode.assemble_geoms(types, streams, cnt, defer_fallback=True)
     feats: list[Feature] = []
     for i, rf in enumerate(raw.features):
         if rf.type not in (GEOM_POINT, GEOM_LINESTRING, GEOM_POLYGON):
@@ -412,7 +419,11 @@ def layer_from_raw(raw: RawLayer) -> Layer:
         tags = np.asarray(rf.tags, dtype=np.int64)
         tags = tags[: (tags.size // 2) * 2].reshape(-1, 2)
         meta = {raw.keys[k]: raw.values[v] for k, v in tags.tolist()}
-        geom = geoms[i] if geoms is not None else geom_from_stream(rf.type, rf.geometry)
+        geom = (
+            geoms[i]
+            if geoms is not None and geoms[i] is not None
+            else geom_from_stream(rf.type, rf.geometry)
+        )
         feats.append(Feature(rf.id, meta, rf.type, geom))
     # points first, then linestrings, then polygons (Internal.hs:304-308
     # splits by type; stable within type)

@@ -94,7 +94,7 @@ class BatchFeatures:
 
     def __init__(self, ids, types, tag_vals, tag_cnt, geom_vals, geom_cnt, irregular):
         self.ids = ids            # uint64 (n,)
-        self.types = types        # int64 (n,)
+        self.types = types        # uint64 (n,)
         self.tag_vals = tag_vals  # uint32 concatenated packed tag values
         self.tag_cnt = tag_cnt    # int64 (n,) varints per feature
         self.geom_vals = geom_vals  # uint32 concatenated command streams
@@ -161,7 +161,9 @@ def parse_features_batch(b: np.ndarray, fstart: np.ndarray, flen: np.ndarray) ->
     pos = fstart.astype(np.int64).copy()
     end = (fstart + flen).astype(np.int64)
     fid = np.zeros(n, dtype=np.uint64)
-    ftype = np.zeros(n, dtype=np.int64)
+    # uint64 like the wire value: a (nonsense but legal) type varint >= 2^63
+    # must stay positive so the batch RawFeature equals the scalar one
+    ftype = np.zeros(n, dtype=np.uint64)
     tag_s = np.full(n, -1, dtype=np.int64)
     tag_l = np.zeros(n, dtype=np.int64)
     geo_s = np.full(n, -1, dtype=np.int64)
@@ -198,7 +200,7 @@ def parse_features_batch(b: np.ndarray, fstart: np.ndarray, flen: np.ndarray) ->
             idm = f == 1
             fid[lanes[idm]] = vals[idm]
             tym = f == 3
-            ftype[lanes[tym]] = vals[tym].astype(np.int64)
+            ftype[lanes[tym]] = vals[tym]
 
         m = wt == wire.WT_LEN
         if m.any():
@@ -376,12 +378,21 @@ def _feat_mask(n: int, feats: np.ndarray) -> np.ndarray:
     return lut
 
 
-def assemble_geoms(types: np.ndarray, vals: np.ndarray, cnt: np.ndarray) -> list:
+def assemble_geoms(
+    types: np.ndarray, vals: np.ndarray, cnt: np.ndarray, defer_fallback: bool = False
+) -> list:
     """Decode every feature's geometry at once. Returns a list of geometry
     objects in geometry.py's representations (same objects geom_from_stream
     yields). Features whose streams deviate from the canonical shapes the
     batch path models are delegated to scalar geom_from_stream, which
     raises (or handles) exactly like the per-feature path.
+
+    ``defer_fallback=True`` leaves deviating lanes as ``None`` instead of
+    running the scalar twin here, so a caller that interleaves OTHER
+    per-feature work (metadata decoding, which can raise too) can invoke
+    the scalar twin at each feature's turn and preserve the sequential
+    path's exact first-error ordering. ``None`` is unambiguous — no real
+    geometry decodes to it (an empty multiline/polygon is ``[]``).
     """
     n = types.size
     out: list = [None] * n
@@ -554,8 +565,9 @@ def assemble_geoms(types: np.ndarray, vals: np.ndarray, cnt: np.ndarray) -> list
     fallback |= empty & (types == GEOM_POINT)
 
     # scalar twin for every deviating lane, in feature order so the first
-    # malformed feature raises exactly like the sequential path
-    if fallback.any():
+    # malformed feature raises exactly like the sequential path (unless the
+    # caller asked to run the twin itself at each feature's turn)
+    if fallback.any() and not defer_fallback:
         offs = np.cumsum(cnt) - cnt
         for fi in np.flatnonzero(fallback):
             out[fi] = geom_from_stream(int(types[fi]), vals[offs[fi]:offs[fi] + cnt[fi]])

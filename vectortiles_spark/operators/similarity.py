@@ -229,7 +229,9 @@ def ivf_train(
             nrm = float(np.linalg.norm(mean))
             if nrm > 0:
                 unit_mean = mean / nrm
-                new[cell] = np.round(unit_mean, round_dp) if round_dp else unit_mean
+                new[cell] = (
+                    np.round(unit_mean, round_dp) if round_dp is not None else unit_mean
+                )
         unit = new
     return [(ids[i], [float(v) for v in unit[i]]) for i in range(len(ids))]
 

@@ -763,7 +763,14 @@ def decode_tiles(tiles: DataFrame, layers: list[str] | None = None) -> DataFrame
                 b["tile_z"].to_pylist(), b["tile_x"].to_pylist(),
                 b["tile_y"].to_pylist(), b["mvt"].to_pylist(),
             ):
-                for rl in codec.parse_raw_tile(raw, layers=layers):
+                raws = codec.parse_raw_tile(raw, layers=layers)
+                # duplicate layer names: decode_tile's dict keeps the LAST
+                # message per name — emit rows only for that one, but still
+                # validate the shadowed layers (decode_tile decodes them too,
+                # so malformed input must raise identically)
+                last_of_name = {rl.name: rl for rl in raws}
+                for rl in raws:
+                    emit = last_of_name[rl.name] is rl
                     if not rl.features:
                         raise ValueError("VectorTile.features: `[RawFeature]` empty")
                     nf = len(rl.features)
@@ -785,6 +792,12 @@ def decode_tiles(tiles: DataFrame, layers: list[str] | None = None) -> DataFrame
                         rf = rl.features[i]
                         if rf.type not in (1, 2, 3):
                             raise ValueError("Geometry type of UNKNOWN given.")
+                        if not emit:
+                            # shadowed duplicate-name layer: validate the
+                            # geometry exactly like decode_tile, drop the row
+                            if not canon[i]:
+                                geom_from_stream(rf.type, rf.geometry)
+                            continue
                         rows["tile_z"].append(z)
                         rows["tile_x"].append(x)
                         rows["tile_y"].append(y)

@@ -1138,6 +1138,12 @@ def q_mvt_roundtrip_geoms(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = _lattice_geom_rows(spark, sf_dir)
     feats = tiling.geom_features(rows)
     decoded = tiling.decode_tiles(tiling.encode_tiles(feats))
+    return _per_tile_stream_sums(decoded)
+
+
+def _per_tile_stream_sums(decoded: DataFrame) -> DataFrame:
+    """Shared closed-form-checkable aggregate for the decode round-trips:
+    per (tile, layer) feature count, id sum, command-int count and sum."""
     return (
         decoded.groupBy("tile_x", "tile_y", "layer")
         .agg(
@@ -1230,18 +1236,7 @@ def q_tileset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(root, ignore_errors=True)
     write_tileset(tiles, root)
     decoded = tiling.decode_tiles(read_tileset(spark, root, z=4), layers=["polys"])
-    return (
-        decoded.groupBy("tile_x", "tile_y", "layer")
-        .agg(
-            F.count("*").alias("n_features"),
-            F.sum("feature_id").alias("sum_ids"),
-            F.sum(F.size("geom_cmds")).cast("bigint").alias("n_cmd_ints"),
-            F.sum(
-                F.aggregate("geom_cmds", F.lit(0).cast("bigint"), lambda a, x: a + x)
-            ).alias("sum_cmds"),
-        )
-        .orderBy("tile_x", "tile_y", "layer")
-    )
+    return _per_tile_stream_sums(decoded)
 
 
 Q_TILESET_ROUNDTRIP_SQL = """
