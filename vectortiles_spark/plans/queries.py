@@ -1239,6 +1239,31 @@ def q_tileset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _per_tile_stream_sums(decoded)
 
 
+def q_mbtiles_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MBTiles distribution circle under the value oracle: lattice
+    corpus -> encode_tiles -> write_mbtiles (single-file SQLite container,
+    executor part-dbs + driver ATTACH merge, gzip tile_data, TMS row
+    flip) -> read_mbtiles (concurrent rowid-range scans) -> decode_tiles,
+    checked against the SAME closed-form stream sums as
+    q_mvt_roundtrip_geoms — any defect in the row flip, the gzip
+    round-trip, the merge, or the range fan-out shifts a per-tile sum.
+    (sources/mbtiles.py; spec github.com/mapbox/mbtiles-spec)"""
+    import tempfile
+
+    from vectortiles_spark.operators import tiling
+    from vectortiles_spark.sources.mbtiles import read_mbtiles, write_mbtiles
+
+    rows = _lattice_geom_rows(spark, sf_dir)
+    tiles = tiling.encode_tiles(tiling.geom_features(rows))
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = os.path.join(tempfile.gettempdir(), f"q_mbtiles_roundtrip_{tag}.mbtiles")
+    if os.path.exists(path):
+        os.remove(path)
+    write_mbtiles(tiles, path, metadata={"minzoom": 4, "maxzoom": 4})
+    decoded = tiling.decode_tiles(read_mbtiles(spark, path, z=4))
+    return _per_tile_stream_sums(decoded)
+
+
 Q_TILESET_ROUNDTRIP_SQL = """
 WITH derived AS (
   SELECT c_custkey AS k,
