@@ -141,3 +141,41 @@ def test_tfidf_shuffle_budget(spark):
     audit.assert_no_cartesian(df)
     audit.assert_broadcast_join(df)
     assert audit.count_shuffles(df) <= 8
+
+
+def test_ingest_paths_shuffle_free(spark, tmp_path):
+    """Every tile INGEST source composes scan -> mapInArrow decode with
+    ZERO shuffles: tileset directory, MBTiles rowid ranges, and the
+    decode itself — at 10^12 tiles the ingest cost must be one pass."""
+    from vectortiles_spark.sources.mbtiles import read_mbtiles, write_mbtiles
+    from vectortiles_spark.sources.tileset import read_tileset, write_tileset
+
+    cust = spark.read.parquet(f"{SF}/customer.parquet")
+    pts = cust.select("c_custkey", lon_of(F.col("c_custkey")), lat_of(F.col("c_custkey")))
+    tiles = tiling.encode_tiles(tiling.point_features(pts, z=4, layer="c"))
+
+    root = str(tmp_path / "ts")
+    write_tileset(tiles, root)
+    assert audit.count_shuffles(tiling.decode_tiles(read_tileset(spark, root, z=4))) == 0
+
+    mb = str(tmp_path / "t.mbtiles")
+    write_mbtiles(tiles, mb)
+    # one repartition distributes the (tiny) range table; the big tile
+    # scan + decode itself adds none
+    assert audit.count_shuffles(tiling.decode_tiles(read_mbtiles(spark, mb))) <= 1
+
+
+def test_salted_cap_exchanges(spark):
+    """The two-phase cap's first exchange must include the salt (that is
+    what bounds per-task input on a metro tile); the exact re-rank then
+    exchanges on the bare tile key."""
+    import re
+
+    cust = spark.read.parquet(f"{SF}/customer.parquet")
+    pts = cust.select("c_custkey", lon_of(F.col("c_custkey")), lat_of(F.col("c_custkey")))
+    feats = tiling.point_features(pts, z=4, layer="c")
+    capped = tiling.cap_features_per_tile(feats, 100, salt_buckets=8)
+    plan = audit.plan_of(capped)
+    parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert any("__salt" in p for p in parts), parts
+    assert any("__salt" not in p and "tile_x" in p for p in parts), parts
