@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mvt_roundtrip_geoms": Q.q_mvt_roundtrip_geoms,
         "q_tileset_roundtrip": Q.q_tileset_roundtrip,
         "q_mbtiles_roundtrip": Q.q_mbtiles_roundtrip,
+        "q_vector_pyramid": Q.q_vector_pyramid,
         "q_ivf_topk": QT.q_ivf_topk,
         "q_raster_contours": Q.q_raster_contours,
         "q_vector_pipeline": Q.q_vector_pipeline,
@@ -143,6 +144,7 @@ def oracle_sql() -> dict[str, str]:
         "q_mvt_roundtrip_geoms": Q.Q_MVT_ROUNDTRIP_GEOMS_SQL,
         "q_tileset_roundtrip": Q.Q_TILESET_ROUNDTRIP_SQL,
         "q_mbtiles_roundtrip": Q.Q_MVT_ROUNDTRIP_GEOMS_SQL,
+        "q_vector_pyramid": Q.Q_VECTOR_PYRAMID_SQL,
         "q_mvt_tiles": Q.Q_MVT_TILES_SQL,
         "q_ivf_topk": QT.Q_IVF_TOPK_SQL,
         "q_raster_contours": Q.Q_RASTER_CONTOURS_SQL,

@@ -251,3 +251,45 @@ def test_salted_cap_identical_to_single_phase(spark):
     plan = salted._jdf.queryExecution().executedPlan().toString()
     exchanges = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
     assert any("__salt" in e for e in exchanges), exchanges
+
+
+def test_build_pyramid_all_zooms_roundtrip(spark):
+    """The multi-zoom overview builder: every requested zoom present, the
+    deepest zoom carries the most tiles, and each blob roundtrip-decodes;
+    per-zoom tolerance overrides apply."""
+    from vectortiles_spark.mvt import codec as mvt_codec
+
+    k = F.col("id") + 1
+    lon = lambda px: px.cast("double") * 360.0 / 65536.0 - 180.0
+    lat = lambda py: F.lit(85.0) - py.cast("double") * 170.0 / 65536.0
+    gx = 4096 * (k % 16) + 1024 + 8 * ((k * 37) % 64)
+    gy = 4096 * ((k / 16).cast("long") % 16) + 1024 + 8 * ((k * 53) % 64)
+    pt = lambda px, py: F.array(lon(px), lat(py))
+    line = F.array(pt(gx, gy), pt(gx + 32, gy), pt(gx + 32, gy + 32))
+    df = spark.range(300).select(
+        F.lit("l").alias("layer"), F.lit(2).cast("int").alias("geom_type"),
+        k.alias("feature_id"), F.array(F.array(line)).alias("geom"),
+    )
+    tiles = tiling.build_pyramid(
+        df, zooms=[2, 3, 4], tolerance=1.0,
+        tolerance_by_zoom={2: 64.0}, projection="equirect",
+    ).collect()
+    by_z = {}
+    for r in tiles:
+        by_z.setdefault(r.tile_z, []).append(r)
+    assert set(by_z) == {2, 3, 4}
+    assert len(by_z[4]) >= len(by_z[3]) >= len(by_z[2])
+    total = {z: 0 for z in by_z}
+    corner_kept = {z: 0 for z in by_z}
+    for r in tiles:
+        t = mvt_codec.decode_tile(bytes(r.mvt))
+        for layer in t.values():
+            for f in layer.features:
+                total[r.tile_z] += 1
+                if max(len(p) for p in f.geom) == 3:
+                    corner_kept[r.tile_z] += 1
+    assert total == {2: 300, 3: 300, 4: 300}
+    # d=32 at z=4 -> deviation 22.6 px: kept at z=3/4 under tol=1, and the
+    # z=2 override (tol=64) provably drops every corner
+    assert corner_kept[4] == 300 and corner_kept[3] == 300
+    assert corner_kept[2] == 0

@@ -924,3 +924,40 @@ def tile_pyramid(
         F.expr(f"shiftright(tile_x, {leaf_z} - z)").alias("tile_x"),
         F.expr(f"shiftright(tile_y, {leaf_z} - z)").alias("tile_y"),
     ).agg(*[F.sum(c).alias(c) for c in sum_cols])
+
+
+def build_pyramid(
+    df: DataFrame,
+    zooms,
+    tolerance: float = 1.0,
+    tolerance_by_zoom: dict | None = None,
+    projection: str = "webmercator",
+    extent: int = codec.DEFAULT_EXTENT,
+    buffer_px: int = 0,
+    max_per_tile: int | None = None,
+    meta: dict | None = None,
+) -> DataFrame:
+    """Multi-zoom VECTOR tileset builder (the tippecanoe-shaped overview
+    loop, Spark-first): world features -> clip to EVERY requested zoom in
+    one pass -> per-zoom Douglas-Peucker generalization -> encode, one MVT
+    blob per (z, x, y) across all zooms.
+
+    Plan shape: clip_features(z=[...]) emits the whole pyramid from ONE
+    source scan and ONE projection (lower-zoom pixels are the top zoom's
+    halved — exact in float64), simplify/geom_features stay shuffle-free
+    mapInArrow passes, and a SINGLE encode shuffle covers all zooms —
+    Z separate per-zoom jobs would rescan and reshuffle Z times.
+    ``tolerance`` is in tile px, so one value generalizes progressively
+    harder at lower zooms; ``tolerance_by_zoom`` overrides per zoom.
+    Feed ``write_tileset``/``write_mbtiles`` for the on-disk pyramid.
+    """
+    from .clip import clip_features
+    from .simplify import simplify_geoms
+
+    clipped = clip_features(
+        df, z=list(zooms), extent=extent, buffer_px=buffer_px, projection=projection
+    )
+    simp = simplify_geoms(clipped, tolerance, tolerance_by_zoom=tolerance_by_zoom)
+    return encode_tiles(
+        geom_features(simp, meta=meta), max_per_tile=max_per_tile, extent=extent
+    )

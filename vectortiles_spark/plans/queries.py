@@ -1239,6 +1239,96 @@ def q_tileset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _per_tile_stream_sums(decoded)
 
 
+def q_vector_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multi-zoom OVERVIEW builder under the full value oracle:
+    build_pyramid clips every feature to zooms 1..4 in ONE pass (lower
+    zooms are exact halvings of the z=4 pixel lattice), Douglas-Peucker
+    generalizes per zoom, and a single encode shuffle emits the whole
+    pyramid — the tippecanoe-shaped loop, Spark-first.
+
+    Closed-form construction: each customer key builds a right-angle
+    L (legs d = 8<<(k%4) px at z=4) strictly interior to one z=4 tile,
+    with every coordinate divisible by 8 so zoom halving is exact and the
+    feature never touches a tile boundary at ANY requested zoom (no
+    clip cuts — the multi-zoom assignment itself is the subject). DP at
+    tolerance 1.0 keeps the corner iff its deviation d_z/sqrt(2) exceeds
+    1 px, i.e. iff the integer d_z = d >> (4-z) is >= 2 — at (z=1, d=8)
+    the corner provably vanishes (deviation 0.707) and everywhere else
+    provably survives (>= 1.414), margins far beyond float noise. Per
+    feature the expected stream is then closed-form: 8 ints summing to
+    27 + 2*lx + 2*ly + 4*d_z with the corner, 6 ints summing to
+    19 + 2*lx + 2*ly + 4*d_z without."""
+    from vectortiles_spark.operators import tiling
+
+    (cust,) = load(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    i64 = lambda c: c.cast("long")
+    tx = k % 16
+    ty = i64(k / 16) % 16
+    rx = 1024 + 8 * ((k * 37) % 64)
+    ry = 1024 + 8 * ((k * 53) % 64)
+    d = (
+        F.when(k % 4 == 0, 8).when(k % 4 == 1, 16).when(k % 4 == 2, 32).otherwise(64)
+    ).cast("long")
+    gx0 = 4096 * tx + rx
+    gy0 = 4096 * ty + ry
+    lon = lambda px: px.cast("double") * 360.0 / 65536.0 - 180.0
+    lat = lambda py: F.lit(85.0) - py.cast("double") * 170.0 / 65536.0
+    pt = lambda px, py: F.array(lon(px), lat(py))
+    line = F.array(pt(gx0, gy0), pt(gx0 + d, gy0), pt(gx0 + d, gy0 + d))
+    df = cust.select(
+        F.lit("lines").alias("layer"),
+        F.lit(2).cast("int").alias("geom_type"),
+        k.alias("feature_id"),
+        F.array(F.array(line)).alias("geom"),
+    )
+    tiles = tiling.build_pyramid(df, zooms=[1, 2, 3, 4], tolerance=1.0, projection="equirect")
+    decoded = tiling.decode_tiles(tiles)
+    return (
+        decoded.groupBy("tile_z", "tile_x", "tile_y")
+        .agg(
+            F.count("*").alias("n_features"),
+            F.sum("feature_id").alias("sum_ids"),
+            F.sum(F.size("geom_cmds")).cast("bigint").alias("n_cmd_ints"),
+            F.sum(
+                F.aggregate("geom_cmds", F.lit(0).cast("bigint"), lambda a, x: a + x)
+            ).alias("sum_cmds"),
+        )
+        .orderBy("tile_z", "tile_x", "tile_y")
+    )
+
+
+Q_VECTOR_PYRAMID_SQL = """
+WITH d AS (
+  SELECT c_custkey AS k,
+         c_custkey % 16 AS tx, (c_custkey // 16) % 16 AS ty,
+         1024 + 8 * ((c_custkey * 37) % 64) AS rx,
+         1024 + 8 * ((c_custkey * 53) % 64) AS ry,
+         8 * (1 << (c_custkey % 4)) AS dd
+  FROM customer
+), z AS (
+  SELECT unnest(generate_series(1, 4)) AS zoom
+), per AS (
+  SELECT k, zoom,
+         (4096 * tx + rx) // (1 << (4 - zoom)) AS gx,
+         (4096 * ty + ry) // (1 << (4 - zoom)) AS gy,
+         dd // (1 << (4 - zoom)) AS dz
+  FROM d CROSS JOIN z
+), e AS (
+  SELECT k, zoom, gx // 4096 AS tile_x, gy // 4096 AS tile_y,
+         gx % 4096 AS lx, gy % 4096 AS ly, dz,
+         dz >= 2 AS kept
+  FROM per
+)
+SELECT zoom::INT AS tile_z, tile_x::INT AS tile_x, tile_y::INT AS tile_y,
+       count(*) AS n_features, sum(k)::BIGINT AS sum_ids,
+       sum(CASE WHEN kept THEN 8 ELSE 6 END)::BIGINT AS n_cmd_ints,
+       sum((CASE WHEN kept THEN 27 ELSE 19 END) + 2 * lx + 2 * ly + 4 * dz)::BIGINT AS sum_cmds
+FROM e GROUP BY 1, 2, 3
+ORDER BY tile_z, tile_x, tile_y
+"""
+
+
 def q_mbtiles_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The MBTiles distribution circle under the value oracle: lattice
     corpus -> encode_tiles -> write_mbtiles (single-file SQLite container,
