@@ -2,8 +2,11 @@
 
 ``entry`` runs the flagship pipeline (point features -> groupBy(z,x,y) ->
 applyInArrow MVT encode) on sf0.001. ``queries``/``oracle_sql`` pair every
-implemented operator family from SURVEY.md §2 with a DuckDB-checkable oracle;
-genuinely non-SQL ops (MVT byte emission, minhash LSH) are rows-only.
+implemented operator family from SURVEY.md §2 with a DuckDB-checkable oracle
+(49 queries, 48 value-checked — including byte-exact MVT blob sizes, the
+tileset/MBTiles ingest circles, the multi-zoom pyramid builder, and
+trained-IVF ANN); the one rows-only entry is the image codec (no image
+libraries exist in DuckDB to replay it).
 """
 
 from __future__ import annotations
