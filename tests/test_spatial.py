@@ -200,3 +200,38 @@ def test_knn_join_ring_wraps_whole_grid(spark):
     for r in got:
         got_by_q.setdefault(r.query_id, []).append((r.rank, r.cand_id))
     assert {q: [c for _, c in sorted(v)] for q, v in got_by_q.items()} == expected
+
+
+def test_pip_join_renamed_coords_and_preserved_tiles(spark):
+    """pip_join must honor lon/lat parameter names in the exact refinement
+    (review finding: the ray-cast hardcoded 'lon'/'lat') and must not
+    clobber caller columns named tile_x/tile_y."""
+    polys = spark.createDataFrame(
+        [("sq", [[[0.0, 0.0], [10.0, 0.0], [10.0, 10.0], [0.0, 10.0], [0.0, 0.0]]])],
+        "polygon_id string, rings array<array<array<double>>>",
+    )
+    pts = spark.createDataFrame(
+        [(1, 5.0, 5.0, 77, 88), (2, 50.0, 5.0, 77, 88)],
+        "pid long, lng double, latitude double, tile_x int, tile_y int",
+    )
+    out = pip_join(pts, polys, z=4, lon="lng", lat="latitude").collect()
+    assert [r.pid for r in out] == [1]
+    # caller's own tile columns survive untouched
+    assert out[0].tile_x == 77 and out[0].tile_y == 88
+
+
+def test_raster_skips_corrupt_rows(spark):
+    """One null/short px blob must drop that raster, not kill the task."""
+    from vectortiles_spark.operators.raster import raster_to_features  # noqa: PLC0415
+
+    good = bytes([255] * 16)
+    rows = [
+        (0, 0, 0, 4, 4, bytearray(good)),
+        (0, 0, 1, 4, 4, None),
+        (0, 0, 2, 4, 4, bytearray(b"\xff\xff")),  # shorter than w*h
+    ]
+    df = spark.createDataFrame(
+        rows, "tile_z int, tile_x int, tile_y int, w int, h int, px binary"
+    )
+    out = raster_to_features(df).collect()
+    assert {r.tile_y for r in out} == {0}

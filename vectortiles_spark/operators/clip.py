@@ -725,6 +725,22 @@ def clip_features(
                     tx_hi = min(n - 1, max(0, int(math.floor((x_max / scale + buffer_px) / extent))))
                     ty_lo = min(n - 1, max(0, int(math.floor((y_min / scale - buffer_px) / extent))))
                     ty_hi = min(n - 1, max(0, int(math.floor((y_max / scale + buffer_px) / extent))))
+                    if gt == GEOM_POLYGON:
+                        # strip closing duplicates ONCE per feature+zoom —
+                        # inside the tile loops this identical work would
+                        # repeat for every covered tile (hundreds for a
+                        # large polygon at high zoom)
+                        poly_open_parts = [
+                            [
+                                ring[:-1]
+                                if len(ring) > 1 and np.array_equal(ring[0], ring[-1])
+                                else ring
+                                for ring in part
+                                if len(ring)
+                            ]
+                            for part in zparts
+                            if len(part) and len(part[0])
+                        ]
                     for ty in range(ty_lo, ty_hi + 1):
                         for tx in range(tx_lo, tx_hi + 1):
                             x0, y0 = tx * extent - buffer_px, ty * extent - buffer_px
@@ -753,16 +769,7 @@ def clip_features(
                                         kept = np.rint(p[m] - (ox, oy)).astype(np.int64)
                                         out_parts.extend([[pt.tolist()]] for pt in kept)
                             elif gt == GEOM_POLYGON:
-                                for part in zparts:
-                                    if not len(part) or len(part[0]) == 0:
-                                        continue  # empty/null exterior: drop part
-                                    open_rings = [
-                                        ring[:-1]
-                                        if len(ring) > 1 and np.array_equal(ring[0], ring[-1])
-                                        else ring
-                                        for ring in part
-                                        if len(ring)
-                                    ]
+                                for open_rings in poly_open_parts:
                                     # exact multi-piece clip: disconnected
                                     # pieces become separate parts, holes
                                     # regroup by containment (see

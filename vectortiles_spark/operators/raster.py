@@ -63,8 +63,10 @@ def _boundary_edges(mask: np.ndarray) -> dict:
 
 def _chain_rings(edges: dict) -> list[np.ndarray]:
     """Chain directed edges into closed rings. At checkerboard junctions
-    (two outgoing edges) prefer the tightest left turn so diagonally
-    touching regions stay separate loops."""
+    (two outgoing edges) take the tightest RIGHT turn — with the top-left
+    origin and this module's edge directions that is the turn that keeps
+    hugging the current region, so diagonally touching regions stay
+    separate loops (verified on the 2x2 checkerboard in tests)."""
     rings = []
     while edges:
         start = next(iter(edges))
@@ -107,12 +109,15 @@ def mask_to_polygons(mask: np.ndarray, scale: int = 1) -> list[list[np.ndarray]]
     rings = _chain_rings(_boundary_edges(mask))
     if scale != 1:
         rings = [r * scale for r in rings]
-    exts = [(r, surveyor(r)) for r in rings if surveyor(r) > 0]
-    holes = [r for r in rings if surveyor(r) < 0]
+    areas = [(r, surveyor(r)) for r in rings]  # one shoelace pass per ring
+    exts = [(r, a) for r, a in areas if a > 0]
+    holes = [r for r, a in areas if a < 0]
     exts.sort(key=lambda t: t[1])  # smallest first -> innermost wins
     polys = [[r] for r, _ in exts]
     for h in holes:
-        # representative point just right of the first edge (inside the cavity)
+        # representative point just right of the first edge — i.e. inside
+        # the FILLED region the hole ring borders, which is what the
+        # containing-exterior test needs (the cavity itself is outside)
         a, b = h[0].astype(np.float64), h[1].astype(np.float64)
         mid = (a + b) / 2.0
         d = b - a
@@ -150,6 +155,10 @@ def raster_to_features(
                 "feature_id", "meta", "geom_cmds",
             )}
             for z, x, y, w, h, raw in zip(tz, txs, tys, ws, hs, pxs):
+                # corrupt input drops THIS raster, never the task: one bad
+                # object must not kill a planet-scale job (clip.py policy)
+                if raw is None or w is None or h is None or w <= 0 or h <= 0                         or len(raw) < w * h:
+                    continue
                 grid = np.frombuffer(raw, dtype=np.uint8, count=w * h).reshape(h, w)
                 mask = grid >= threshold
                 if not mask.any():

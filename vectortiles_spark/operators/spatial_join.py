@@ -11,14 +11,11 @@ edges at once) — never per row.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.tiles import tile_x, tile_y
 from ..mvt.geometry import points_in_ring
-
-RINGS_T = "array<array<array<double>>>"
 
 
 def polygons_with_tiles(polygons: DataFrame, z: int) -> DataFrame:
@@ -47,23 +44,30 @@ def polygons_with_tiles(polygons: DataFrame, z: int) -> DataFrame:
     )
 
 
-def _refine_pip(it):
-    """Exact even-odd ray-cast refinement, vectorized per polygon per batch."""
-    for pdf in it:
-        if len(pdf) == 0:
-            continue
-        keep = np.zeros(len(pdf), dtype=bool)
-        for pid, grp in pdf.groupby("__pid", sort=False):
-            rings = grp["rings"].iloc[0]
-            px = grp["lon"].to_numpy(dtype=np.float64)
-            py = grp["lat"].to_numpy(dtype=np.float64)
-            inside = np.zeros(len(grp), dtype=bool)
-            for ring in rings:  # even-odd across all rings handles holes
-                # Arrow hands nested lists as object arrays; stack to (m, 2)
-                ring_arr = np.stack([np.asarray(p, dtype=np.float64) for p in ring])
-                inside ^= points_in_ring(px, py, ring_arr)
-            keep[pdf.index.get_indexer(grp.index)] = inside
-        yield pdf[keep].drop(columns=["rings"])
+def _make_refine_pip(lon: str, lat: str):
+    """Exact even-odd ray-cast refinement, vectorized per polygon per batch.
+    Built per call so the refinement reads the SAME coordinate columns the
+    coarse tile stage used (a hardcoded 'lon'/'lat' here would crash — or
+    silently ray-cast stale columns — under renamed inputs)."""
+
+    def _refine_pip(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            keep = np.zeros(len(pdf), dtype=bool)
+            for pid, grp in pdf.groupby("__pid", sort=False):
+                rings = grp["rings"].iloc[0]
+                px = grp[lon].to_numpy(dtype=np.float64)
+                py = grp[lat].to_numpy(dtype=np.float64)
+                inside = np.zeros(len(grp), dtype=bool)
+                for ring in rings:  # even-odd across all rings handles holes
+                    # Arrow hands nested lists as object arrays; stack to (m, 2)
+                    ring_arr = np.stack([np.asarray(p, dtype=np.float64) for p in ring])
+                    inside ^= points_in_ring(px, py, ring_arr)
+                keep[pdf.index.get_indexer(grp.index)] = inside
+            yield pdf[keep].drop(columns=["rings"])
+
+    return _refine_pip
 
 
 def pip_join(
@@ -97,19 +101,24 @@ def pip_join(
             "it likely crosses the antimeridian; split it at the seam first "
             "(RFC 7946 s3.1.9)"
         )
-    tiled_polys = polygons_with_tiles(dim, z)
-    pts = points.withColumns(
-        {"tile_x": tile_x(F.col(lon), z), "tile_y": tile_y(F.col(lat), z)}
+    # private join-key names: a points frame that already carries
+    # tile_x/tile_y (e.g. from this engine's own with_tile) must come out
+    # of the join with those columns untouched
+    tiled_polys = polygons_with_tiles(dim, z).withColumnsRenamed(
+        {"tile_x": "__jtx", "tile_y": "__jty"}
     )
-    coarse = pts.join(F.broadcast(tiled_polys), ["tile_x", "tile_y"]).drop(
-        "tile_x", "tile_y"
+    pts = points.withColumns(
+        {"__jtx": tile_x(F.col(lon), z), "__jty": tile_y(F.col(lat), z)}
+    )
+    coarse = pts.join(F.broadcast(tiled_polys), ["__jtx", "__jty"]).drop(
+        "__jtx", "__jty"
     )
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}"
         for f in coarse.schema.fields
         if f.name != "rings"
     )
-    refined = coarse.mapInPandas(_refine_pip, schema=out_schema)
+    refined = coarse.mapInPandas(_make_refine_pip(lon, lat), schema=out_schema)
     return refined.withColumnRenamed("__pid", polygon_id)
 
 
@@ -247,8 +256,11 @@ def knn_join_exact(
             .join(qt, query_id)
             .withColumn("__covered2", covered_deg * covered_deg)
         )
+        # STRICT inequality: a hidden candidate in an unsearched tile can
+        # sit at exactly the covered radius and outrank the found k-th row
+        # on the (dist2, cand_id) tie-break — equality must keep searching
         resolved_keys = stats.filter(
-            (F.col("__n") >= k) & (F.col("__worst") <= F.col("__covered2"))
+            (F.col("__n") >= k) & (F.col("__worst") < F.col("__covered2"))
         ).select(query_id)
         if ring >= max_ring:
             resolved_keys = stats.select(query_id)  # searched everything
