@@ -177,3 +177,17 @@ def test_caps_bound_100k_mass_duplicates_in_bounded_time(spark):
     assert len(got2) == cap * (cap - 1) // 2
     assert all(r.hamming == 0 for r in got2)
     assert simhash_wall < 120.0, f"simhash 100k mass-dup took {simhash_wall:.1f}s"
+
+
+def test_hamming_near_dups_rejects_unsupported_params(spark):
+    """Silently-incomplete recall is not allowed: out-of-range n_blocks
+    (shift wrap) and max_hamming beyond the pigeonhole guarantee raise."""
+    import pytest as _pytest
+
+    fps = spark.createDataFrame([(1, 5), (2, 7)], "doc_id long, fingerprint long")
+    from vectortiles_spark.operators.dedup import hamming_near_dups
+
+    with _pytest.raises(ValueError, match="n_blocks"):
+        hamming_near_dups(fps, max_hamming=6, n_blocks=16)
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        hamming_near_dups(fps, max_hamming=8, n_blocks=8)

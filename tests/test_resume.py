@@ -112,3 +112,19 @@ def test_iceberg_lite_crashed_commit_invisible(spark, tmp_path):
     # the next append commits cleanly on top
     t.append(spark.range(50, 80))
     assert t.read().count() == 80
+
+
+def test_iceberg_partition_values_with_special_chars(spark, tmp_path):
+    """Hive percent-escapes partition directory names; the manifest must
+    store the RAW value so partition_values reads find the files."""
+    from vectortiles_spark.sources.iceberg_lite import IcebergLiteTable
+
+    t = IcebergLiteTable(spark, str(tmp_path / "tbl"))
+    df = spark.createDataFrame(
+        [("us:east", 1), ("us:east", 2), ("eu west", 3)], "region string, v int"
+    )
+    t.append(df, partition_by="region")
+    got = {r.v for r in t.read(partition_values=["us:east"]).collect()}
+    assert got == {1, 2}
+    got2 = {r.v for r in t.read(partition_values=["eu west"]).collect()}
+    assert got2 == {3}

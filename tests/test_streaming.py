@@ -90,3 +90,49 @@ def test_sessionize_stream_out_of_order_batches(spark, events_dir):
             assert r.n_events >= 1
         else:
             assert r.n_events == 1  # late marker rows are single events
+
+
+def test_sessionize_late_event_cannot_bridge_emitted_session():
+    """Review scenario: session A (ends 09:29) already emitted, open
+    session B starts 10:00; a late 09:45 event sits within the gap of
+    BOTH. Absorbing it into B would emit B with first_ts only 16 min
+    after A.last_ts — violating the closed-session gap invariant — so it
+    must surface as a session_id=-1 late marker instead."""
+    import pandas as pd
+
+    class FakeState:
+        def __init__(self):
+            self._v = None
+        @property
+        def exists(self):
+            return self._v is not None
+        @property
+        def get(self):
+            return self._v
+        def update(self, v):
+            self._v = v
+
+    t = lambda s: pd.Timestamp(f"2026-01-01 {s}")
+    state = FakeState()
+    out1 = list(ev._sessionize_fn(
+        (1,),
+        [pd.DataFrame({"ts": [t("09:00"), t("09:29"), t("10:00"), t("10:10")],
+                       "event_id": [1, 2, 3, 4]})],
+        state,
+    ))
+    emitted = pd.concat(out1)
+    assert len(emitted) == 1 and emitted.iloc[0]["last_ts"] == t("09:29")
+    out2 = list(ev._sessionize_fn(
+        (1,), [pd.DataFrame({"ts": [t("09:45")], "event_id": [5]})], state
+    ))
+    late = pd.concat(out2)
+    assert len(late) == 1 and late.iloc[0]["session_id"] == -1
+    # the open session's boundary must NOT have moved backwards
+    sid, n, first_ts, last_ts, prev_last = state.get
+    assert first_ts == t("10:00") and prev_last == t("09:29")
+    # a backward event clear of the previous session still absorbs
+    out3 = list(ev._sessionize_fn(
+        (1,), [pd.DataFrame({"ts": [t("10:05")], "event_id": [6]})], state
+    ))
+    assert out3 == []
+    assert state.get[1] == 3  # absorbed into the open session

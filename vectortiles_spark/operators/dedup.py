@@ -249,6 +249,22 @@ def hamming_near_dups(
     buckets. Requires max_hamming <= n_blocks - 2; falls back to single
     blocks (guarantee max_hamming <= n_blocks - 1, small-corpus only)
     otherwise. Output: (id_a, id_b, hamming), id_a < id_b."""
+    # fail loudly instead of returning silently-incomplete results:
+    # the fingerprint has eight 8-bit blocks (shift amounts past 63 would
+    # WRAP under Java's long shift and duplicate blocks 0-7), and even the
+    # single-block fallback's pigeonhole guarantee ends at n_blocks - 1
+    if not 1 <= n_blocks <= 8:
+        raise ValueError(
+            f"hamming_near_dups: n_blocks={n_blocks} — a 64-bit fingerprint "
+            "has at most eight 8-bit blocks"
+        )
+    if max_hamming > n_blocks - 1:
+        raise ValueError(
+            f"hamming_near_dups: max_hamming={max_hamming} exceeds the "
+            f"pigeonhole recall guarantee of n_blocks={n_blocks} "
+            "(single-block fallback covers <= n_blocks - 1); qualifying "
+            "pairs would be silently missing"
+        )
     fp = fps.select(F.col(id_col).alias("__id"), F.col(fp_col).alias("__fp"))
     blk = lambda i: F.shiftrightunsigned(F.col("__fp"), i * 8).bitwiseAND(F.lit(255))
     if max_hamming <= n_blocks - 2:
@@ -295,12 +311,20 @@ def hamming_near_dups(
 
 
 def simhash_near_dups(
-    docs: DataFrame, max_hamming: int = 6, n_blocks: int = 8, block_cap: int = 200
+    docs: DataFrame,
+    max_hamming: int = 6,
+    n_blocks: int = 8,
+    block_cap: int = 200,
+    hasher=None,
 ) -> DataFrame:
     """SimHash near-dups: fingerprint (single shuffle), then the generic
     block-pair LSH join (see hamming_near_dups for the pigeonhole/cap
-    guarantees). Output: (doc_a, doc_b, hamming)."""
-    fp = simhash_fingerprints(docs).cache()
+    guarantees). ``hasher`` passes through to simhash_fingerprints (e.g.
+    portable_hasher63 for an externally replayable pipeline). The
+    fingerprint table is .cache()'d (it feeds the join twice); the cache
+    lives until the app ends or spark.catalog.clearCache() — same note
+    as minhash_near_dups. Output: (doc_a, doc_b, hamming)."""
+    fp = simhash_fingerprints(docs, hasher=hasher).cache()
     return hamming_near_dups(
         fp, max_hamming, n_blocks, block_cap, id_col="doc_id", fp_col="simhash"
     ).select(

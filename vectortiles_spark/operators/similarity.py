@@ -61,6 +61,30 @@ def cosine_topk(
     )
 
 
+def _embedding_matrix(col, dim: int | None = None) -> np.ndarray:
+    """Arrow batch of array<float> -> (n, d) float64 matrix, with a CLEAR
+    contract error for NULL or ragged rows (a bare np.asarray would raise
+    an opaque TypeError/ValueError deep inside the executor instead of
+    naming the broken input)."""
+    vals = list(col)
+    if not vals:
+        return np.zeros((0, dim or 0), dtype=np.float64)
+    lens = set()
+    for v in vals:
+        if v is None:
+            raise ValueError(
+                "embedding column contains NULL — similarity operators "
+                "require a non-null fixed-length array<float> per row"
+            )
+        lens.add(len(v))
+    if len(lens) != 1 or (dim is not None and lens != {dim}):
+        raise ValueError(
+            f"embedding column is ragged or mis-sized (lengths {sorted(lens)}, "
+            f"expected {dim if dim is not None else 'a single length'})"
+        )
+    return np.asarray([np.asarray(v, dtype=np.float64) for v in vals])
+
+
 def _hyperplanes(dim: int, n_bits: int, n_tables: int, seed: int = 7):
     rng = np.random.Generator(np.random.PCG64(seed))
     return rng.normal(size=(n_tables, n_bits, dim)).astype(np.float64)
@@ -80,7 +104,7 @@ def with_lsh_buckets(
     def buckets(col):
         import pandas as pd
 
-        mat = np.asarray([np.asarray(v, dtype=np.float64) for v in col])
+        mat = _embedding_matrix(col, dim)
         out = []
         if len(mat):
             # (n, dim) @ (dim, T*bits) -> sign bits -> per-table bucket ids
@@ -195,7 +219,7 @@ def ivf_train(
 
             if not len(col):
                 return pd.Series([], dtype="int32")
-            mat = np.asarray([np.asarray(v, dtype=np.float64) for v in col])
+            mat = _embedding_matrix(col)
             norms = np.linalg.norm(mat, axis=1, keepdims=True)
             norms[norms == 0.0] = 1.0
             return pd.Series(np.argmax((mat / norms) @ cent_unit.T, axis=1))
@@ -287,7 +311,7 @@ def ivf_assign(
 
         if not len(col):
             return pd.Series([], dtype=object)
-        mat = np.asarray([np.asarray(v, dtype=np.float64) for v in col])
+        mat = _embedding_matrix(col)
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
         norms[norms == 0.0] = 1.0
         sims = (mat / norms) @ cent_unit.T  # (batch, n_cells)
@@ -380,6 +404,7 @@ def embedding_near_dups(
     n_tables: int = 8,
     id_col: str = "vec_id",
     emb: str = "embedding",
+    bucket_cap: int = 1000,
 ) -> DataFrame:
     """Near-duplicate vector pairs (cosine >= threshold) via LSH-bucketed
     self-join + exact verification. High-threshold pairs collide in some
@@ -387,11 +412,22 @@ def embedding_near_dups(
 
     `id_col` must be a KEY (one row per id): pair dedupe runs on the id
     pair alone, so duplicate-id input rows would re-multiply after the
-    embedding rejoin instead of collapsing."""
+    embedding rejoin instead of collapsing.
+
+    ``bucket_cap`` bounds degenerate hot buckets exactly like the dedup
+    operators' _cap_buckets: a mass-duplicated embedding (a failed
+    encoder emitting one constant vector) lands every row in the same
+    bucket of every table and would otherwise go quadratic in the
+    self-join; the deterministic first-cap keeps any bucket's pair count
+    <= cap^2 while an honest near-dup cluster still surfaces through its
+    first `cap` members (exact dedup catches the identical mass)."""
+    from .dedup import _cap_buckets
+
     base = df.select(id_col, emb)
     b = with_lsh_buckets(base, emb, dim, n_bits, n_tables).select(
         id_col, "table_id", "bucket"
     )
+    b = _cap_buckets(b, ["table_id", "bucket"], bucket_cap, order_col=id_col)
     left = b.alias("a")
     right = b.alias("b")
     # ids-only through the bucket join + distinct (vectors would multiply

@@ -88,7 +88,13 @@ class IcebergLiteTable:
             part_key = ""
             if partition_by:
                 seg = [s for s in fp.split("/") if s.startswith("__part=")]
-                part_key = seg[0].split("=", 1)[1] if seg else ""
+                # Hive percent-escapes special chars in directory names
+                # (':' -> '%3A'); store the RAW value so files()'s
+                # partition_values comparison matches what callers wrote
+                # (NULL keys stay as the literal __HIVE_DEFAULT_PARTITION__)
+                from urllib.parse import unquote
+
+                part_key = unquote(seg[0].split("=", 1)[1]) if seg else ""
             entries.append(
                 {
                     "snapshot_id": snap_id,

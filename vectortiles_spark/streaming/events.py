@@ -42,7 +42,10 @@ def windowed_counts(events: DataFrame, window: str = "1 hour", watermark: str = 
 
 
 SESSION_OUT_SCHEMA = "user_id bigint, session_id int, n_events int, first_ts timestamp, last_ts timestamp"
-SESSION_STATE_SCHEMA = "session_id int, n_events int, first_ts timestamp, last_ts timestamp"
+SESSION_STATE_SCHEMA = (
+    "session_id int, n_events int, first_ts timestamp, last_ts timestamp, "
+    "prev_last_ts timestamp"
+)
 SESSION_GAP_S = 1800
 
 
@@ -58,18 +61,26 @@ def _sessionize_fn(key, pdfs, state: GroupState):
     rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
     closed = []
     if state.exists:
-        sid, n, first_ts, last_ts = state.get
+        sid, n, first_ts, last_ts, prev_last = state.get
     else:
-        sid, n, first_ts, last_ts = 0, 0, None, None
+        sid, n, first_ts, last_ts, prev_last = 0, 0, None, None, None
     for ts in rows["ts"]:
         if last_ts is not None and ts < last_ts:
             # cross-batch OUT-OF-ORDER event: never move the session cursor
             # backwards (doing so corrupts boundaries — first_ts > last_ts).
-            # Within the open session's span (or gap-adjacent before it):
-            # absorb, extending first_ts. Older than that: its session
-            # closed long ago — emit it immediately as a standalone session
-            # marked session_id=-1 so consumers can distinguish late data.
-            if (first_ts - ts).total_seconds() <= SESSION_GAP_S:
+            # Inside the open session's span: absorb. BEFORE the span:
+            # absorb (extending first_ts) only while staying clear of the
+            # previously EMITTED session — an event within the gap of that
+            # session belonged to it (or bridges the two), and since append
+            # mode cannot retract it, extending the open session backwards
+            # would emit consecutive sessions violating the gap invariant.
+            # Those events — like ones older still — surface as standalone
+            # session_id=-1 rows so consumers can distinguish late data.
+            near_open = (first_ts - ts).total_seconds() <= SESSION_GAP_S
+            clear_of_prev = (
+                prev_last is None or (ts - prev_last).total_seconds() > SESSION_GAP_S
+            )
+            if ts >= first_ts or (near_open and clear_of_prev):
                 n += 1
                 if ts < first_ts:
                     first_ts = ts
@@ -80,12 +91,13 @@ def _sessionize_fn(key, pdfs, state: GroupState):
         if last_ts is not None and (ts - last_ts).total_seconds() > SESSION_GAP_S:
             closed.append({"user_id": user_id, "session_id": sid, "n_events": n,
                            "first_ts": first_ts, "last_ts": last_ts})
+            prev_last = last_ts
             sid, n, first_ts = sid + 1, 0, None
         if first_ts is None:
             first_ts = ts
         n += 1
         last_ts = ts
-    state.update((sid, n, first_ts, last_ts))
+    state.update((sid, n, first_ts, last_ts, prev_last))
     if closed:
         yield pd.DataFrame(closed)
 

@@ -34,6 +34,43 @@ def read_images_stream(spark: SparkSession, path: str, files_per_trigger: int = 
     )
 
 
+def _commit_epoch_versions(
+    feats: DataFrame,
+    checkpoint_table: IcebergLiteTable,
+    epoch_id: int,
+    max_per_tile: int | None = None,
+    layer: str | None = None,
+) -> bool:
+    """Versions-mode epoch commit, IDEMPOTENT under foreachBatch's
+    at-least-once retry: a crash between our commit and Spark's offset
+    commit re-runs the epoch on restart, and a blind append would
+    double-count every feature through compact_tiles. The
+    lineage_source_snapshot column checkpoint_tiles writes is the
+    idempotence key — an already-committed epoch is skipped. Returns
+    True when a commit happened."""
+    from pyspark.sql import functions as F
+
+    try:
+        committed = checkpoint_table.read()
+        already = (
+            committed.filter(
+                F.col("lineage_source_snapshot") == int(epoch_id)
+            ).limit(1).count() > 0
+        )
+    except (FileNotFoundError, ValueError):
+        already = False  # empty/uninitialized checkpoint table
+    if already:
+        return False
+    tiles = tiling.encode_tiles(feats, max_per_tile=max_per_tile, single_layer=layer).persist()
+    try:
+        if tiles.isEmpty():
+            return False
+        resume.checkpoint_tiles(tiles, checkpoint_table, source_snapshot=epoch_id)
+        return True
+    finally:
+        tiles.unpersist()
+
+
 def stream_tiles_to_checkpoint(
     images_stream: DataFrame,
     checkpoint_table: IcebergLiteTable,
@@ -58,12 +95,10 @@ def stream_tiles_to_checkpoint(
                 max_per_tile=max_per_tile, single_layer=layer,
             )
         else:
-            tiles = tiling.encode_tiles(feats, max_per_tile=max_per_tile, single_layer=layer).persist()
-            try:
-                if not tiles.isEmpty():
-                    resume.checkpoint_tiles(tiles, checkpoint_table, source_snapshot=epoch_id)
-            finally:
-                tiles.unpersist()
+            _commit_epoch_versions(
+                feats, checkpoint_table, epoch_id,
+                max_per_tile=max_per_tile, layer=layer,
+            )
 
     # a STREAMING checkpoint dir makes source progress durable: without
     # it a restarted query replays every file, and versions mode (no
@@ -75,10 +110,18 @@ def stream_tiles_to_checkpoint(
     return writer.start()
 
 
-def compact_tiles(checkpoint_table: IcebergLiteTable, snapshot_id: int | None = None) -> DataFrame:
+def compact_tiles(
+    checkpoint_table: IcebergLiteTable,
+    snapshot_id: int | None = None,
+    max_per_tile: int | None = None,
+    single_layer: str | None = None,
+) -> DataFrame:
     """Merge all tile versions into one clean MVT row per tile: decode every
-    version's features (distributed) and re-encode. Equivalent to a batch
-    run over the union of all ingested rows."""
+    version's features (distributed) and re-encode. Pass the SAME
+    ``max_per_tile``/``single_layer`` the ingest used — the compacted
+    union of N capped versions can exceed the per-tile cap, and only
+    re-applying it here keeps the output equivalent to a batch run over
+    the union of all ingested rows."""
     versions = checkpoint_table.read(snapshot_id).select("tile_z", "tile_x", "tile_y", "mvt")
     feats = tiling.decode_tiles(versions)
-    return tiling.encode_tiles(feats)
+    return tiling.encode_tiles(feats, max_per_tile=max_per_tile, single_layer=single_layer)
