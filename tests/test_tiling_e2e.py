@@ -293,3 +293,52 @@ def test_build_pyramid_all_zooms_roundtrip(spark):
     # z=2 override (tol=64) provably drops every corner
     assert corner_kept[4] == 300 and corner_kept[3] == 300
     assert corner_kept[2] == 0
+
+
+def test_encode_rejects_null_core_columns(spark):
+    """NULLs in tile keys/layer would corrupt bytes silently (NaN->int64
+    garbage, factorize -1 indexing the last layer) — must raise naming
+    the column."""
+    import pytest as _pytest
+
+    feats = spark.createDataFrame(
+        [(5, 1, 1, None, 1, 1, 9 << 26 | (2 << 13) | 2)],
+        "tile_z int, tile_x int, tile_y int, layer string, geom_type int, "
+        "feature_id bigint, geom_pt bigint",
+    )
+    with _pytest.raises(Exception, match="layer.*NULL|NULL.*layer"):
+        tiling.encode_tiles(feats).collect()
+
+
+def test_degenerate_exterior_drops_whole_part(spark):
+    """A polygon part whose exterior collapses must NOT survive as its
+    holes (a promoted CCW hole would attach to the previous polygon on
+    decode)."""
+    sq = [[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]]
+    hole = [[2, 2], [2, 4], [4, 4], [4, 2], [2, 2]]
+    bad_ext = [[20, 20], [21, 20], [20, 20]]  # < 4 points after filter
+    rows = spark.createDataFrame(
+        [(4, 1, 1, "p", 3, 7, [[sq], [bad_ext, hole]])],
+        "tile_z int, tile_x int, tile_y int, layer string, geom_type int, "
+        "feature_id bigint, geom array<array<array<array<int>>>>",
+    )
+    tiles = tiling.encode_tiles(tiling.geom_features(rows)).collect()
+    assert len(tiles) == 1
+    t = codec.decode_tile(bytes(tiles[0].mvt))
+    (feat,) = t["p"].features
+    # one polygon (the square), NO holes — the orphaned hole is gone
+    assert len(feat.geom) == 1 and len(feat.geom[0]) == 1
+
+
+def test_decode_tiles_extent_mismatch_raises(spark):
+    """Tiles with a non-default extent must not silently decode into
+    mis-scaled coordinates: decode_tiles needs the matching extent."""
+    import pytest as _pytest
+
+    pts = spark.createDataFrame([(10.0, 10.0, 1)], "lon double, lat double, k long")
+    feats = tiling.point_features(pts, z=3, layer="l", feature_id=F.col("k"), extent=512)
+    tiles = tiling.encode_tiles(feats, extent=512)
+    with _pytest.raises(Exception, match="extent"):
+        tiling.decode_tiles(tiles).collect()
+    ok = tiling.decode_tiles(tiles, extent=512).collect()
+    assert len(ok) == 1

@@ -19,7 +19,9 @@ from pyspark.sql import SparkSession
 # Canonical SQL fragments (same float64 math as the Column exprs).
 SQL_SNIPPETS = {
     "zigzag": "(CAST({n} AS BIGINT) << 1) ^ (CAST({n} AS BIGINT) >> 63)",
-    "unzigzag": "CAST((CAST({u} AS BIGINT) >> 1) ^ -(CAST({u} AS BIGINT) & 1) AS BIGINT)",
+    # UNSIGNED right shift: a sign-extending >> diverges from the Column
+    # twin (shiftrightunsigned) whenever bit 63 of the zigzag value is set
+    "unzigzag": "CAST(SHIFTRIGHTUNSIGNED(CAST({u} AS BIGINT), 1) ^ -(CAST({u} AS BIGINT) & 1) AS BIGINT)",
     "tile_x": "CAST(LEAST(FLOOR(({lon} + 180.0) / 360.0 * POW(2, {z})), POW(2, {z}) - 1) AS INT)",
     "tile_y": (
         "CAST(GREATEST(0, LEAST(FLOOR((1.0 - ASINH(TAN(RADIANS({lat}))) / PI()) / 2.0 "

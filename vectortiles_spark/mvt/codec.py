@@ -829,21 +829,26 @@ def encode_multi_tile_batch(
 
     # ---- per-run layer messages, stitched across ALL runs ----
     # constant-per-layer-name blocks: name field + keys block + tail
-    name_blocks = []
-    for nm in lnames:
-        head = wire.len_delimited(1, nm.encode("utf-8"))
-        keys_block = b"".join(
+    # keys/extent/version framing is name-invariant: build once, reuse
+    keys_block = np.frombuffer(
+        b"".join(
             wire.len_delimited(3, key.encode("utf-8")) for key, _, _, _ in meta_cols
+        ),
+        np.uint8,
+    )
+    tail = np.frombuffer(
+        wire.tag_bytes(5, wire.WT_VARINT) + wire.encode_varint(int(extent))
+        + wire.tag_bytes(15, wire.WT_VARINT) + wire.encode_varint(int(version)),
+        np.uint8,
+    )
+    name_blocks = [
+        (
+            np.frombuffer(wire.len_delimited(1, nm.encode("utf-8")), np.uint8),
+            keys_block,
+            tail,
         )
-        tail = (
-            wire.tag_bytes(5, wire.WT_VARINT) + wire.encode_varint(int(extent))
-            + wire.tag_bytes(15, wire.WT_VARINT) + wire.encode_varint(int(version))
-        )
-        name_blocks.append((
-            np.frombuffer(head, np.uint8),
-            np.frombuffer(keys_block, np.uint8),
-            np.frombuffer(tail, np.uint8),
-        ))
+        for nm in lnames
+    ]
     run_lcode = lcodes[run_starts]
     head_lens = np.array([len(b[0]) for b in name_blocks], dtype=np.int64)[run_lcode]
     keys_lens = np.array([len(b[1]) for b in name_blocks], dtype=np.int64)[run_lcode]

@@ -46,22 +46,8 @@ def encode_varints(values: np.ndarray) -> bytes:
                 v >>= 7
             out.append(v)
         return bytes(out)
-    v = np.asarray(values, dtype=np.uint64)
-    # bytes needed per value = ceil(bit_length/7), min 1
-    nbytes = np.ones(v.size, dtype=np.int64)
-    tmp = v >> _U7
-    while tmp.any():
-        nbytes += (tmp != 0)
-        tmp = tmp >> _U7
-    total = int(nbytes.sum())
-    ends = np.cumsum(nbytes)
-    starts = ends - nbytes
-    owner = np.repeat(np.arange(v.size), nbytes)
-    offset = (np.arange(total) - starts[owner]).astype(np.uint64)
-    chunks = (v[owner] >> (offset * _U7)) & np.uint64(0x7F)
-    cont = (offset < (nbytes[owner] - 1).astype(np.uint64)).astype(np.uint8)
-    out = chunks.astype(np.uint8) | (cont << 7)
-    return out.tobytes()
+    buf, _ = encode_varints_with_lens(values)
+    return buf.tobytes()
 
 
 def encode_varints_with_lens(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:

@@ -90,6 +90,13 @@ def point_features(
     zig(py)] (ref Internal.hs:158-159 with cursor (0,0)) — emitted here as
     a pure Column expression so the geometry encode happens inside
     whole-stage codegen, not Python.
+
+    ``feature_id`` defaults to monotonically_increasing_id(), which is
+    PARTITION-LAYOUT-DEPENDENT: ids (and therefore tile bytes and
+    cap_features_per_tile selections) change under repartitioning or task
+    retries. Pass a stable key expression (xxhash64 of a business key,
+    as every query in this repo does) whenever byte-deterministic output
+    matters.
     """
     lon_c, lat_c = F.col(lon), F.col(lat)
     fid = feature_id if feature_id is not None else F.monotonically_increasing_id()
@@ -185,10 +192,16 @@ def geom_features(
                     ]
                     degenerate = not g
                 elif gt == GEOM_POLYGON:
-                    # a valid ring needs >= 4 points (closed, LineTo count >= 2)
+                    # a valid ring needs >= 4 points (closed, LineTo count >= 2).
+                    # If the EXTERIOR (ring 0) is degenerate the whole part
+                    # must go: keeping its holes would promote a CCW hole to
+                    # ring 0, and decode would then attach it to the PREVIOUS
+                    # polygon (negative rings group with the preceding
+                    # exterior, Internal.hs:202-206) — silently wrong geometry
                     g = [
                         [r for r in part if len(r) >= 4]
                         for part in parts
+                        if len(part) and len(part[0]) >= 4
                     ]
                     g = [p for p in g if p]
                     degenerate = not g
@@ -398,6 +411,19 @@ def _make_encode_stream(extent: int = codec.DEFAULT_EXTENT, layer_const: str | N
 
     def flush(tbl: pa.Table, is_last: bool = True):
         """Encode every (complete) tile run in tbl."""
+        # NULLs in the core columns would NOT error downstream — they would
+        # CORRUPT silently: Arrow converts a null-bearing int column to
+        # float64 NaN, .astype(int64) turns NaN into INT64_MIN garbage
+        # coordinates/keys, and a null layer factorizes to code -1 which
+        # Python-indexes the LAST layer name. Fail with the column name.
+        for cname in ("tile_z", "tile_x", "tile_y", "feature_id", "geom_type",
+                      "layer", "geom_pt"):
+            if cname in tbl.column_names and tbl[cname].null_count:
+                raise ValueError(
+                    f"encode_tiles: column {cname!r} contains NULLs — feature "
+                    "rows must carry complete tile keys/ids (filter or fill "
+                    "upstream; a NULL here would silently corrupt tile bytes)"
+                )
         z = tbl["tile_z"].to_numpy(zero_copy_only=False)
         x = tbl["tile_x"].to_numpy(zero_copy_only=False)
         y = tbl["tile_y"].to_numpy(zero_copy_only=False)
@@ -726,7 +752,11 @@ def encode_tiles(
     )
 
 
-def decode_tiles(tiles: DataFrame, layers: list[str] | None = None) -> DataFrame:
+def decode_tiles(
+    tiles: DataFrame,
+    layers: list[str] | None = None,
+    extent: int = codec.DEFAULT_EXTENT,
+) -> DataFrame:
     """Inverse of encode_tiles: MVT blobs -> canonical feature rows
     (ref `tile`, lib/Geography/VectorTile.hs:70-71, distributed).
 
@@ -738,6 +768,12 @@ def decode_tiles(tiles: DataFrame, layers: list[str] | None = None) -> DataFrame
 
     Output uses the ARRAY<STRUCT> metadata form plus geometry command
     streams, so decode_tiles(encode_tiles(f)) roundtrips through the sink.
+
+    ``extent`` must match the tiles' declared layer extent (the output
+    schema carries no extent column, so a silent mismatch would leave
+    downstream consumers mis-scaling the pixel coordinates by up to 8x —
+    a non-default extent raises instead, telling the caller to pass it
+    and to re-encode with the same value).
 
     Fast path (round 4): raw-layer wire parse (fastdecode batch kernels)
     plus canonical-stream pass-through — geom_to_stream(geom_from_stream(s))
@@ -773,6 +809,16 @@ def decode_tiles(tiles: DataFrame, layers: list[str] | None = None) -> DataFrame
                     emit = last_of_name[rl.name] is rl
                     if not rl.features:
                         raise ValueError("VectorTile.features: `[RawFeature]` empty")
+                    layer_ext = rl.extent if rl.extent is not None else codec.DEFAULT_EXTENT
+                    if layer_ext != extent:
+                        raise ValueError(
+                            f"decode_tiles: layer {rl.name!r} declares extent "
+                            f"{layer_ext}, expected {extent} — pass "
+                            "decode_tiles(..., extent=...) and re-encode with "
+                            "the same value (the feature schema carries no "
+                            "extent column, so a mismatch would silently "
+                            "mis-scale coordinates)"
+                        )
                     nf = len(rl.features)
                     if rl.batch is not None:
                         types, cnt, streams = rl.batch.types, rl.batch.geom_cnt, rl.batch.geom_vals
@@ -794,9 +840,16 @@ def decode_tiles(tiles: DataFrame, layers: list[str] | None = None) -> DataFrame
                             raise ValueError("Geometry type of UNKNOWN given.")
                         if not emit:
                             # shadowed duplicate-name layer: validate the
-                            # geometry exactly like decode_tile, drop the row
+                            # geometry AND the tag indices exactly like
+                            # decode_tile (layer_from_raw builds every
+                            # layer's metas before the dict collapses), then
+                            # drop the row
                             if not canon[i]:
                                 geom_from_stream(rf.type, rf.geometry)
+                            stags = np.asarray(rf.tags, dtype=np.int64)
+                            stags = stags[: (stags.size // 2) * 2].reshape(-1, 2)
+                            for k, v in stags.tolist():
+                                rl.keys[k], rl.values[v]  # noqa: B018 — index check
                             continue
                         rows["tile_z"].append(z)
                         rows["tile_x"].append(x)
