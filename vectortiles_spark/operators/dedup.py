@@ -66,6 +66,40 @@ def portable_hasher63(c):
     return hi * F.lit(4294967296) + lo
 
 
+def shingle_arrays(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    distinct_in_array: bool = False,
+) -> DataFrame:
+    """(doc_id, shingles ARRAY<STRING>) — raw word-k-gram shingle arrays,
+    the shared Column pipeline under shingle_docs AND the exact-Jaccard
+    query (one construction, two consumers — they must stay in lockstep
+    with the DuckDB oracles).
+
+    The token split is MATERIALIZED as its own column before the shingle
+    lambdas touch it: referencing the split expression from inside
+    transform() would inline a fresh regex split per shingle index
+    (O(words x shingles) splits per doc — measured 4-7x slower at sf0.1).
+    CollapseProject keeps the boundary because the non-cheap split is
+    referenced more than once. Docs shorter than k yield an empty array."""
+    toked = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("__toks"),
+    )
+    arr = F.transform(
+        F.sequence(F.lit(0), F.size("__toks") - k),
+        lambda i: F.concat_ws(" ", F.slice("__toks", i + 1, k)),
+    )
+    if distinct_in_array:
+        arr = F.array_distinct(arr)
+    shingles = F.when(F.size("__toks") >= k, arr).otherwise(
+        F.array().cast("array<string>")
+    )
+    return toked.select("doc_id", shingles.alias("shingles"))
+
+
 def shingle_docs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -73,29 +107,13 @@ def shingle_docs(
     k: int = 3,
     hasher=None,
 ) -> DataFrame:
-    """(doc_id, shingle_hash64) — distinct word-k-gram shingles, hashed JVM-side.
-
-    The token split is MATERIALIZED as its own column before the shingle
-    lambdas touch it: referencing the split expression from inside
-    transform() would inline a fresh regex split per shingle index
-    (O(words x shingles) splits per doc — measured 4-7x slower at sf0.1).
-    CollapseProject keeps the boundary because the non-cheap split is
-    referenced more than once. Per-array dedup is skipped on purpose —
-    the row-level distinct on (doc_id, h31) below already collapses
-    repeated shingles with map-side combine."""
-    toked = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("__toks"),
-    )
-    shingles = F.when(
-        F.size("__toks") >= k,
-        F.transform(
-            F.sequence(F.lit(0), F.size("__toks") - k),
-            lambda i: F.concat_ws(" ", F.slice("__toks", i + 1, k)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))  # docs shorter than k have no k-shingles
+    """(doc_id, shingle_hash64) — distinct word-k-gram shingles, hashed
+    JVM-side (array construction: shingle_arrays). Per-array dedup is
+    skipped on purpose — the row-level distinct on (doc_id, h31) below
+    already collapses repeated shingles with map-side combine."""
     return (
-        toked.select("doc_id", F.explode(shingles).alias("shingle"))
+        shingle_arrays(docs, id_col, text_col, k)
+        .select("doc_id", F.explode("shingles").alias("shingle"))
         .filter(F.col("shingle") != "")
         .select("doc_id", (hasher or default_hasher)(F.col("shingle")).alias("h31"))
         .distinct()

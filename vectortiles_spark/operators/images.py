@@ -36,15 +36,22 @@ def decode_stats(images: DataFrame) -> DataFrame:
                                     "mean_r", "mean_g", "mean_b", "phash_recomputed")}
             for i, (iid, raw, fmt) in enumerate(zip(ids, payloads, fmts)):
                 try:
+                    # compute EVERY value before the first append: a late
+                    # raise (e.g. phash64 on a decodable zero-width image)
+                    # after partial appends would skew the column lists and
+                    # kill the whole batch on record_batch length mismatch
                     img = ic.decode_image(raw, fmt)
                     means = img.reshape(-1, 3).mean(axis=0)
+                    w_, h_ = img.shape[1], img.shape[0]
+                    mr, mg, mb = float(means[0]), float(means[1]), float(means[2])
+                    ph_ = ic.phash64(img)
                     out["ok"].append(True)
-                    out["width"].append(img.shape[1])
-                    out["height"].append(img.shape[0])
-                    out["mean_r"].append(float(means[0]))
-                    out["mean_g"].append(float(means[1]))
-                    out["mean_b"].append(float(means[2]))
-                    out["phash_recomputed"].append(ic.phash64(img))
+                    out["width"].append(w_)
+                    out["height"].append(h_)
+                    out["mean_r"].append(mr)
+                    out["mean_g"].append(mg)
+                    out["mean_b"].append(mb)
+                    out["phash_recomputed"].append(ph_)
                 except Exception:
                     out["ok"].append(False)
                     out["width"].append(None)
@@ -82,7 +89,14 @@ def verify_invariants(images: DataFrame, min_psnr: float = 40.0) -> DataFrame:
     """The per-row image invariant gate (BASELINE.json input_hint):
     decode -> re-encode -> decode must hold PSNR >= 40 dB (exact for
     lossless PPM), the recomputed perceptual hash must match the carried
-    phash, and the caption must survive untouched (utf-8 roundtrip)."""
+    phash, and the caption must survive untouched (utf-8 roundtrip).
+
+    Honest scope note: the PSNR column measures RE-ENCODE STABILITY
+    (decoded vs re-encoded pixels). For the DCT codec re-quantizing
+    already-quantized pixels is near-idempotent, so this gate catches
+    codec roundtrip breakage, not a quality regression of the ORIGINAL
+    encode — content integrity against the original is what the carried
+    phash comparison (an independent per-row reference signal) is for."""
 
     def run(batches):
         for b in batches:
@@ -201,31 +215,39 @@ def sample_video_frames(videos: DataFrame, every_ms: int = 1000) -> DataFrame:
     return videos.select("media_id", "bytes").mapInArrow(run, FRAME_SCHEMA)
 
 
-AUDIO_FEATURES_SCHEMA = "media_id string, duration_s double, rms double, zero_crossings long"
+AUDIO_FEATURES_SCHEMA = (
+    "media_id string, ok boolean, duration_s double, rms double, zero_crossings long"
+)
 
 
 def extract_audio_features(audio: DataFrame, sample_rate: int = 16000) -> DataFrame:
     """Audio feature extraction over raw PCM16 binary columns. PCM parsing
     is real NumPy (no external lib needed for raw PCM); container formats
-    (any ID3-tagged mp3, bare mp3 frame sync, ogg, flac) would need a
-    decoder and raise NotImplementedError rather than parse the compressed
-    bitstream as samples."""
+    (ID3-tagged mp3, ogg, flac, riff — unambiguous magic) would need a
+    decoder, and NULL payloads cannot be parsed at all — those rows come
+    back ok=false with NULL features (one bad object must never kill a
+    planet-scale job). NOTE: a bare mp3/aac frame-sync prefix (0xFF 0xEx)
+    is AMBIGUOUS — legitimate PCM16 whose first sample is e.g. -1 has the
+    same two bytes — so such rows are parsed as PCM; route containerized
+    audio by format metadata, not by sniffing."""
 
     def run(batches):
         for b in batches:
             ids = b["media_id"].to_pylist()
             raws = b["bytes"].to_pylist()
-            out = {"media_id": [], "duration_s": [], "rms": [], "zero_crossings": []}
+            out = {"media_id": [], "ok": [], "duration_s": [], "rms": [], "zero_crossings": []}
             for mid, raw in zip(ids, raws):
-                if (
-                    raw[:3] == b"ID3"          # any ID3v2.x-tagged mp3
-                    or raw[:4] in (b"OggS", b"fLaC", b"RIFF")
-                    or (len(raw) >= 2 and raw[0] == 0xFF and (raw[1] & 0xE0) == 0xE0)  # bare mp3/aac frame sync
-                ):
-                    raise NotImplementedError("compressed audio needs a codec lib")
+                if raw is None or raw[:3] == b"ID3" or raw[:4] in (b"OggS", b"fLaC", b"RIFF"):
+                    out["media_id"].append(mid)
+                    out["ok"].append(False)
+                    out["duration_s"].append(None)
+                    out["rms"].append(None)
+                    out["zero_crossings"].append(None)
+                    continue
                 # raw PCM16: an odd trailing byte is truncation, not samples
                 pcm = np.frombuffer(raw[: len(raw) - (len(raw) % 2)], dtype=np.int16).astype(np.float64)
                 out["media_id"].append(mid)
+                out["ok"].append(True)
                 out["duration_s"].append(len(pcm) / float(sample_rate))
                 out["rms"].append(float(np.sqrt(np.mean(pcm**2))) if len(pcm) else 0.0)
                 s = np.sign(pcm)
@@ -234,6 +256,7 @@ def extract_audio_features(audio: DataFrame, sample_rate: int = 16000) -> DataFr
             yield pa.record_batch(
                 {
                     "media_id": pa.array(out["media_id"], pa.string()),
+                    "ok": pa.array(out["ok"], pa.bool_()),
                     "duration_s": pa.array(out["duration_s"], pa.float64()),
                     "rms": pa.array(out["rms"], pa.float64()),
                     "zero_crossings": pa.array(out["zero_crossings"], pa.int64()),

@@ -1229,10 +1229,14 @@ def q_tileset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     rows = _lattice_geom_rows(spark, sf_dir)
     tiles = tiling.encode_tiles(tiling.geom_features(rows))
-    # sf-scoped scratch root: a caller interleaving two scale factors must
-    # not have the second write invalidate the first's lazy read
+    # sf- AND pid-scoped scratch root: a caller interleaving two scale
+    # factors (or a CONCURRENT PROCESS working the same sf, e.g. a bench
+    # run beside check_oracles) must not have one write invalidate the
+    # other's lazy read
     tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
-    root = os.path.join(tempfile.gettempdir(), f"q_tileset_roundtrip_{tag}")
+    root = os.path.join(
+        tempfile.gettempdir(), f"q_tileset_roundtrip_{tag}_{os.getpid()}"
+    )
     shutil.rmtree(root, ignore_errors=True)
     write_tileset(tiles, root)
     decoded = tiling.decode_tiles(read_tileset(spark, root, z=4), layers=["polys"])
@@ -1345,8 +1349,11 @@ def q_mbtiles_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     rows = _lattice_geom_rows(spark, sf_dir)
     tiles = tiling.encode_tiles(tiling.geom_features(rows))
+    # sf- and pid-scoped like q_tileset_roundtrip (concurrent processes)
     tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
-    path = os.path.join(tempfile.gettempdir(), f"q_mbtiles_roundtrip_{tag}.mbtiles")
+    path = os.path.join(
+        tempfile.gettempdir(), f"q_mbtiles_roundtrip_{tag}_{os.getpid()}.mbtiles"
+    )
     if os.path.exists(path):
         os.remove(path)
     write_mbtiles(tiles, path, metadata={"minzoom": 4, "maxzoom": 4})

@@ -181,23 +181,15 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     This is the scalable exact-Jaccard plan: the join key is the shingle,
     so the shuffle is linear in total shingles, not quadratic in docs."""
+    from ..operators.dedup import shingle_arrays
+
     (docs,) = load(spark, sf_dir, "documents")
-    # tokens materialized as a column: referencing the split from inside
-    # transform() would inline one regex split per shingle index (see
-    # dedup.shingle_docs — measured 4-7x)
-    toked = docs.select(
-        "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("__toks")
+    # the SAME shingle construction the dedup operators use (one source
+    # of truth — see shingle_arrays for the split-materialization note);
+    # <3 tokens -> empty array, matching the oracle's generate_series
+    sh = shingle_arrays(docs, k=3, distinct_in_array=True).filter(
+        F.size("shingles") > 0
     )
-    shingles = F.when(
-        F.size("__toks") >= 3,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.size("__toks") - 3),
-                lambda i: F.concat_ws(" ", F.slice("__toks", i + 1, 3)),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))  # <3 tokens: no 3-grams (matches the oracle's generate_series)
-    sh = toked.select("doc_id", shingles.alias("shingles")).filter(F.size("shingles") > 0)
     sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
     exploded = sh.select("doc_id", F.explode("shingles").alias("shingle"))
     a = exploded.alias("a")

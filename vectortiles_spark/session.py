@@ -54,8 +54,23 @@ def get_spark(
     # override spark.driver.memory, and -Xms (AlwaysPreTouch) larger than
     # the overridden -Xmx would kill the JVM at startup
     driver_mem = (extra_conf or {}).get(
-        "spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g")
+        "spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY")
     )
+    if driver_mem is None:
+        # DEFAULT sizing only: AlwaysPreTouch + -Xms commits the whole heap
+        # at startup, so an unconditional 16g default would OOM-kill the
+        # JVM on any host with less free RAM — cap the default at ~60% of
+        # MemAvailable (explicit settings are honored untouched)
+        avail_gb = 16
+        try:
+            with open("/proc/meminfo") as f:
+                for line in f:
+                    if line.startswith("MemAvailable:"):
+                        avail_gb = int(line.split()[1]) // (1024 * 1024)
+                        break
+        except OSError:
+            pass
+        driver_mem = f"{max(1, min(16, int(avail_gb * 0.6)))}g"
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
