@@ -373,16 +373,18 @@ def parse_raw_tile(data: bytes, layers=None) -> list[RawLayer]:
 # ---------------- raw -> canonical (fromProtobuf, Internal.hs:96-112) ----------------
 
 
-def layer_from_raw(raw: RawLayer) -> Layer:
+def layer_from_raw(raw: RawLayer, _geoms: list | None = None) -> Layer:
     """ref Internal.hs:104-112 + feats (Internal.hs:295-308).
 
     Errors on an empty feature list and on UNKNOWN geometry, matching the
-    reference's strictness.
+    reference's strictness. ``_geoms`` lets decode_tile hand in geometry
+    objects it assembled for the WHOLE tile in one batch call (deferred
+    fallbacks as None entries); without it the layer assembles its own.
     """
     if not raw.features:
         raise ValueError("VectorTile.features: `[RawFeature]` empty")
     n = len(raw.features)
-    geoms = None
+    geoms = _geoms
     if raw.batch is not None:
         # the wire parser's columnar arrays are authoritative when no
         # feature was irregular — skip re-deriving them from the slices
@@ -393,7 +395,7 @@ def layer_from_raw(raw: RawLayer) -> Layer:
         cnt = np.fromiter((rf.geometry.size for rf in raw.features), dtype=np.int64, count=n)
     # batch when there are many features OR few-but-huge ones (a single
     # multipolygon with hundreds of rings gains as much as many points)
-    if n >= _BATCH_MIN_FEATURES or int(cnt.sum()) >= 256:
+    if geoms is None and (n >= _BATCH_MIN_FEATURES or int(cnt.sum()) >= 256):
         from . import fastdecode
 
         if raw.batch is not None:
@@ -440,10 +442,30 @@ def decode_tile(data: bytes, layers=None) -> dict[str, Layer]:
     """tile :: ByteString -> VectorTile (ref lib/Geography/VectorTile.hs:70-71).
 
     ``layers`` selects a subset by name without parsing the rest (see
-    parse_raw_tile)."""
+    parse_raw_tile). Geometry for every batch-parsed layer is assembled
+    in ONE whole-tile assemble_geoms call (per-layer calls would pay the
+    kernel's fixed vectorization cost once per layer); deferred-fallback
+    lanes still run the scalar twin at their feature's turn inside each
+    layer, preserving the sequential path's error ordering."""
+    raws = parse_raw_tile(data, layers=layers)
+    geoms_for: dict[int, list] = {}
+    batched = [r for r in raws if r.batch is not None and r.features]
+    if len(batched) >= 2:
+        from . import fastdecode
+
+        types = np.concatenate([r.batch.types for r in batched])
+        cnt = np.concatenate([r.batch.geom_cnt for r in batched])
+        vals = np.concatenate([r.batch.geom_vals for r in batched])
+        gs = fastdecode.assemble_geoms(types, vals, cnt, defer_fallback=True)
+        off = 0
+        for r in batched:
+            geoms_for[id(r)] = gs[off:off + len(r.features)]
+            off += len(r.features)
     return {
         layer.name: layer
-        for layer in (layer_from_raw(r) for r in parse_raw_tile(data, layers=layers))
+        for layer in (
+            layer_from_raw(r, _geoms=geoms_for.get(id(r))) for r in raws
+        )
     }
 
 
