@@ -115,3 +115,68 @@ def test_point_in_polygon_with_hole():
     px = np.array([2.0, 5.0])
     py = np.array([2.0, 5.0])
     assert G.points_in_polygon(px, py, [outer, hole]).tolist() == [True, False]
+
+
+# --- batched encode kernel: geoms_to_streams_batch ≡ geom_to_stream ---
+
+
+def _random_geom(rng, gt):
+    if gt == G.GEOM_POINT:
+        n = int(rng.integers(1, 6))
+        return rng.integers(-5000, 5000, size=(n, 2)).astype(np.int64)
+    if gt == G.GEOM_LINESTRING:
+        return [
+            rng.integers(-5000, 5000, size=(int(rng.integers(2, 7)), 2)).astype(np.int64)
+            for _ in range(int(rng.integers(1, 4)))
+        ]
+    polys = []
+    for _ in range(int(rng.integers(1, 3))):
+        rings = []
+        for _ in range(int(rng.integers(1, 3))):
+            pts = rng.integers(-5000, 5000, size=(int(rng.integers(3, 7)), 2)).astype(np.int64)
+            rings.append(np.concatenate([pts, pts[:1]], axis=0))  # closed
+        polys.append(rings)
+    return polys
+
+
+def test_geoms_to_streams_batch_differential():
+    """The whole-layer batched encode kernel must produce byte-identical
+    streams to per-feature geom_to_stream across random mixed-type
+    feature lists (the cursor-carry and feature-reset logic live here)."""
+    rng = np.random.Generator(np.random.PCG64(7))
+    for trial in range(30):
+        feats = [
+            (gt, _random_geom(rng, gt))
+            for gt in rng.integers(1, 4, size=int(rng.integers(1, 25))).tolist()
+        ]
+        vals, offs = G.geoms_to_streams_batch(feats)
+        for i, (gt, geom) in enumerate(feats):
+            ref = G.geom_to_stream(gt, geom)
+            got = vals[offs[i]:offs[i + 1]]
+            assert np.array_equal(ref, got), (trial, i, gt)
+
+
+def test_geoms_to_streams_batch_degenerate_fallback():
+    """Degenerate parts (sub-2-point rings/lines, empty point sets) take
+    the scalar path per feature — output must still match geom_to_stream,
+    including when degenerate and healthy features interleave."""
+    one_pt_ring = [[np.array([[3, 4], [3, 4]], dtype=np.int64)]]  # 1 kept pt
+    feats = [
+        (G.GEOM_POINT, np.array([[1, 2]], dtype=np.int64)),
+        (G.GEOM_POLYGON, one_pt_ring),
+        (G.GEOM_LINESTRING, [np.array([[0, 0], [5, 5]], dtype=np.int64)]),
+        (G.GEOM_LINESTRING, [np.array([[9, 9]], dtype=np.int64)]),  # 1-pt part
+        (G.GEOM_POINT, np.array([[7, 8], [9, 10]], dtype=np.int64)),
+    ]
+    vals, offs = G.geoms_to_streams_batch(feats)
+    for i, (gt, geom) in enumerate(feats):
+        ref = G.geom_to_stream(gt, geom)
+        got = vals[offs[i]:offs[i + 1]]
+        assert np.array_equal(ref, got), i
+
+
+def test_geoms_to_streams_batch_empty_and_unknown():
+    vals, offs = G.geoms_to_streams_batch([])
+    assert vals.size == 0 and list(offs) == [0]
+    with pytest.raises(ValueError, match="UNKNOWN"):
+        G.geoms_to_streams_batch([(9, np.zeros((1, 2), dtype=np.int64))])

@@ -22,7 +22,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from . import wire
+from . import geometry, wire
 from .geometry import (
     GEOM_LINESTRING,
     GEOM_POINT,
@@ -493,13 +493,21 @@ def _encode_value(tag: int, v) -> bytes:
     raise ValueError(f"unknown value tag {tag}")
 
 
-def _encode_feature(fid: int, tags: np.ndarray, geom_type: int, stream: np.ndarray) -> bytes:
-    # field order: id(1), tags(2 packed), type(3), geometry(4 packed)
+def _encode_feature(
+    fid: int,
+    tags: np.ndarray,
+    geom_type: int,
+    stream: np.ndarray,
+    geom_field: bytes | None = None,
+) -> bytes:
+    # field order: id(1), tags(2 packed), type(3), geometry(4 packed);
+    # geom_field, when given, is the COMPLETE pre-framed field-4 bytes
+    # (whole-layer batched varint encode — see encode_layer)
     body = wire.tag_bytes(1, wire.WT_VARINT) + wire.encode_varint(int(fid))
     if len(tags):
         body += wire.packed_uint32(2, tags)
     body += wire.tag_bytes(3, wire.WT_VARINT) + wire.encode_varint(int(geom_type))
-    body += wire.packed_uint32(4, stream)
+    body += geom_field if geom_field is not None else wire.packed_uint32(4, stream)
     return wire.len_delimited(2, body)  # Layer.features field 2
 
 
@@ -508,6 +516,7 @@ def encode_layer_from_streams(
     feats: list[tuple[int, dict, int, np.ndarray]],
     version: int = 2,
     extent: int = DEFAULT_EXTENT,
+    geom_wire: list[bytes] | None = None,
 ) -> bytes:
     """Layer wire encode from (feature_id, metadata, geom_type, command_stream)
     tuples whose geometry is ALREADY a uint32 command stream.
@@ -534,9 +543,15 @@ def encode_layer_from_streams(
         tag, v = tv
         return (tag, struct.pack("<d", v)) if isinstance(v, float) else tv
 
-    feats = sorted(feats, key=lambda f: f[2])  # pts, lines, polys; stable
+    # geom_wire (optional): per-feature COMPLETE field-4 bytes aligned
+    # with feats — lets encode_layer varint-encode the whole layer's
+    # geometry in one vectorized pass instead of per feature here
+    pairs = list(zip(feats, geom_wire)) if geom_wire is not None else [
+        (f, None) for f in feats
+    ]
+    pairs.sort(key=lambda fg: fg[0][2])  # pts, lines, polys; stable
     encoded_feats: list[bytes] = []
-    for fid, meta, geom_type, stream in feats:
+    for (fid, meta, geom_type, stream), gw in pairs:
         tag_list: list[int] = []
         for k, v in meta.items():
             tag_list.append(keys.setdefault(k, len(keys)))
@@ -548,7 +563,9 @@ def encode_layer_from_streams(
                 value_list.append(v)
             tag_list.append(idx)
         encoded_feats.append(
-            _encode_feature(fid, np.asarray(tag_list, dtype=np.uint32), geom_type, stream)
+            _encode_feature(
+                fid, np.asarray(tag_list, dtype=np.uint32), geom_type, stream, gw
+            )
         )
     body = wire.len_delimited(1, name.encode("utf-8"))
     body += b"".join(encoded_feats)
@@ -995,12 +1012,31 @@ def frame_values_vec(tag: int, arr) -> tuple[np.ndarray, np.ndarray]:
 
 
 def encode_layer(layer: Layer) -> bytes:
-    """toProtobuf @Layer + wire put, ref Internal.hs:114-125."""
-    feats = [
-        (f.feature_id, f.metadata, f.geom_type, geom_to_stream(f.geom_type, f.geom))
-        for f in layer.features
-    ]
-    return encode_layer_from_streams(layer.name, feats, layer.version, layer.extent)
+    """toProtobuf @Layer + wire put, ref Internal.hs:114-125.
+
+    Geometry -> command streams run through the batched kernel
+    (geometry.geoms_to_streams_batch: one global delta/zigzag pass for the
+    whole layer); wire framing is unchanged, so bytes are identical to the
+    per-feature scalar path."""
+    vals, offs = geometry.geoms_to_streams_batch(
+        [(f.geom_type, f.geom) for f in layer.features]
+    )
+    # whole-layer varint encode, sliced per feature into pre-framed
+    # field-4 bytes (identical to per-feature packed_uint32 output)
+    gbuf, glens = wire.encode_varints_with_lens(vals.astype(np.uint64))
+    byte_cum = np.concatenate([[0], np.cumsum(glens)]).astype(np.int64)
+    gb = gbuf.tobytes()
+    starts = byte_cum[offs[:-1]]
+    ends = byte_cum[offs[1:]]
+    feats = []
+    geom_wire = []
+    for i, f in enumerate(layer.features):
+        s, e = int(starts[i]), int(ends[i])
+        feats.append((f.feature_id, f.metadata, f.geom_type, vals[offs[i]:offs[i + 1]]))
+        geom_wire.append(b"\x22" + wire.encode_varint(e - s) + gb[s:e])
+    return encode_layer_from_streams(
+        layer.name, feats, layer.version, layer.extent, geom_wire=geom_wire
+    )
 
 
 def encode_tile(layers: list[Layer]) -> bytes:

@@ -273,6 +273,128 @@ def geom_to_stream(geom_type: int, geom) -> np.ndarray:
     raise ValueError("Geometry type of UNKNOWN given.")
 
 
+def geoms_to_streams_batch(
+    feats: list[tuple[int, object]],
+) -> tuple[np.ndarray, np.ndarray]:
+    """Batch twin of geom_to_stream over a whole layer's features: ONE
+    global delta + zigzag pass and a vectorized header/coordinate scatter
+    instead of a Python loop per feature/part (the encode-side mirror of
+    fastdecode's whole-tile assembly; bytes are identical to calling
+    geom_to_stream per feature — differential-pinned in tests).
+
+    Key identity making one global diff correct: within a feature the
+    cursor after each part/ring is its LAST emitted point, which is
+    exactly the PREVIOUS row of the concatenated point matrix (rings drop
+    their closing point before concatenation, same as
+    polygon_to_commands); only each feature's first row needs the
+    cursor-reset fix-up delta = point - (0,0).
+
+    Returns (values uint32, offsets int64): feature i's stream is
+    values[offsets[i]:offsets[i+1]]. Degenerate parts (empty point sets,
+    1-point rings, ...) take the scalar path per feature so error/byte
+    behavior cannot drift.
+    """
+    nf = len(feats)
+    offsets = np.zeros(nf + 1, dtype=np.int64)
+    if nf == 0:
+        return np.zeros(0, dtype=np.uint32), offsets
+
+    _K_PT, _K_LINE, _K_RING = 0, 1, 2
+    part_arrays: list[np.ndarray] = []   # (k,2) int64, rings closing-dropped
+    part_kind: list[int] = []
+    feat_first_part = np.zeros(nf + 1, dtype=np.int64)
+    scalar_streams: dict[int, np.ndarray] = {}
+    for f, (gt, geom) in enumerate(feats):
+        if gt == GEOM_POINT:
+            parts = [(np.asarray(geom, dtype=np.int64).reshape(-1, 2), _K_PT)]
+        elif gt == GEOM_LINESTRING:
+            parts = [
+                (np.asarray(p, dtype=np.int64).reshape(-1, 2), _K_LINE) for p in geom
+            ]
+        elif gt == GEOM_POLYGON:
+            parts = [
+                (np.asarray(r, dtype=np.int64).reshape(-1, 2)[:-1], _K_RING)
+                for poly in geom
+                for r in poly
+            ]
+        else:
+            raise ValueError("Geometry type of UNKNOWN given.")
+        # degenerate shapes (no parts, or a part the vector layout can't
+        # express: empty point part / sub-2-point line / ring) -> scalar
+        if not parts or any(
+            len(p) == 0 or (k != _K_PT and len(p) < 2) for p, k in parts
+        ):
+            scalar_streams[f] = geom_to_stream(gt, geom)
+            feat_first_part[f + 1] = feat_first_part[f]
+            continue
+        part_arrays.extend(p for p, _ in parts)
+        part_kind.extend(k for _, k in parts)
+        feat_first_part[f + 1] = feat_first_part[f] + len(parts)
+
+    if part_arrays:
+        sizes = np.fromiter((len(p) for p in part_arrays), np.int64, count=len(part_arrays))
+        kinds = np.asarray(part_kind, dtype=np.int64)
+        all_pts = np.concatenate(part_arrays, axis=0)
+        npts = len(all_pts)
+        deltas = np.empty_like(all_pts)
+        deltas[0] = all_pts[0]
+        np.subtract(all_pts[1:], all_pts[:-1], out=deltas[1:])
+        part_row_start = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+        # cursor resets to (0,0) at each FEATURE's first row
+        feat_rows = part_row_start[feat_first_part[:-1][feat_first_part[:-1] != feat_first_part[1:]]]
+        deltas[feat_rows] = all_pts[feat_rows]
+        zz = zig(deltas.ravel())
+
+        # per-part output length: point 1+2n, line 2+2n, ring 3+2n
+        out_lens = 2 * sizes + 1 + (kinds != _K_PT) + (kinds == _K_RING)
+        out_start = np.concatenate([[0], np.cumsum(out_lens)])
+        out = np.empty(int(out_start[-1]), dtype=np.uint32)
+        # headers
+        is_pt = kinds == _K_PT
+        out[out_start[:-1][is_pt]] = (
+            (sizes[is_pt].astype(np.uint32) << np.uint32(3)) | np.uint32(CMD_MOVETO)
+        )
+        ml = ~is_pt
+        out[out_start[:-1][ml]] = np.uint32((1 << 3) | CMD_MOVETO)
+        out[out_start[:-1][ml] + 3] = (
+            ((sizes[ml] - 1).astype(np.uint32) << np.uint32(3)) | np.uint32(CMD_LINETO)
+        )
+        is_ring = kinds == _K_RING
+        out[out_start[:-1][is_ring] + 2 * sizes[is_ring] + 2] = np.uint32(
+            (1 << 3) | CMD_CLOSEPATH
+        )
+        # coordinates: row i of part p at out_start[p] + 1 + 2i (+1 if a
+        # line/ring row past the MoveTo — the LineTo header sits between)
+        row_part = np.repeat(np.arange(len(sizes)), sizes)
+        row_i = np.arange(npts, dtype=np.int64) - part_row_start[row_part]
+        pos = out_start[row_part] + 1 + 2 * row_i + ((row_i > 0) & ml[row_part])
+        out[pos] = zz[0::2]
+        out[pos + 1] = zz[1::2]
+        # per-feature lengths (parts of a feature are contiguous)
+        fp_cum = out_start[feat_first_part]
+        feat_lens = fp_cum[1:] - fp_cum[:-1]
+    else:
+        out = np.zeros(0, dtype=np.uint32)
+        feat_lens = np.zeros(nf, dtype=np.int64)
+
+    for f, s in scalar_streams.items():
+        feat_lens[f] = len(s)
+    np.cumsum(feat_lens, out=offsets[1:])
+    if not scalar_streams:
+        return out, offsets
+    # splice scalar-path features into their slots
+    values = np.empty(int(offsets[-1]), dtype=np.uint32)
+    vec_cursor = 0
+    for f in range(nf):
+        lo, hi = offsets[f], offsets[f + 1]
+        if f in scalar_streams:
+            values[lo:hi] = scalar_streams[f]
+        else:
+            values[lo:hi] = out[vec_cursor:vec_cursor + (hi - lo)]
+            vec_cursor += hi - lo
+    return values, offsets
+
+
 def points_in_ring(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
     """Vectorized ray-casting point-in-ring test (boundary-exclusive-ish).
 

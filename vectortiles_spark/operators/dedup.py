@@ -106,18 +106,22 @@ def shingle_docs(
     text_col: str = "text",
     k: int = 3,
     hasher=None,
+    distinct: bool = False,
 ) -> DataFrame:
-    """(doc_id, shingle_hash64) — distinct word-k-gram shingles, hashed
-    JVM-side (array construction: shingle_arrays). Per-array dedup is
-    skipped on purpose — the row-level distinct on (doc_id, h31) below
-    already collapses repeated shingles with map-side combine."""
-    return (
+    """(doc_id, shingle_hash64) — word-k-gram shingles, hashed JVM-side
+    (array construction: shingle_arrays). By default the relation keeps
+    duplicate shingles: the only in-repo consumer (minhash_signatures)
+    min-aggregates, which is duplicate-insensitive, and a .distinct()
+    here would be a SECOND full Exchange of the suite's largest relation
+    right before the groupBy's own exchange. Pass distinct=True only when
+    a downstream consumer genuinely needs set semantics per doc."""
+    sh = (
         shingle_arrays(docs, id_col, text_col, k)
         .select("doc_id", F.explode("shingles").alias("shingle"))
         .filter(F.col("shingle") != "")
         .select("doc_id", (hasher or default_hasher)(F.col("shingle")).alias("h31"))
-        .distinct()
     )
+    return sh.distinct() if distinct else sh
 
 
 def minhash_signatures(
@@ -128,7 +132,12 @@ def minhash_signatures(
     hasher=None,
 ) -> DataFrame:
     """MinHash signature as H columns mh0..mh{H-1}: one groupBy over the
-    exploded shingle relation, H min() aggregates (map-side combinable)."""
+    exploded shingle relation, H min() aggregates (map-side combinable).
+    The shingle relation is NOT pre-distinct'd — min() is duplicate-
+    insensitive and explode preserves partitioning, so the groupBy's
+    map-side partial aggregation collapses a doc's repeats in place;
+    exactly ONE Exchange sits between the explode and the signatures
+    (plan-pinned in tests/test_audit.py)."""
     sh = shingle_docs(docs, id_col, text_col, k, hasher=hasher)
     params = _hash_params(_H)
     aggs = [

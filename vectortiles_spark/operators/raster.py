@@ -157,7 +157,14 @@ def raster_to_features(
             for z, x, y, w, h, raw in zip(tz, txs, tys, ws, hs, pxs):
                 # corrupt input drops THIS raster, never the task: one bad
                 # object must not kill a planet-scale job (clip.py policy)
-                if raw is None or w is None or h is None or w <= 0 or h <= 0                         or len(raw) < w * h:
+                if (
+                    raw is None
+                    or w is None
+                    or h is None
+                    or w <= 0
+                    or h <= 0
+                    or len(raw) < w * h
+                ):
                     continue
                 grid = np.frombuffer(raw, dtype=np.uint8, count=w * h).reshape(h, w)
                 mask = grid >= threshold

@@ -780,7 +780,10 @@ def decode_tiles(
     is s itself for streams in canonical encoder form (zig/parse_cmd are
     exact inverses), so those features never materialize geometry objects;
     only non-canonical streams take the scalar decode+re-encode detour,
-    which also raises on malformed input exactly like decode_tile.
+    which rejects exactly the same inputs decode_tile rejects. (Error
+    IDENTITY can differ on multiply-malformed layers: decode_tiles walks
+    features in type-sorted emit order, decode_tile in original order, so
+    whichever bad feature comes first under each order raises first.)
     """
     import pyarrow as pa
 

@@ -65,8 +65,17 @@ def write_mbtiles(
     do_gzip = compress
 
     def write_part(rows):
-        part = os.path.join(part_dir, f"part-{os.getpid()}-{uuid.uuid4().hex[:8]}.db")
-        con = sqlite3.connect(part)
+        # part files are named by PARTITION id, written to an attempt-unique
+        # temp and os.replace()d into place: a task retry or speculative
+        # duplicate overwrites its predecessor instead of leaving a second
+        # part-*.db that would duplicate rows at merge and abort the final
+        # CREATE UNIQUE INDEX
+        from pyspark import TaskContext
+
+        pidx = TaskContext.get().partitionId()
+        part = os.path.join(part_dir, f"part-{pidx:05d}.db")
+        tmp_part = f"{part}.tmp-{uuid.uuid4().hex[:8]}"
+        con = sqlite3.connect(tmp_part)
         try:
             con.execute(_TILES_DDL)
             con.executemany(
@@ -84,6 +93,7 @@ def write_mbtiles(
             con.commit()
         finally:
             con.close()
+        os.replace(tmp_part, part)
 
     tiles.select("tile_z", "tile_x", "tile_y", "mvt").foreachPartition(write_part)
 
@@ -117,7 +127,9 @@ def write_mbtiles(
     finally:
         if con is not None:
             con.close()
-        for part in _glob.glob(os.path.join(part_dir, "part-*.db")):
+        # clean both finished parts and any .tmp-* orphans a failed attempt
+        # left behind (they never reach the merge, which globs part-*.db)
+        for part in _glob.glob(os.path.join(part_dir, "part-*")):
             os.remove(part)
         os.rmdir(part_dir)
 

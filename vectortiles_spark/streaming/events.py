@@ -61,7 +61,13 @@ def _sessionize_fn(key, pdfs, state: GroupState):
     rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
     closed = []
     if state.exists:
-        sid, n, first_ts, last_ts, prev_last = state.get
+        # applyInPandasWithState state schemas are NOT evolvable: a
+        # checkpoint written before prev_last_ts existed carries 4-tuples.
+        # Absorb such legacy state (prev_last -> None, weakening only the
+        # late-data gap refinement) instead of crashing the restarted query.
+        got = tuple(state.get)
+        sid, n, first_ts, last_ts = got[:4]
+        prev_last = got[4] if len(got) > 4 else None
     else:
         sid, n, first_ts, last_ts, prev_last = 0, 0, None, None, None
     for ts in rows["ts"]:
@@ -104,7 +110,13 @@ def _sessionize_fn(key, pdfs, state: GroupState):
 
 def sessionize_stream(events: DataFrame) -> DataFrame:
     """groupBy(user).applyInPandasWithState sessionizer (SURVEY-charter
-    custom stateful streaming operator)."""
+    custom stateful streaming operator).
+
+    Checkpoint compatibility: SESSION_STATE_SCHEMA gained prev_last_ts in
+    r4. Spark's state-store schema check typically rejects restarts from
+    pre-change checkpoints outright (discard the checkpoint to upgrade);
+    if the check is disabled, _sessionize_fn additionally tolerates
+    legacy 4-field state rows (prev_last_ts treated as unknown)."""
     return events.groupBy("user_id").applyInPandasWithState(
         _sessionize_fn,
         outputStructType=SESSION_OUT_SCHEMA,
