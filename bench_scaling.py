@@ -165,6 +165,20 @@ def main():
                 "local[] tier"
             ),
         }
+        # VERDICT r4 #6: one pooled-trial probe at 8 executors — either
+        # extends the multi-JVM evidence past 4-way or documents the host
+        # ceiling with data (8 x 3 GiB fits this box). Single pooled run
+        # (trials=4 in-JVM) to bound wall cost; interpret vs csmall.
+        try:
+            c8 = run_level(8, images, trials=4, master="local-cluster[8,1,3072]")
+            c8speed = csmall["sec"] / c8["sec"]
+            result["cluster_tier"]["probe_8x"] = {
+                "local-cluster[8,1,3072]": _level_entry(c8),
+                "speedup_vs_1": round(c8speed, 2),
+                "efficiency_vs_1": round(c8speed / 8.0, 3),
+            }
+        except Exception as exc:  # noqa: BLE001 — probe is additive evidence
+            result["cluster_tier"]["probe_8x"] = {"error": str(exc)[:200]}
     if probe:
         ceiling = run_level(16, images, trials=2)
         result["host_ceiling_probe"] = {
