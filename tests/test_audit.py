@@ -166,15 +166,24 @@ def test_ingest_paths_shuffle_free(spark, tmp_path):
 
 
 def test_minhash_signatures_single_exchange(spark):
-    """VERDICT r4 #2: the signature path must pay exactly ONE Exchange
-    between the shingle explode and the signature groupBy — the old
-    .distinct() added a second full shuffle of the suite's largest
-    relation that min() aggregates never needed."""
+    """VERDICT r4 #2: the signature path must pay exactly ONE hash
+    Exchange between the shingle explode and the signature groupBy — the
+    old .distinct() added a second full shuffle of the suite's largest
+    relation that min() aggregates never needed. A RoundRobin exchange
+    BELOW the explode is allowed (and, on a 1-partition test file,
+    expected): that is the derived-compute widening guard shuffling the
+    raw docs, not the exploded shingle relation."""
+    import re
+
     from vectortiles_spark.operators.dedup import minhash_signatures
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     sig = minhash_signatures(docs)
-    assert audit.count_shuffles(sig) == 1, audit.plan_of(sig)
+    plan = audit.plan_of(sig)
+    assert len(re.findall(r"\bExchange hash", plan)) == 1, plan
+    assert len(re.findall(r"\bExchange (range|Single)", plan)) == 0, plan
+    # widening guard may add at most one RoundRobin of the raw docs
+    assert len(re.findall(r"\bExchange RoundRobin", plan)) <= 1, plan
 
 
 def test_salted_cap_exchanges(spark):

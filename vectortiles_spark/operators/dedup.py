@@ -66,6 +66,29 @@ def portable_hasher63(c):
     return hi * F.lit(4294967296) + lo
 
 
+def _widen_for_derived_compute(docs: DataFrame) -> DataFrame:
+    """Parallelism guard for explode-heavy map stages: shingling expands
+    each doc into ~L shingles and the signature stage then evaluates H
+    hash expressions per shingle (map-side partial aggregation), so the
+    right task count for the map stage is set by the DERIVED work, not the
+    input bytes. A small corpus (one parquet file under maxPartitionBytes)
+    scans as ONE partition and serializes that whole pipeline on a single
+    core — measured 5.7s vs 0.75s for sf0.1 signatures; r4's distinct-drop
+    exposed this because the removed Exchange had been (accidentally)
+    re-parallelizing the aggregate stage. One cheap shuffle of the raw
+    docs buys full parallelism; when the input already carries >=
+    defaultParallelism partitions (any real-scale table) this is a no-op.
+    """
+    if docs.isStreaming:
+        return docs
+    try:
+        parts = docs.rdd.getNumPartitions()
+        target = docs.sparkSession.sparkContext.defaultParallelism
+    except Exception:  # noqa: BLE001 — a plan that can't convert keeps its layout
+        return docs
+    return docs.repartition(target) if parts < target else docs
+
+
 def shingle_arrays(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -84,7 +107,7 @@ def shingle_arrays(
     (O(words x shingles) splits per doc — measured 4-7x slower at sf0.1).
     CollapseProject keeps the boundary because the non-cheap split is
     referenced more than once. Docs shorter than k yield an empty array."""
-    toked = docs.select(
+    toked = _widen_for_derived_compute(docs).select(
         F.col(id_col).alias("doc_id"),
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("__toks"),
     )
@@ -115,9 +138,19 @@ def shingle_docs(
     here would be a SECOND full Exchange of the suite's largest relation
     right before the groupBy's own exchange. Pass distinct=True only when
     a downstream consumer genuinely needs set semantics per doc."""
+    # explode_OUTER, not explode: for a plain explode Catalyst's
+    # InferFiltersFromGenerate infers `size(shingles) > 0` and pushes it
+    # all the way to the scan — and since `shingles` is the whole
+    # CASE/transform construction, that pushed filter RE-BUILDS every
+    # doc's shingle array a second time, below the widening exchange, on
+    # however few partitions the raw file has (measured: a 5.6s serial
+    # stage at sf0.1, the dominant cost of the minhash suite entry). No
+    # filter can be inferred across an outer generate; empty-array docs
+    # surface as one NULL shingle row that the existing `!= ''`
+    # null-rejecting predicate already drops.
     sh = (
         shingle_arrays(docs, id_col, text_col, k)
-        .select("doc_id", F.explode("shingles").alias("shingle"))
+        .select("doc_id", F.explode_outer("shingles").alias("shingle"))
         .filter(F.col("shingle") != "")
         .select("doc_id", (hasher or default_hasher)(F.col("shingle")).alias("h31"))
     )
@@ -191,6 +224,16 @@ def minhash_near_dups(
     deduping many corpora in one session.
     """
     sig = minhash_signatures(docs, id_col, text_col, k, hasher=hasher).cache()
+    # Materialization barrier: Spark submits the verify joins' broadcast-
+    # exchange builds as separate jobs at the START of the consuming action
+    # — before the lazy cache has populated — so without this count the
+    # full shingle->signature DAG computes up to 3x per action (two
+    # concurrent broadcast builds + the band side; the 6s
+    # `withThreadLocalCaptured` stage in BENCH r4's attribution was exactly
+    # one such rebuild). One eager count (pennies: it reuses the exchange)
+    # makes every consumer a cache read.
+    if not docs.isStreaming:
+        sig.count()
     band_rows = [
         F.struct(
             F.lit(b).alias("band_id"),
@@ -237,9 +280,9 @@ def simhash_fingerprints(
     map-side partial aggregation on every bit column. `hasher` defaults
     to xxhash64; pass portable_hasher63 for SQL-replayable fingerprints."""
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    tok = docs.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("t")).filter(
-        F.col("t") != ""
-    )
+    tok = _widen_for_derived_compute(docs).select(
+        F.col(id_col).alias("doc_id"), F.explode(toks).alias("t")
+    ).filter(F.col("t") != "")
     hashed = tok.select("doc_id", (hasher or F.xxhash64)(F.col("t")).alias("h"))
     bit_aggs = [
         F.sum(
@@ -352,6 +395,11 @@ def simhash_near_dups(
     lives until the app ends or spark.catalog.clearCache() — same note
     as minhash_near_dups. Output: (doc_a, doc_b, hamming)."""
     fp = simhash_fingerprints(docs, hasher=hasher).cache()
+    # same materialization barrier as minhash_near_dups: the block self-
+    # join's broadcast build would otherwise recompute the fingerprint DAG
+    # on a cold cache
+    if not docs.isStreaming:
+        fp.count()
     return hamming_near_dups(
         fp, max_hamming, n_blocks, block_cap, id_col="doc_id", fp_col="simhash"
     ).select(

@@ -187,11 +187,20 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the SAME shingle construction the dedup operators use (one source
     # of truth — see shingle_arrays for the split-materialization note);
     # <3 tokens -> empty array, matching the oracle's generate_series
-    sh = shingle_arrays(docs, k=3, distinct_in_array=True).filter(
-        F.size("shingles") > 0
-    )
+    # No size>0 pre-filter and explode_OUTER, deliberately: a pushable
+    # size-filter (explicit, or inferred by InferFiltersFromGenerate from
+    # a plain explode) inlines the whole shingle construction into a
+    # predicate at the scan — rebuilding every doc's array a second time
+    # on the raw file's (often single) input partition. Zero-shingle docs
+    # are harmless without it: they surface as n_sh=0 rows / one NULL
+    # shingle row, contribute no join pairs, and the NULL row is dropped
+    # by isNotNull — results are identical (see shingle_docs for the
+    # measured 5.6s serial-stage pathology this avoids).
+    sh = shingle_arrays(docs, k=3, distinct_in_array=True)
     sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
-    exploded = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    exploded = sh.select(
+        "doc_id", F.explode_outer("shingles").alias("shingle")
+    ).filter(F.col("shingle").isNotNull())
     a = exploded.alias("a")
     b = exploded.alias("b")
     common = (
