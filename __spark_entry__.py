@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_langid": QT.q_langid,
         "q_ngram_jaccard": QT.q_ngram_jaccard,
         "q_minhash_near_dups": QT.q_minhash_near_dups,
+        "q_dedup_clusters": QT.q_dedup_clusters,
         "q_simhash_buckets": QT.q_simhash_buckets,
         "q_rolling_fingerprint": QT.q_rolling_fingerprint,
         "q_token_bpe": QT.q_token_bpe,
@@ -178,6 +179,7 @@ def oracle_sql() -> dict[str, str]:
         "q_langid": QT.Q_LANGID_SQL,
         "q_ngram_jaccard": QT.Q_NGRAM_JACCARD_SQL,
         "q_minhash_near_dups": QT.Q_MINHASH_SQL,
+        "q_dedup_clusters": QT.Q_DEDUP_CLUSTERS_SQL,
         "q_simhash_buckets": QT.Q_SIMHASH_SQL,
         "q_rolling_fingerprint": QT.Q_ROLLING_FP_SQL,
         "q_token_bpe": QT.Q_TOKEN_BPE_SQL,

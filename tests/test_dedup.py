@@ -191,3 +191,85 @@ def test_hamming_near_dups_rejects_unsupported_params(spark):
         hamming_near_dups(fps, max_hamming=6, n_blocks=16)
     with _pytest.raises(ValueError, match="pigeonhole"):
         hamming_near_dups(fps, max_hamming=8, n_blocks=8)
+
+
+# ---------------------------------------------------------------- clusters
+
+
+def _brute_components(n_nodes, edges):
+    """Union-find oracle: {node: min id in its component}."""
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in range(n_nodes)}
+
+
+def _cluster_df(spark, edges):
+    return spark.createDataFrame(
+        pd.DataFrame({"doc_a": [a for a, _ in edges], "doc_b": [b for _, b in edges]})
+    )
+
+
+def test_dedup_clusters_matches_union_find(spark):
+    """Random sparse graph + singletons vs a union-find oracle."""
+    rng = np.random.Generator(np.random.PCG64(11))
+    n = 200
+    edges = [tuple(sorted(p)) for p in rng.integers(0, n, (150, 2)) if p[0] != p[1]]
+    nodes = spark.range(n).withColumnRenamed("id", "doc_id")
+    got = {
+        r.doc_id: r.cluster_id
+        for r in dedup.dedup_clusters(_cluster_df(spark, edges), nodes=nodes).collect()
+    }
+    want = _brute_components(n, edges)
+    assert got == want
+
+
+def test_dedup_clusters_long_chain_converges_in_log_rounds(spark):
+    """A 64-node path is the worst case for plain propagation (64 rounds);
+    pointer jumping must land it within ~log2(64)+slack rounds — this is
+    the property that makes the operator usable on adversarial chains at
+    corpus scale."""
+    edges = [(i, i + 1) for i in range(63)]
+    out = dedup.dedup_clusters(_cluster_df(spark, edges), max_iters=10).collect()
+    assert {r.cluster_id for r in out} == {0}
+    assert len(out) == 64
+
+
+def test_dedup_clusters_no_edges_and_no_nodes_arg(spark):
+    """Without a nodes frame only edge endpoints are labeled; an empty
+    edge list with a nodes frame yields all-singleton clusters."""
+    nodes = spark.range(5).withColumnRenamed("id", "doc_id")
+    empty = _cluster_df(spark, [(0, 1)]).filter("doc_a < 0")
+    out = dedup.dedup_clusters(empty, nodes=nodes).collect()
+    assert {(r.doc_id, r.cluster_id) for r in out} == {(i, i) for i in range(5)}
+    out2 = dedup.dedup_clusters(_cluster_df(spark, [(3, 7), (7, 9)])).collect()
+    assert {(r.doc_id, r.cluster_id) for r in out2} == {(3, 3), (7, 3), (9, 3)}
+
+
+def test_dedup_clusters_partitioning_independent(spark):
+    edges = [(0, 1), (1, 2), (5, 6), (8, 8)]
+    df = _cluster_df(spark, edges)
+    a = sorted(
+        (r.doc_id, r.cluster_id)
+        for r in dedup.dedup_clusters(df.repartition(1)).collect()
+    )
+    b = sorted(
+        (r.doc_id, r.cluster_id)
+        for r in dedup.dedup_clusters(df.repartition(13)).collect()
+    )
+    assert a == b
+
+
+def test_dedup_clusters_unconverged_raises(spark):
+    edges = [(i, i + 1) for i in range(40)]
+    with pytest.raises(RuntimeError, match="max_iters"):
+        dedup.dedup_clusters(_cluster_df(spark, edges), max_iters=2)

@@ -272,6 +272,90 @@ def minhash_near_dups(
     )
 
 
+def dedup_clusters(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Connected components over a near-dup edge list: (id, cluster_id)
+    where cluster_id is the MINIMUM id in the component — the canonical
+    "collapse near-dup pairs into dedup clusters and keep one
+    representative" step that follows any LSH pass.
+
+    Algorithm (MapReduce-CC family — Kiveris et al., "Connected
+    Components in MapReduce and Beyond"): min-label propagation fused
+    with pointer jumping. Each round (a) every node takes the min of its
+    own label and its neighbors' labels — one edges⋈labels hash join +
+    min-aggregate; (b) labels shortcut through their own label
+    (lbl <- lbl(lbl)) — one labels self-join. Pointer jumping halves
+    label-chain depth per round, so a path of length D converges in
+    O(log D) rounds, not O(D); an adversarial 100M-doc chain is ~27
+    rounds, real near-dup clusters (tiny diameters) take 2-3.
+
+    Scale shape per round: both joins shuffle on the label/id hash only
+    — no quadratic blowup, no driver-side state beyond one DECIMAL(38)
+    sum per round (the convergence probe: labels only ever decrease, so
+    the label-sum is strictly decreasing until fixpoint; comparing two
+    scalars replaces a full-relation diff join). Lineage is truncated
+    every round via localCheckpoint — for multi-hour cluster jobs where
+    executor loss matters, set a reliable checkpoint dir and swap in
+    .checkpoint().
+
+    ``nodes`` (a 1-column id DataFrame) adds isolated docs as singleton
+    clusters; without it only ids appearing in some edge are labeled.
+    Raises RuntimeError if not converged within max_iters (loud, never
+    silently-partial clusters)."""
+    e = edges.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    e = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct().cache()
+    if nodes is None:
+        ids = e.select(F.col("a").alias("id")).distinct()
+    else:
+        (col,) = nodes.columns
+        ids = nodes.select(F.col(col).alias("id")).distinct()
+    labels = ids.select("id", F.col("id").alias("lbl")).cache()
+    # DECIMAL(38,0) sum: id magnitudes at 10^12-row scale would overflow a
+    # BIGINT sum (ANSI mode makes that a job-killing error, silently-wrong
+    # elsewhere)
+    probe = lambda df: df.agg(
+        F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
+    ).collect()[0]["s"]
+    prev = probe(labels)
+    for _ in range(max_iters):
+        nbr = (
+            e.join(labels, e["a"] == labels["id"])
+            .select(F.col("b").alias("id"), "lbl")
+            .groupBy("id")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        upd = labels.join(nbr, "id", "left").select(
+            "id", F.least("lbl", F.coalesce("nlbl", "lbl")).alias("lbl")
+        )
+        parent = upd.select(F.col("id").alias("lbl"), F.col("lbl").alias("plbl"))
+        jumped = (
+            upd.join(parent, "lbl", "left")
+            .select("id", F.coalesce("plbl", "lbl").alias("lbl"))
+            .localCheckpoint(eager=False)
+        )
+        cur = probe(jumped)
+        labels.unpersist()
+        labels = jumped
+        if cur == prev:
+            e.unpersist()
+            return labels.select(
+                F.col("id").alias(id_col), F.col("lbl").alias(cluster_col)
+            )
+        prev = cur
+    e.unpersist()
+    raise RuntimeError(
+        f"dedup_clusters: no fixpoint within max_iters={max_iters} "
+        "(pointer jumping needs ~log2(chain length) rounds — raise max_iters)"
+    )
+
+
 def simhash_fingerprints(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", hasher=None
 ) -> DataFrame:

@@ -302,6 +302,60 @@ ORDER BY doc_a, doc_b
 Q_MINHASH_SQL = _minhash_oracle_sql()
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: the minhash pair list collapsed into connected
+    components (cluster_id = min doc_id in the component, every doc a
+    row, singletons as their own cluster) plus the keep/drop decision a
+    dedup pipeline acts on. The component fixpoint is algorithm-
+    independent, so the DuckDB oracle can replay it with a recursive CTE
+    while Spark runs O(log n)-round pointer-jumping label propagation."""
+    from vectortiles_spark.operators.dedup import (
+        dedup_clusters,
+        minhash_near_dups,
+        portable_hasher,
+    )
+
+    (docs,) = load(spark, sf_dir, "documents")
+    pairs = minhash_near_dups(docs, threshold=0.5, hasher=portable_hasher)
+    comp = dedup_clusters(pairs, nodes=docs.select("doc_id"))
+    w = Window.partitionBy("cluster_id")
+    return (
+        comp.withColumn("cluster_size", F.count("*").over(w))
+        .withColumn("keep", F.col("doc_id") == F.col("cluster_id"))
+        .select("doc_id", "cluster_id", "cluster_size", "keep")
+        .orderBy("doc_id")
+    )
+
+
+def _dedup_clusters_oracle_sql() -> str:
+    # the pair list IS Q_MINHASH_SQL (kept in lockstep by construction);
+    # min-reachable-label via a recursive CTE: seed every doc with its own
+    # id, push labels across (bidirectional) edges, UNION-dedup bounds the
+    # walk state at V x V so it terminates, then min() per node = the
+    # component's smallest id — the same fixpoint the Spark operator finds
+    return f"""
+WITH RECURSIVE pairs AS ({Q_MINHASH_SQL}
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+), walk(id, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, w.lbl FROM walk w JOIN edges e ON e.a = w.id
+), comp AS (
+  SELECT id AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY id
+)
+SELECT doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       (doc_id = cluster_id) AS keep
+FROM comp ORDER BY doc_id
+"""
+
+
+Q_DEDUP_CLUSTERS_SQL = _dedup_clusters_oracle_sql()
+
+
 def q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints + 16-bit-prefix bucket sizes under the full
     value oracle: with the portable 63-bit token hash, DuckDB replays
