@@ -289,20 +289,34 @@ def main():
         IMAGES_CACHE = f"/tmp/bench_images_{N_IMAGES}"
         N_LINES = int(os.environ.get("BENCH_LARGE_LINES", "200000"))
         LINES_CACHE = f"/tmp/bench_lines_{N_LINES}"
+        # This host's page-fault path makes the first 2-4 passes of the 10x
+        # tier slow (identical code measured 51->24->11s descending, r5 A/B
+        # vs r4 showed the same curve on both) — a single timed pass lands
+        # mid-curve and reads as a phantom regression. Time several passes,
+        # report the min, and put every wall in the sidecar so the artifact
+        # shows its own convergence.
+        passes = max(1, int(os.environ.get("BENCH_LARGE_PASSES", "3")))
         try:
             _ensure_images(spark)
             if warmup:
                 bench_mvt_encode(spark, sf_dir)  # first-touch + JIT outside the clock
-            sc.setJobGroup("mvt_encode_large", "bench mvt_encode sf-large")
-            t0 = time.perf_counter()
-            stats = bench_mvt_encode(spark, sf_dir)
-            dt = time.perf_counter() - t0
-            att = _attribution(spark, "mvt_encode_large") or {}
+            walls = []
+            for i in range(passes):
+                # one job group per pass: _attribution sums a whole group,
+                # so the argmin pass must be attributable on its own
+                sc.setJobGroup(f"mvt_encode_large#p{i}", "bench mvt_encode sf-large")
+                t0 = time.perf_counter()
+                stats = bench_mvt_encode(spark, sf_dir)
+                walls.append(time.perf_counter() - t0)
+            dt = min(walls)
+            best = walls.index(dt)
+            att = _attribution(spark, f"mvt_encode_large#p{best}") or {}
             extras["sf_large"] = {
                 "mvt": {
                     **{k: int(v) for k, v in stats.items()},
                     "rows_in": N_IMAGES,
                     "wall_sec": round(dt, 3),
+                    "all_walls_sec": [round(w, 3) for w in walls],
                     "tiles_per_sec": round(stats["n_tiles"] / dt, 1),
                     # per-tile caps truncate features in hot metro tiles at
                     # this scale; rows/s is the scale-comparable rate
@@ -314,15 +328,20 @@ def main():
             _ensure_lines(spark)
             if warmup:
                 bench_vector_pipeline(spark)
-            sc.setJobGroup("vector_large", "bench vector_pipeline sf-large")
-            t0 = time.perf_counter()
-            vstats = bench_vector_pipeline(spark)
-            dt = time.perf_counter() - t0
-            att = _attribution(spark, "vector_large") or {}
+            walls = []
+            for i in range(passes):
+                sc.setJobGroup(f"vector_large#p{i}", "bench vector_pipeline sf-large")
+                t0 = time.perf_counter()
+                vstats = bench_vector_pipeline(spark)
+                walls.append(time.perf_counter() - t0)
+            dt = min(walls)
+            best = walls.index(dt)
+            att = _attribution(spark, f"vector_large#p{best}") or {}
             extras["sf_large"]["vector"] = {
                 **{k: int(v) for k, v in vstats.items()},
                 "lines_in": N_LINES,
                 "wall_sec": round(dt, 3),
+                "all_walls_sec": [round(w, 3) for w in walls],
                 "lines_per_sec": round(N_LINES / dt, 1),
                 "features_per_sec": round(vstats["n_features"] / dt, 1),
                 **({"stage_wall_sec": att.get("stage_wall_sec")} if att else {}),
