@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_raster_contours": Q.q_raster_contours,
         "q_vector_pipeline": Q.q_vector_pipeline,
         "q_mvt_tiles": Q.q_mvt_tiles,
+        "q_tile_refresh": Q.q_tile_refresh,
         # image codec gate (literal-expected oracle — see Q_IMAGE_INVARIANTS_SQL)
         "q_image_invariants": _q_image_invariants,
     }
@@ -170,6 +171,7 @@ def oracle_sql() -> dict[str, str]:
         "q_mbtiles_roundtrip": Q.Q_MVT_ROUNDTRIP_GEOMS_SQL,
         "q_vector_pyramid": Q.Q_VECTOR_PYRAMID_SQL,
         "q_mvt_tiles": Q.Q_MVT_TILES_SQL,
+        "q_tile_refresh": Q.Q_TILE_REFRESH_SQL,
         "q_ivf_topk": QT.Q_IVF_TOPK_SQL,
         "q_raster_contours": Q.Q_RASTER_CONTOURS_SQL,
         "q_vector_pipeline": Q.Q_VECTOR_PIPELINE_SQL,

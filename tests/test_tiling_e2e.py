@@ -422,3 +422,77 @@ def test_salted_cap_pathological_skew_10m_one_tile(spark):
               f"max_salt_group={max_group} survivors={w1_survivors}")
     finally:
         feats.unpersist()
+
+
+# ------------------------------------------------------------ refresh_tiles
+
+
+def test_refresh_tiles_equals_full_rebuild(spark):
+    """Upsert + delete + move delta: refreshing only the dirty tiles is
+    byte-identical to a full rebuild of the current state."""
+    old = images_df(spark, 800, seed=5)
+    # current state: drop ids ending in 0 (deletes), shift ids ending in 1
+    # east by 40 degrees (moves — dirty BOTH old and new tile), add 50 new
+    now = (
+        images_df(spark, 850, seed=5)
+        .filter(F.pmod(F.xxhash64("image_id"), F.lit(10)) != 0)
+        .withColumn(
+            "lon",
+            F.when(
+                F.pmod(F.xxhash64("image_id"), F.lit(10)) == 1,
+                F.pmod(F.col("lon") + 40.0 + 180.0, F.lit(360.0)) - 180.0,
+            ).otherwise(F.col("lon")),
+        )
+    )
+
+    def feats(df):
+        return tiling.point_features(
+            df, z=Z, layer="images",
+            feature_id=F.xxhash64("image_id"),
+            meta={"caption": F.col("caption")},
+        )
+
+    prev = tiling.encode_tiles(feats(old)).cache()
+    full = tiling.encode_tiles(feats(now))
+    # dirty = every tile either state assigns a changed row to: compute the
+    # symmetric difference of (feature_id -> tile key) assignments
+    a = feats(old).select("tile_z", "tile_x", "tile_y", "feature_id")
+    b = feats(now).select("tile_z", "tile_x", "tile_y", "feature_id")
+    changed = a.exceptAll(b).unionByName(b.exceptAll(a))
+    dirty = tiling.dirty_tile_keys(changed)
+    out = tiling.refresh_tiles(feats(now), prev, dirty)
+
+    want = {(r.tile_x, r.tile_y): (bytes(r.mvt), r.n_features) for r in full.collect()}
+    got = {(r.tile_x, r.tile_y): (bytes(r.mvt), r.n_features) for r in out.collect()}
+    assert got == want
+    prev.unpersist()
+
+
+def test_refresh_tiles_empty_delta_keeps_everything(spark):
+    imgs = images_df(spark, 300, seed=9)
+    feats = tiling.point_features(
+        imgs, z=Z, layer="images", feature_id=F.xxhash64("image_id")
+    )
+    prev = tiling.encode_tiles(feats).cache()
+    empty = prev.select("tile_z", "tile_x", "tile_y").filter(F.lit(False))
+    out = tiling.refresh_tiles(feats, prev, empty)
+    want = {(r.tile_x, r.tile_y): bytes(r.mvt) for r in prev.collect()}
+    got = {(r.tile_x, r.tile_y): bytes(r.mvt) for r in out.collect()}
+    assert got == want
+    prev.unpersist()
+
+
+def test_refresh_tiles_plan_broadcasts_dirty_both_sides(spark):
+    """The scale contract: dirty keys broadcast, prev pruned via
+    BroadcastHashJoin LeftAnti, features pruned via LeftSemi — the big
+    relations never shuffle for the pruning joins."""
+    imgs = images_df(spark, 200, seed=3)
+    feats = tiling.point_features(
+        imgs, z=Z, layer="images", feature_id=F.xxhash64("image_id")
+    )
+    prev = tiling.encode_tiles(feats)
+    dirty = feats.limit(20).select("tile_z", "tile_x", "tile_y")
+    plan = tiling.refresh_tiles(feats, prev, dirty)._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti, BuildRight" in plan or ("BroadcastHashJoin" in plan and "LeftAnti" in plan)
+    assert "LeftSemi" in plan
+    assert plan.count("BroadcastExchange") >= 2

@@ -503,6 +503,86 @@ ORDER BY a.tile_x, a.tile_y
 Q_MVT_TILES_SQL = _mvt_tiles_sql()
 
 
+def q_tile_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental tile maintenance under the FULL byte oracle: a previous
+    tile set built from orders minus the (o_orderkey % 97 == 0) slice, an
+    insert delta of exactly that slice, refresh_tiles re-encoding only the
+    dirty tiles — and the oracle is the closed-form varint arithmetic for
+    a full rebuild of the CURRENT state, i.e. the check IS the refresh
+    invariant (kept + rebuilt ≡ rebuild-everything, to the byte)."""
+    from vectortiles_spark.operators import tiling
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+
+    def feats(df):
+        pts = df.select(
+            "o_orderkey", "o_orderpriority",
+            lon_of(F.col("o_orderkey")), lat_of(F.col("o_orderkey")),
+        )
+        return tiling.point_features(
+            pts, z=_MERC_Z, layer="orders", feature_id=F.col("o_orderkey"),
+            meta={"priority": F.col("o_orderpriority")},
+        )
+
+    prev_rows = orders.filter(F.col("o_orderkey") % 97 != 0)
+    delta = orders.filter(F.col("o_orderkey") % 97 == 0)
+    prev_tiles = tiling.encode_tiles(feats(prev_rows))
+    dirty = tiling.dirty_tile_keys(feats(delta))
+    out = tiling.refresh_tiles(feats(orders), prev_tiles, dirty)
+    return out.select(
+        "tile_z", "tile_x", "tile_y",
+        F.col("n_features").cast("bigint").alias("n_features"),
+        F.length("mvt").cast("bigint").alias("mvt_bytes"),
+    ).orderBy("tile_x", "tile_y")
+
+
+def _tile_refresh_sql() -> str:
+    """Closed-form full-rebuild bytes for the orders point layer: layer
+    fixed overhead 13 (name 'orders' 2+6, version 2, extent 3) + keys 10
+    ('priority' 2+8) + per-distinct-priority value (4 + strlen) +
+    the same per-feature shape as _mvt_tiles_sql with vl(o_orderkey)."""
+    import math as _m
+
+    n = float(1 << _MERC_Z)
+    clamp = repr(_m.nextafter(n, 0.0))
+    fbytes = (
+        f"2 + 1 + {_vl('o_orderkey')} + 4 + 2 + 3 + {_vl('2 * px')} + {_vl('2 * py')}"
+    )
+    return f"""
+WITH pts AS (
+  SELECT o_orderkey, o_orderpriority,
+         {_sql_lon('o_orderkey')} AS lon, {_sql_lat('o_orderkey')} AS lat
+  FROM orders
+), m AS (
+  SELECT o_orderkey, o_orderpriority,
+         (lon + 180.0) / 360.0 * {n} AS fx,
+         (1.0 - ln(tan(radians(lat)) + sqrt(tan(radians(lat)) * tan(radians(lat)) + 1.0)) / pi()) / 2.0 * {n} AS fy
+  FROM pts
+), g AS (
+  SELECT o_orderkey, o_orderpriority,
+         cast(least(floor(fx), {int(n) - 1}) AS INT) AS tile_x,
+         cast(greatest(0, least(floor(fy), {int(n) - 1})) AS INT) AS tile_y,
+         least(floor((least(fx, {clamp}) - floor(least(fx, {clamp}))) * 4096.0), 4095)::BIGINT AS px,
+         least(floor((greatest(0.0, least(fy, {clamp})) - floor(greatest(0.0, least(fy, {clamp})))) * 4096.0), 4095)::BIGINT AS py
+  FROM m
+), agg AS (
+  SELECT tile_x, tile_y, count(*) AS n_features, sum({fbytes})::BIGINT AS fb
+  FROM g GROUP BY 1, 2
+), seg AS (
+  SELECT tile_x, tile_y, sum(4 + length(s))::BIGINT AS vbytes FROM (
+    SELECT DISTINCT tile_x, tile_y, o_orderpriority AS s FROM g
+  ) GROUP BY 1, 2
+)
+SELECT {_MERC_Z} AS tile_z, a.tile_x, a.tile_y, a.n_features::BIGINT AS n_features,
+       (1 + {_vl('(23 + s.vbytes + a.fb)')} + 23 + s.vbytes + a.fb)::BIGINT AS mvt_bytes
+FROM agg a JOIN seg s USING (tile_x, tile_y)
+ORDER BY a.tile_x, a.tile_y
+"""
+
+
+Q_TILE_REFRESH_SQL = _tile_refresh_sql()
+
+
 def q_quadkey(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bing/Azure quadkey addressing under the value oracle: customer
     tiles at z=6 -> quadkey strings (pure Column bit arithmetic) and the
