@@ -168,3 +168,86 @@ def test_decode_tiles_layer_selective(spark):
     want = sorted(key(r) for r in full.collect() if r.layer == "roads")
     got = sorted(key(r) for r in sel.collect())
     assert got == want and len(got) > 0
+
+
+# ---------------------------------------------------------------- wire merge
+
+
+def test_split_layer_frames_partitions_roads_exactly():
+    """Splitting roads.mvt into layer frames is lossless (frames
+    concatenate back to the original bytes, names and feature counts
+    match the full decode) — pins the zero-copy merge fast path."""
+    raw = load("roads")
+    frames = codec.split_layer_frames(raw)
+    t = codec.decode_tile(raw)
+    assert [n for n, _, _ in frames] == list(t)
+    assert {n: c for n, _, c in frames} == {n: len(l.features) for n, l in t.items()}
+    assert b"".join(f for _, f, _ in frames) == raw
+
+
+def test_merge_tile_blobs_disjoint_equals_combined_encode():
+    raw = load("roads")
+    t = codec.decode_tile(raw)
+    full = codec.encode_tile(t.values())
+    half1 = codec.encode_tile([l for n, l in t.items() if n < "m"])
+    half2 = codec.encode_tile([l for n, l in t.items() if n >= "m"])
+    merged, nf, nl = codec.merge_tile_blobs([half2, half1])
+    assert merged == full
+    assert nf == sum(len(l.features) for l in t.values())
+    assert nl == len(t)
+
+
+def test_merge_tile_blobs_collision_distinct_ids_byte_exact():
+    import copy
+
+    road = codec.decode_tile(load("roads"))["road"]
+    c = copy.deepcopy(road)
+    for i, f in enumerate(c.features):
+        f.feature_id = i + 1
+    a, b = copy.deepcopy(c), copy.deepcopy(c)
+    a.features = [f for f in c.features if f.feature_id % 2 == 0]
+    b.features = [f for f in c.features if f.feature_id % 2 == 1]
+    merged, nf, _ = codec.merge_tile_blobs(
+        [codec.encode_tile([b]), codec.encode_tile([a])]
+    )
+    w = copy.deepcopy(c)
+    w.features = sorted(c.features, key=lambda f: (f.geom_type, f.feature_id))
+    assert merged == codec.encode_tile([w])
+    assert nf == len(c.features)
+
+
+def test_merge_tile_blobs_collision_tied_ids_semantic_equality():
+    """roads' features all carry id 0: byte order on ties is merge-order
+    dependent, but the decoded feature SETS must still match a combined
+    encode."""
+    import copy
+
+    road = codec.decode_tile(load("roads"))["road"]
+    a, b = copy.deepcopy(road), copy.deepcopy(road)
+    a.features = [f for i, f in enumerate(road.features) if i % 2 == 0]
+    b.features = [f for i, f in enumerate(road.features) if i % 2 == 1]
+    merged, _, _ = codec.merge_tile_blobs(
+        [codec.encode_tile([a]), codec.encode_tile([b])]
+    )
+    assert codec.roundtrip_features(merged) == codec.roundtrip_features(
+        codec.encode_tile([road])
+    )
+
+
+def test_merge_tile_blobs_rejects_intra_blob_duplicate_and_mismatch():
+    import copy
+
+    road = codec.decode_tile(load("roads"))["road"]
+    frame = codec.encode_tile([road])
+    with pytest.raises(ValueError, match="within one blob"):
+        codec.merge_tile_blobs([frame + frame])
+    other = copy.deepcopy(road)
+    other.extent = 2048
+    with pytest.raises(ValueError, match="version/extent"):
+        codec.merge_tile_blobs([frame, codec.encode_tile([other])])
+
+
+def test_merge_tile_blobs_single_input_passthrough():
+    raw = codec.encode_tile(codec.decode_tile(load("roads")).values())
+    merged, nf, nl = codec.merge_tile_blobs([raw])
+    assert merged == raw

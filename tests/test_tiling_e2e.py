@@ -496,3 +496,67 @@ def test_refresh_tiles_plan_broadcasts_dirty_both_sides(spark):
     assert "LeftAnti, BuildRight" in plan or ("BroadcastHashJoin" in plan and "LeftAnti" in plan)
     assert "LeftSemi" in plan
     assert plan.count("BroadcastExchange") >= 2
+
+
+# ---------------------------------------------------------- merge_tile_sets
+
+
+def test_merge_tile_sets_disjoint_layers_byte_exact(spark):
+    """Two thematic tile sets with disjoint layer names: the wire-level
+    splice equals one combined encode, byte for byte."""
+    imgs = images_df(spark, 500, seed=21)
+    a = imgs.filter(F.pmod(F.xxhash64("image_id"), F.lit(2)) == 0)
+    b = imgs.filter(F.pmod(F.xxhash64("image_id"), F.lit(2)) == 1)
+
+    def feats(df, layer):
+        return tiling.point_features(
+            df, z=Z, layer=layer, feature_id=F.xxhash64("image_id"),
+            meta={"caption": F.col("caption")},
+        )
+
+    ta = tiling.encode_tiles(feats(a, "evens"))
+    tb = tiling.encode_tiles(feats(b, "odds"))
+    merged = tiling.merge_tile_sets(ta, tb)
+    full = tiling.encode_tiles(feats(a, "evens").unionByName(feats(b, "odds")))
+    want = {(r.tile_x, r.tile_y): (bytes(r.mvt), r.n_features, r.n_layers)
+            for r in full.collect()}
+    got = {(r.tile_x, r.tile_y): (bytes(r.mvt), r.n_features, r.n_layers)
+           for r in merged.collect()}
+    assert got == want
+
+
+def test_merge_tile_sets_colliding_layer_byte_exact(spark):
+    """Same layer name in both inputs with distinct feature ids: the
+    decode+union+re-encode slow path still reproduces the combined
+    encode exactly."""
+    imgs = images_df(spark, 400, seed=22)
+    a = imgs.filter(F.pmod(F.xxhash64("image_id"), F.lit(2)) == 0)
+    b = imgs.filter(F.pmod(F.xxhash64("image_id"), F.lit(2)) == 1)
+
+    def feats(df):
+        return tiling.point_features(
+            df, z=Z, layer="images", feature_id=F.xxhash64("image_id")
+        )
+
+    merged = tiling.merge_tile_sets(
+        tiling.encode_tiles(feats(a)), tiling.encode_tiles(feats(b))
+    )
+    full = tiling.encode_tiles(feats(imgs))
+    want = {(r.tile_x, r.tile_y): bytes(r.mvt) for r in full.collect()}
+    got = {(r.tile_x, r.tile_y): bytes(r.mvt) for r in merged.collect()}
+    assert got == want
+
+
+def test_merge_tile_sets_partitioning_independent(spark):
+    imgs = images_df(spark, 300, seed=23)
+    f1 = tiling.point_features(
+        imgs, z=Z, layer="l1", feature_id=F.xxhash64("image_id"))
+    f2 = tiling.point_features(
+        imgs, z=Z, layer="l2", feature_id=F.xxhash64("image_id"))
+    t1, t2 = tiling.encode_tiles(f1), tiling.encode_tiles(f2)
+    a = {(r.tile_x, r.tile_y): bytes(r.mvt)
+         for r in tiling.merge_tile_sets(t1, t2, partitions=1).collect()}
+    b = {(r.tile_x, r.tile_y): bytes(r.mvt)
+         for r in tiling.merge_tile_sets(t1.repartition(7), t2.repartition(3),
+                                         partitions=13).collect()}
+    assert a == b

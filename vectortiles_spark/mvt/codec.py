@@ -1056,3 +1056,112 @@ def roundtrip_features(data: bytes) -> dict[str, list]:
         name: sorted(f.canonical() for f in layer.features)
         for name, layer in decode_tile(data).items()
     }
+
+
+# ---------------- wire-level tile merge ----------------
+
+
+def split_layer_frames(data: bytes) -> list[tuple[str, bytes, int]]:
+    """Top-level split of an MVT blob into its layer frames WITHOUT
+    feature parsing: one (name, framed_bytes, n_features) per Tile.layers
+    entry, where framed_bytes includes the field-3 tag + length prefix so
+    frames concatenate back into a valid tile. n_features counts the
+    layer's field-2 entries by tag-walking (O(#fields), no geometry or
+    value decode). Raises on torn/malformed framing like parse_raw_tile."""
+    buf = memoryview(data)
+    pos, end = 0, len(buf)
+    out = []
+    while pos < end:
+        start = pos
+        fnum, wt, pos = wire.read_tag(buf, pos)
+        if fnum == 3 and wt == wire.WT_LEN:
+            n, pos = wire.read_varint(buf, pos)
+            if pos + n > end:
+                raise ValueError("truncated layer message")
+            body_start, body_end = pos, pos + n
+            name = _peek_layer_name(buf[body_start:body_end]) or ""
+            nfeat = 0
+            p = body_start
+            while p < body_end:
+                fn, w, p = wire.read_tag(buf, p)
+                if w == wire.WT_LEN:
+                    ln, p = wire.read_varint(buf, p)
+                    if p + ln > body_end:
+                        raise ValueError("field overruns layer message")
+                    if fn == 2:
+                        nfeat += 1
+                    p += ln
+                else:
+                    p = wire.skip_field(buf, p, w)
+            out.append((name, bytes(buf[start:body_end]), nfeat))
+            pos = body_end
+        else:
+            pos = wire.skip_field(buf, pos, wt)
+    return out
+
+
+def merge_tile_blobs(blobs) -> tuple[bytes, int, int]:
+    """Merge several MVT blobs for the SAME tile key into one tile.
+
+    Fast path (the common case — separately-built thematic tile sets have
+    disjoint layer names): the original layer frames are spliced back
+    together in name-sorted order with ZERO re-encoding, so the output is
+    byte-identical to encode_tile over the union of the layers (layer
+    frames are independent in the wire format and encode_tile is exactly
+    name-sorted frame concatenation).
+
+    Name collisions across blobs fall back to decode + feature-union +
+    re-encode for the colliding names only; merged features are ordered
+    by (geom_type, feature_id) — the same order encode_tiles' partition
+    sort produces — so the result still matches a from-features rebuild
+    whenever feature ids are distinct within (layer, geom_type). Version/
+    extent mismatches and duplicate names INSIDE one blob (where decode
+    keeps last but a merge would keep both) raise ValueError.
+
+    Returns (merged_bytes, n_features, n_layers)."""
+    by_name: dict[str, list[tuple[bytes, int]]] = {}
+    for blob in blobs:
+        seen = set()
+        for name, frame, nfeat in split_layer_frames(bytes(blob)):
+            if name in seen:
+                raise ValueError(
+                    f"merge_tile_blobs: duplicate layer {name!r} within one "
+                    "blob (decode keeps last; a merge would keep both)"
+                )
+            seen.add(name)
+            by_name.setdefault(name, []).append((frame, nfeat))
+    out = bytearray()
+    total = 0
+    for name in sorted(by_name):
+        entries = by_name[name]
+        if len(entries) == 1:
+            frame, nfeat = entries[0]
+            out += frame
+            total += nfeat
+            continue
+        # collision: decode each frame (each is itself a valid 1-layer
+        # tile), union features, re-encode once
+        merged = None
+        for frame, _ in entries:
+            (layer,) = decode_tile(bytes(frame)).values()
+            if merged is None:
+                merged = layer
+            elif (layer.version, layer.extent) != (merged.version, merged.extent):
+                raise ValueError(
+                    f"merge_tile_blobs: layer {name!r} version/extent mismatch "
+                    f"({layer.version},{layer.extent}) vs "
+                    f"({merged.version},{merged.extent})"
+                )
+            else:
+                merged.features = merged.features + layer.features
+        # decode yields wire-unsigned uint64 ids; encode_tiles sorts the
+        # SIGNED bigint column, so order by the signed reinterpretation
+        merged.features.sort(
+            key=lambda f: (
+                f.geom_type,
+                f.feature_id - (1 << 64) if f.feature_id >= (1 << 63) else f.feature_id,
+            )
+        )
+        out += wire.len_delimited(3, encode_layer(merged))
+        total += len(merged.features)
+    return bytes(out), total, len(by_name)

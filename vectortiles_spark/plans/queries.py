@@ -583,6 +583,60 @@ ORDER BY a.tile_x, a.tile_y
 Q_TILE_REFRESH_SQL = _tile_refresh_sql()
 
 
+def q_tile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile-set composition under the FULL byte oracle: the customers
+    point tiles (q_mvt_tiles) and the orders point tiles (q_tile_refresh's
+    full state) built as separate jobs, then merge_tile_sets splices the
+    layer frames per (z,x,y) at the wire level — and n_features comes from
+    the merger's tag-walk over the blobs, not from the encode stage. The
+    oracle is COMPOSITIONAL: layer frames are independent in the MVT wire
+    format, so the merged blob length is exactly the sum of the two
+    layers' closed-form framed byte counts."""
+    from vectortiles_spark.operators import tiling
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    cpts = cust.select(
+        "c_custkey", "c_mktsegment", lon_of(F.col("c_custkey")), lat_of(F.col("c_custkey"))
+    )
+    cust_tiles = tiling.encode_tiles(
+        tiling.point_features(
+            cpts, z=_MERC_Z, layer="customers", feature_id=F.col("c_custkey"),
+            meta={"segment": F.col("c_mktsegment")},
+        )
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    opts = orders.select(
+        "o_orderkey", "o_orderpriority", lon_of(F.col("o_orderkey")), lat_of(F.col("o_orderkey"))
+    )
+    ord_tiles = tiling.encode_tiles(
+        tiling.point_features(
+            opts, z=_MERC_Z, layer="orders", feature_id=F.col("o_orderkey"),
+            meta={"priority": F.col("o_orderpriority")},
+        )
+    )
+    merged = tiling.merge_tile_sets(cust_tiles, ord_tiles)
+    return merged.select(
+        "tile_z", "tile_x", "tile_y",
+        F.col("n_features").cast("bigint").alias("n_features"),
+        F.col("n_layers").cast("bigint").alias("n_layers"),
+        F.length("mvt").cast("bigint").alias("mvt_bytes"),
+    ).orderBy("tile_x", "tile_y")
+
+
+Q_TILE_MERGE_SQL = f"""
+WITH c AS (SELECT * FROM ({Q_MVT_TILES_SQL})), o AS (SELECT * FROM ({Q_TILE_REFRESH_SQL}))
+SELECT {_MERC_Z} AS tile_z,
+       coalesce(c.tile_x, o.tile_x) AS tile_x,
+       coalesce(c.tile_y, o.tile_y) AS tile_y,
+       (coalesce(c.n_features, 0) + coalesce(o.n_features, 0))::BIGINT AS n_features,
+       ((CASE WHEN c.tile_x IS NULL THEN 0 ELSE 1 END)
+        + (CASE WHEN o.tile_x IS NULL THEN 0 ELSE 1 END))::BIGINT AS n_layers,
+       (coalesce(c.mvt_bytes, 0) + coalesce(o.mvt_bytes, 0))::BIGINT AS mvt_bytes
+FROM c FULL JOIN o ON c.tile_x = o.tile_x AND c.tile_y = o.tile_y
+ORDER BY tile_x, tile_y
+"""
+
+
 def q_quadkey(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bing/Azure quadkey addressing under the value oracle: customer
     tiles at z=6 -> quadkey strings (pure Column bit arithmetic) and the
