@@ -3,6 +3,7 @@
 import numpy as np
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from vectortiles_spark.mvt import codec
 from vectortiles_spark.mvt.geometry import surveyor
@@ -97,3 +98,68 @@ def test_empty_raster_produces_no_features(spark):
     )
     feats = raster_to_features(spark.createDataFrame(pdf))
     assert feats.count() == 0
+
+
+# ------------------------------------------------------------ rasterize_points
+
+
+def test_rasterize_points_matches_numpy_twin(spark):
+    """Mercator density grid vs a brute-force NumPy binning of the same
+    points (tile_xy_np/tile_pixel_np are the pinned scalar twins)."""
+    from vectortiles_spark.functions.tiles import tile_pixel_np, tile_xy_np
+    from vectortiles_spark.operators.raster import rasterize_points
+
+    rng = np.random.default_rng(7)
+    n = 4000
+    lon = rng.uniform(-179.9, 179.9, n)
+    lat = rng.uniform(-84.9, 84.9, n)
+    w = np.round(rng.uniform(0, 100, n), 2)
+    df = spark.createDataFrame(pd.DataFrame({"lon": lon, "lat": lat, "w": w}))
+    got = {
+        (r.tile_x, r.tile_y, r.cell_x, r.cell_y): (r.n, r.w_sum)
+        for r in rasterize_points(df, z=4, cells=8, weight="w").collect()
+    }
+    tx, ty = tile_xy_np(lon, lat, 4)
+    px, py = tile_pixel_np(lon, lat, 4)
+    want: dict = {}
+    for i in range(n):
+        k = (int(tx[i]), int(ty[i]), int(px[i]) >> 9, int(py[i]) >> 9)
+        c, s = want.get(k, (0, 0.0))
+        want[k] = (c + 1, s + w[i])
+    assert set(got) == set(want)
+    for k, (c, s) in want.items():
+        assert got[k][0] == c
+        assert abs(got[k][1] - round(s, 2)) < 1e-6
+    # sparse bound: never more than cells^2 rows per tile
+    from collections import Counter
+
+    per_tile = Counter((k[0], k[1]) for k in got)
+    assert max(per_tile.values()) <= 64
+
+
+def test_rasterize_points_single_aggregate_plan(spark):
+    """ONE hash aggregate with a map-side partial: exactly one Exchange,
+    keyed on the full (tile, cell) grain, two HashAggregate spans."""
+    from vectortiles_spark.operators.raster import rasterize_points
+
+    df = spark.range(1000).select(
+        (F.pmod(F.col("id") * 9973, F.lit(36000)) / 100.0 - 180.0).alias("lon"),
+        (F.pmod(F.col("id") * 7919, F.lit(17000)) / 100.0 - 85.0).alias("lat"),
+    )
+    plan = (
+        rasterize_points(df, z=5, cells=16)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "cell_x" in plan.split("Exchange")[1].splitlines()[0]
+    assert plan.count("HashAggregate") == 2
+
+
+def test_rasterize_points_validation(spark):
+    from vectortiles_spark.operators.raster import rasterize_points
+
+    df = spark.range(1).select(F.lit(0.0).alias("lon"), F.lit(0.0).alias("lat"))
+    with pytest.raises(ValueError, match="divide"):
+        rasterize_points(df, z=3, cells=100)
+    with pytest.raises(ValueError, match="projection"):
+        rasterize_points(df, z=3, cells=16, projection="sinusoidal")

@@ -560,3 +560,70 @@ def test_merge_tile_sets_partitioning_independent(spark):
          for r in tiling.merge_tile_sets(t1.repartition(7), t2.repartition(3),
                                          partitions=13).collect()}
     assert a == b
+
+
+# ------------------------------------------------------------ diff_tile_sets
+
+
+def _pt_tiles(spark, df):
+    return tiling.encode_tiles(
+        tiling.point_features(
+            df, z=Z, layer="images", feature_id=F.xxhash64("image_id"),
+            meta={"caption": F.col("caption")},
+        )
+    )
+
+
+def test_diff_tile_sets_statuses(spark):
+    """added/removed/changed/unchanged all classified correctly against a
+    brute-force per-tile membership comparison."""
+    imgs = images_df(spark, 600, seed=31).cache()
+    old_rows = imgs.filter(F.pmod(F.xxhash64("image_id"), F.lit(5)) != 0)
+    new_rows = imgs.filter(F.pmod(F.xxhash64("image_id"), F.lit(3)) != 0)
+    diff = tiling.diff_tile_sets(
+        _pt_tiles(spark, old_rows), _pt_tiles(spark, new_rows),
+        include_unchanged=True,
+    ).collect()
+
+    def members(df):
+        out = {}
+        feats = tiling.point_features(
+            df, z=Z, layer="images", feature_id=F.xxhash64("image_id"))
+        for r in feats.select("tile_x", "tile_y", "feature_id").collect():
+            out.setdefault((r.tile_x, r.tile_y), set()).add(r.feature_id)
+        return out
+
+    mo, mn = members(old_rows), members(new_rows)
+    assert {r.status for r in diff} == {"added", "removed", "changed", "unchanged"}
+    for r in diff:
+        k = (r.tile_x, r.tile_y)
+        o, nn = mo.get(k), mn.get(k)
+        want = ("added" if o is None else "removed" if nn is None
+                else "unchanged" if o == nn else "changed")
+        assert r.status == want, (k, r.status, want)
+        assert (r.n_features_old or 0) == len(o or ()) and (r.n_features_new or 0) == len(nn or ())
+    assert {(r.tile_x, r.tile_y) for r in diff} == set(mo) | set(mn)
+
+
+def test_diff_tile_sets_identical_all_unchanged(spark):
+    imgs = images_df(spark, 300, seed=32)
+    t = _pt_tiles(spark, imgs)
+    d = tiling.diff_tile_sets(t, _pt_tiles(spark, imgs))
+    assert d.count() == 0  # default filters unchanged; encode is deterministic
+
+
+def test_diff_tile_sets_plan_slims_before_join(spark):
+    """The full-outer exchange must move (key, counts, length, hash) — the
+    mvt binary itself must be projected away BEFORE the join on both
+    sides."""
+    imgs = images_df(spark, 200, seed=33)
+    a = _pt_tiles(spark, imgs.limit(150))
+    b = _pt_tiles(spark, imgs.limit(180))
+    plan = tiling.diff_tile_sets(a, b)._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(tile_z[^\n]*", plan):
+        assert "mvt#" not in m.group(0)
+    # the join itself never sees the blob column
+    join_lines = [l for l in plan.splitlines() if "SortMergeJoin" in l or "ShuffledHashJoin" in l]
+    assert join_lines and all("mvt#" not in l for l in join_lines)

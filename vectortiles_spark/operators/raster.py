@@ -197,3 +197,81 @@ def raster_to_features(
             ]))
 
     return rasters.mapInArrow(trace, schema=FEATURE_SCHEMA)
+
+
+# ---------------- vector -> raster (points to density grids) ----------------
+
+
+def rasterize_points(
+    df: DataFrame,
+    z: int,
+    cells: int = 16,
+    lon: str = "lon",
+    lat: str = "lat",
+    weight: str | None = None,
+    projection: str = "webmercator",
+    extent: int = 4096,
+) -> DataFrame:
+    """Bin world-space points into per-tile density grids — the inverse of
+    ``raster_to_features``: vector rows in, raster cell aggregates out
+    (heatmap tiles, coverage masks, decimated preview layers).
+
+    Output is one row per NON-EMPTY (tile, cell): ``(tile_z, tile_x,
+    tile_y, cell_x, cell_y, n[, w_sum])`` — the sparse representation, so
+    an all-ocean tile costs nothing and a dense metro tile costs at most
+    cells^2 rows regardless of input skew. Rows feed ``raster_to_features``
+    (densify to a grid per tile) or a client heatmap directly.
+
+    Scale shape: pure Column arithmetic (projection + floor bins, JVM
+    whole-stage codegen) into ONE hash aggregate keyed on (tile, cell);
+    map-side partial aggregation collapses each partition to <= tiles x
+    cells^2 rows before the exchange, so shuffle volume is bounded by the
+    OUTPUT size, not the input row count — hot tiles cannot skew the
+    exchange the way raw feature shuffles can (cf. cap_features_per_tile
+    for the feature-sink analogue).
+
+    ``projection='webmercator'`` uses the engine's tile grid
+    (functions.tiles); ``'equirect'`` is the pure-arithmetic grid that the
+    DuckDB oracle replays bit-for-bit (plans.queries.Q_RASTERIZE_SQL).
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions import tiles as T
+
+    if extent % cells:
+        raise ValueError(f"cells={cells} must divide extent={extent}")
+    if projection not in ("webmercator", "equirect"):
+        raise ValueError(f"unknown projection {projection!r}")
+    lon_c, lat_c = F.col(lon), F.col(lat)
+    if projection == "webmercator":
+        tx, ty = T.tile_x(lon_c, z), T.tile_y(lat_c, z)
+        px, py = T.tile_px(lon_c, z, extent), T.tile_py(lat_c, z, extent)
+    else:
+        n = float(1 << z)
+        fx = (lon_c + 180.0) / 360.0 * n
+        fy = (85.0 - lat_c) / 170.0 * n
+        tx = F.least(F.floor(fx), F.lit(float((1 << z) - 1))).cast("int")
+        ty = F.least(F.floor(fy), F.lit(float((1 << z) - 1))).cast("int")
+        # px on the clamped-to-last-tile fraction, mirroring tile_px's
+        # east/south edge behavior: frac relative to the CLAMPED tile
+        fx0 = F.least(fx, F.lit(float((1 << z) - 1)))
+        fy0 = F.least(fy, F.lit(float((1 << z) - 1)))
+        px = F.least(
+            F.floor((fx - F.floor(fx0)) * float(extent)), F.lit(float(extent - 1))
+        ).cast("int")
+        py = F.least(
+            F.floor((fy - F.floor(fy0)) * float(extent)), F.lit(float(extent - 1))
+        ).cast("int")
+    shift = (extent // cells).bit_length() - 1
+    binned = df.select(
+        F.lit(z).alias("tile_z"),
+        tx.alias("tile_x"),
+        ty.alias("tile_y"),
+        F.shiftright(px, shift).alias("cell_x"),
+        F.shiftright(py, shift).alias("cell_y"),
+        *([F.col(weight).alias("_w")] if weight else []),
+    )
+    aggs = [F.count("*").alias("n")]
+    if weight:
+        aggs.append(F.round(F.sum("_w"), 2).alias("w_sum"))
+    return binned.groupBy("tile_z", "tile_x", "tile_y", "cell_x", "cell_y").agg(*aggs)

@@ -1161,3 +1161,50 @@ def merge_tile_sets(*tile_sets: DataFrame, partitions: int | None = None) -> Dat
         *key, F.col("_src")
     )
     return ordered.mapInArrow(_make_merge_stream(), schema=TILE_SCHEMA)
+
+
+def diff_tile_sets(
+    old: DataFrame,
+    new: DataFrame,
+    include_unchanged: bool = False,
+) -> DataFrame:
+    """Compare two tile sets key-by-key — the change-detection half of the
+    incremental pipeline (refresh_tiles applies deltas; this MEASURES them:
+    CDC feeds, cache invalidation lists, deploy diffs between two builds).
+
+    Output: one row per tile key present in either input, with
+    ``status`` in {'added','removed','changed','unchanged'}, both sides'
+    n_features and blob byte counts (NULL on the absent side). 'changed'
+    means the blobs differ byte-for-byte — the engine's encode is
+    deterministic in the feature multiset, so byte equality IS semantic
+    equality here, and a spurious 'changed' on identical inputs would
+    expose encode nondeterminism (the oracle exploits exactly that).
+
+    Scale shape: each side is pre-projected to (key, n_features,
+    byte-length, xxhash64(blob)) BEFORE the join — the full-outer
+    sort-merge exchange moves 3 ints + a hash per tile, never the blobs
+    themselves. include_unchanged=False (default) filters the typically
+    ~99% unchanged mass right after the join, before anything downstream.
+    """
+    def slim(df, side):
+        return df.select(
+            *TILE_KEY,
+            F.col("n_features").cast("bigint").alias(f"n_features_{side}"),
+            F.length("mvt").cast("bigint").alias(f"mvt_bytes_{side}"),
+            F.xxhash64("mvt").alias(f"_h_{side}"),
+        )
+    a, b = slim(old, "old"), slim(new, "new")
+    j = a.join(b, list(TILE_KEY), "full_outer")
+    status = (
+        F.when(F.col("_h_old").isNull(), F.lit("added"))
+        .when(F.col("_h_new").isNull(), F.lit("removed"))
+        .when(F.col("_h_old") == F.col("_h_new"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    out = j.select(
+        *TILE_KEY, status.alias("status"),
+        "n_features_old", "n_features_new", "mvt_bytes_old", "mvt_bytes_new",
+    )
+    if not include_unchanged:
+        out = out.filter(F.col("status") != "unchanged")
+    return out

@@ -637,6 +637,153 @@ ORDER BY tile_x, tile_y
 """
 
 
+def q_tile_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile-set change detection under a closed-form oracle: two builds of
+    the customers layer from overlapping subsets (custkey % 11 != 0 vs
+    % 7 != 0) diffed key-by-key. The Spark side classifies by comparing
+    xxhash64 of the actual blobs; the oracle classifies by MEMBERSHIP
+    (symmetric-difference count per tile) and recomputes both sides' exact
+    varint byte counts — so a hash-based 'changed' can only match the
+    membership-based verdict if the engine's encode is deterministic and
+    byte-stable, which makes this query a determinism gate too."""
+    from vectortiles_spark.operators import tiling
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+
+    def tiles(df):
+        pts = df.select(
+            "c_custkey", "c_mktsegment",
+            lon_of(F.col("c_custkey")), lat_of(F.col("c_custkey")),
+        )
+        return tiling.encode_tiles(
+            tiling.point_features(
+                pts, z=_MERC_Z, layer="customers", feature_id=F.col("c_custkey"),
+                meta={"segment": F.col("c_mktsegment")},
+            )
+        )
+
+    old = tiles(cust.filter(F.col("c_custkey") % 11 != 0))
+    new = tiles(cust.filter(F.col("c_custkey") % 7 != 0))
+    return tiling.diff_tile_sets(old, new, include_unchanged=True).orderBy(
+        "tile_x", "tile_y"
+    )
+
+
+def _tile_diff_sql() -> str:
+    """Both sides' blob bytes via the q_mvt_tiles closed form, statuses via
+    per-tile membership: added = no old members, removed = no new members,
+    unchanged = zero symmetric difference, else changed."""
+    import math as _m
+
+    n = float(1 << _MERC_Z)
+    clamp = repr(_m.nextafter(n, 0.0))
+    fbytes = (
+        f"2 + 1 + {_vl('c_custkey')} + 4 + 2 + 3 + {_vl('2 * px')} + {_vl('2 * py')}"
+    )
+    blob = "1 + {vl} + 25 + vb{s} + fb{s}".format
+    return f"""
+WITH pts AS (
+  SELECT c_custkey, c_mktsegment,
+         {_sql_lon('c_custkey')} AS lon, {_sql_lat('c_custkey')} AS lat,
+         (c_custkey % 11 <> 0) AS in_old, (c_custkey % 7 <> 0) AS in_new
+  FROM customer
+), m AS (
+  SELECT c_custkey, c_mktsegment, in_old, in_new,
+         (lon + 180.0) / 360.0 * {n} AS fx,
+         (1.0 - ln(tan(radians(lat)) + sqrt(tan(radians(lat)) * tan(radians(lat)) + 1.0)) / pi()) / 2.0 * {n} AS fy
+  FROM pts
+), g AS (
+  SELECT c_custkey, c_mktsegment, in_old, in_new,
+         cast(least(floor(fx), {int(n) - 1}) AS INT) AS tile_x,
+         cast(greatest(0, least(floor(fy), {int(n) - 1})) AS INT) AS tile_y,
+         least(floor((least(fx, {clamp}) - floor(least(fx, {clamp}))) * 4096.0), 4095)::BIGINT AS px,
+         least(floor((greatest(0.0, least(fy, {clamp})) - floor(greatest(0.0, least(fy, {clamp})))) * 4096.0), 4095)::BIGINT AS py
+  FROM m
+), agg AS (
+  SELECT tile_x, tile_y,
+         count(*) FILTER (WHERE in_old) AS n_old,
+         count(*) FILTER (WHERE in_new) AS n_new,
+         coalesce(sum({fbytes}) FILTER (WHERE in_old), 0)::BIGINT AS fbold,
+         coalesce(sum({fbytes}) FILTER (WHERE in_new), 0)::BIGINT AS fbnew,
+         count(*) FILTER (WHERE in_old <> in_new) AS n_sym
+  FROM g GROUP BY 1, 2
+), seg AS (
+  SELECT tile_x, tile_y,
+         coalesce(sum(4 + length(s)) FILTER (WHERE o), 0)::BIGINT AS vbold,
+         coalesce(sum(4 + length(s)) FILTER (WHERE nn), 0)::BIGINT AS vbnew
+  FROM (
+    SELECT tile_x, tile_y, c_mktsegment AS s,
+           bool_or(in_old) AS o, bool_or(in_new) AS nn
+    FROM g GROUP BY 1, 2, 3
+  ) GROUP BY 1, 2
+)
+SELECT {_MERC_Z} AS tile_z, a.tile_x, a.tile_y,
+       CASE WHEN n_old = 0 THEN 'added'
+            WHEN n_new = 0 THEN 'removed'
+            WHEN n_sym = 0 THEN 'unchanged'
+            ELSE 'changed' END AS status,
+       CASE WHEN n_old = 0 THEN NULL ELSE n_old END::BIGINT AS n_features_old,
+       CASE WHEN n_new = 0 THEN NULL ELSE n_new END::BIGINT AS n_features_new,
+       CASE WHEN n_old = 0 THEN NULL ELSE
+         {blob(vl=_vl('(25 + vbold + fbold)'), s='old')} END::BIGINT AS mvt_bytes_old,
+       CASE WHEN n_new = 0 THEN NULL ELSE
+         {blob(vl=_vl('(25 + vbnew + fbnew)'), s='new')} END::BIGINT AS mvt_bytes_new
+FROM agg a JOIN seg s USING (tile_x, tile_y)
+WHERE n_old > 0 OR n_new > 0
+ORDER BY a.tile_x, a.tile_y
+"""
+
+
+Q_TILE_DIFF_SQL = _tile_diff_sql()
+
+
+def q_rasterize_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector -> raster under the value oracle: customers binned into
+    16x16 density grids per z=5 equirectangular tile with an account-
+    balance weight — sparse (tile, cell) rows out, one hash aggregate,
+    shuffle bounded by OUTPUT cardinality (the operator docstring's
+    map-side-combine argument, exercised here against exact SQL)."""
+    from vectortiles_spark.operators.raster import rasterize_points
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    pts = cust.select(
+        "c_acctbal", lon_of(F.col("c_custkey")), lat_of(F.col("c_custkey"))
+    )
+    return rasterize_points(
+        pts, z=5, cells=16, weight="c_acctbal", projection="equirect"
+    ).orderBy("tile_x", "tile_y", "cell_x", "cell_y")
+
+
+def _rasterize_sql() -> str:
+    n = float(1 << 5)
+    top = (1 << 5) - 1
+    return f"""
+WITH pts AS (
+  SELECT c_acctbal, {_sql_lon('c_custkey')} AS lon, {_sql_lat('c_custkey')} AS lat
+  FROM customer
+), f AS (
+  SELECT c_acctbal,
+         (lon + 180.0) / 360.0 * {n} AS fx,
+         (85.0 - lat) / 170.0 * {n} AS fy
+  FROM pts
+), g AS (
+  SELECT c_acctbal,
+         cast(least(floor(fx), {float(top)}) AS INT) AS tile_x,
+         cast(least(floor(fy), {float(top)}) AS INT) AS tile_y,
+         cast(least(floor((fx - floor(least(fx, {float(top)}))) * 4096.0), 4095.0) AS INT) AS px,
+         cast(least(floor((fy - floor(least(fy, {float(top)}))) * 4096.0), 4095.0) AS INT) AS py
+  FROM f
+)
+SELECT 5 AS tile_z, tile_x, tile_y, px // 256 AS cell_x, py // 256 AS cell_y,
+       count(*) AS n, round(sum(c_acctbal), 2) AS w_sum
+FROM g GROUP BY 1, 2, 3, 4, 5
+ORDER BY tile_x, tile_y, cell_x, cell_y
+"""
+
+
+Q_RASTERIZE_DENSITY_SQL = _rasterize_sql()
+
+
 def q_quadkey(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bing/Azure quadkey addressing under the value oracle: customer
     tiles at z=6 -> quadkey strings (pure Column bit arithmetic) and the
