@@ -134,6 +134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tile_refresh": Q.q_tile_refresh,
         "q_tile_merge": Q.q_tile_merge,
         "q_tile_diff": Q.q_tile_diff,
+        "q_overzoom": Q.q_overzoom,
         "q_rasterize_density": Q.q_rasterize_density,
         # image codec gate (literal-expected oracle — see Q_IMAGE_INVARIANTS_SQL)
         "q_image_invariants": _q_image_invariants,
@@ -177,6 +178,7 @@ def oracle_sql() -> dict[str, str]:
         "q_tile_refresh": Q.Q_TILE_REFRESH_SQL,
         "q_tile_merge": Q.Q_TILE_MERGE_SQL,
         "q_tile_diff": Q.Q_TILE_DIFF_SQL,
+        "q_overzoom": Q.Q_OVERZOOM_SQL,
         "q_rasterize_density": Q.Q_RASTERIZE_DENSITY_SQL,
         "q_ivf_topk": QT.Q_IVF_TOPK_SQL,
         "q_raster_contours": Q.Q_RASTER_CONTOURS_SQL,
