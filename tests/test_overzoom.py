@@ -212,3 +212,62 @@ def test_polygon_hole_interior_to_one_child_preserved():
     assert len(f.geom) == 1 and len(f.geom[0]) == 2
     areas = sorted(_ring_area(r) for r in f.geom[0])
     assert areas == [-800 * 800, 3200 * 3200]
+
+
+# ------------------------------------------------- batched kernel differential
+
+
+def _diff_cases():
+    rng = np.random.default_rng(1)
+    lay = codec.Layer("pts")
+    segs = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    for i in range(1500):
+        lay.features.append(_feat(
+            i + 1, GEOM_POINT,
+            np.array([[rng.integers(0, 4096), rng.integers(0, 4096)]], np.int64),
+            {"segment": (1, segs[i % 5])},
+        ))
+    dense = codec.encode_tile([lay])
+    mix = codec.Layer("mix")
+    mix.features.append(_feat(1, GEOM_POINT, np.array([[10, 10]], np.int64), {"a": (1, "x")}))
+    mix.features.append(_feat(2, GEOM_POINT, np.array([[3000, 3000]], np.int64), {"b": (5, 7)}))
+    nums = codec.Layer("nums")
+    for i in range(50):
+        nums.features.append(_feat(
+            i + 1, GEOM_POINT, np.array([[i * 80, i * 80]], np.int64),
+            {"d": (3, float(i % 7)), "i": (5, i % 3), "b8": (7, bool(i % 2))},
+        ))
+    nometa = codec.Layer("nm")
+    for i in range(60):
+        nometa.features.append(_feat(i + 1, GEOM_POINT, np.array([[i * 60, i * 60]], np.int64)))
+    mp = codec.Layer("mp")
+    mp.features.append(_feat(
+        1, GEOM_POINT, np.array([[100, 100], [3000, 3000], [3050, 90]], np.int64),
+        {"s": (1, "m")},
+    ))
+    mp.features.append(_feat(2, GEOM_POINT, np.array([[200, 200]], np.int64), {"s": (1, "n")}))
+    return {
+        "roads-l1": (open(ROADS, "rb").read(), 1, 0),
+        "roads-l2": (open(ROADS, "rb").read(), 2, 0),
+        "roads-buf": (open(ROADS, "rb").read(), 1, 32),
+        "dense-pts": (dense, 1, 0),
+        "hetero-meta": (codec.encode_tile([mix]), 1, 0),
+        "three-key": (codec.encode_tile([nums]), 1, 0),
+        "no-meta": (codec.encode_tile([nometa]), 1, 0),
+        "multipoint-split": (codec.encode_tile([mp]), 1, 0),
+        "multilayer": (codec.encode_tile([lay, nums, nometa]), 1, 0),
+    }
+
+
+@pytest.mark.parametrize("case", sorted(_diff_cases()))
+def test_batched_kernel_byte_identical_to_scalar(case):
+    """overzoom_blob (batched encode_multi_tile_batch lane + object
+    fallback) must emit byte-identical children to the pure object path,
+    across metadata shapes, levels, buffers, and lane mixes."""
+    from vectortiles_spark.operators.overzoom import overzoom_blob_scalar
+
+    blob, levels, buf = _diff_cases()[case]
+    a = overzoom_blob(blob, levels, buf)
+    c = overzoom_blob_scalar(blob, levels, buf)
+    assert [x[:2] + x[3:] for x in a] == [x[:2] + x[3:] for x in c]
+    assert [x[2] for x in a] == [x[2] for x in c]

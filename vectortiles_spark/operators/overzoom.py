@@ -35,8 +35,13 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import DataFrame
 
-from ..mvt import codec
-from ..mvt.geometry import GEOM_LINESTRING, GEOM_POINT, GEOM_POLYGON
+from ..mvt import codec, wire
+from ..mvt.geometry import (
+    GEOM_LINESTRING,
+    GEOM_POINT,
+    GEOM_POLYGON,
+    geom_to_stream,
+)
 from .clip import _localize_line, _localize_ring, clip_polygon_exact, clip_polyline
 from .tiling import TILE_SCHEMA
 
@@ -53,7 +58,27 @@ def overzoom_blob(
 ) -> list[tuple[int, int, bytes, int, int]]:
     """One parent blob -> [(dx, dy, child_blob, n_features, n_layers)] for
     every non-empty child in the 2^levels x 2^levels grid. Rejects the
-    same malformed inputs decode_tile rejects."""
+    same malformed inputs decode_tile rejects.
+
+    Dispatches to the batched kernel (_overzoom_rows) — byte-identical to
+    the scalar twin below (differential-pinned in tests/test_overzoom.py),
+    ~10x faster on dense point tiles."""
+    out = []
+    z, xs, ys, ms, nfs, nls = _overzoom_rows(
+        [(0, 0, 0, data)], levels=levels, buffer_px=buffer_px
+    )
+    for x2, y2, blob, nf, nl in zip(xs, ys, ms, nfs, nls):
+        out.append((x2, y2, blob, nf, nl))
+    return out
+
+
+def overzoom_blob_scalar(
+    data: bytes, levels: int = 1, buffer_px: int = 0
+) -> list[tuple[int, int, bytes, int, int]]:
+    """Reference twin of overzoom_blob: plain per-feature object path
+    through decode_tile -> _split_feature -> encode_tile. Kept for the
+    differential suite; the distributed operator uses the batched
+    kernel."""
     if levels < 1:
         raise ValueError(f"overzoom levels must be >= 1, got {levels}")
     s = 1 << levels
@@ -169,6 +194,203 @@ def _split_feature(f, ext: int, s: int, b: int):
     raise ValueError("Geometry type of UNKNOWN given.")
 
 
+def _overzoom_rows(parents, levels: int = 1, buffer_px: int = 0):
+    """Batched overzoom kernel over MANY parents at once.
+
+    parents: iterable of (tile_z, tile_x, tile_y, mvt_bytes). Returns six
+    parallel lists (tile_z, tile_x, tile_y, mvt, n_features, n_layers),
+    children sorted by key.
+
+    Byte-identical to the scalar object path (encode_layer field order,
+    first-appearance dictionaries, stable pts->lines->polys sort,
+    parent-order feature emission) — pinned by the differential suite.
+    Two lanes per parent-layer:
+
+    * batched lane (homogeneous metadata — every feature carries the same
+      key/tag tuple, the shape every sink-produced layer has): child
+      assignment for single-point features is one vectorized block
+      (floor-div child, subtract, zigzag), everything else splits through
+      the clip kernels; ALL resulting child rows across ALL parents of
+      the batch then encode in ONE encode_multi_tile_batch call per
+      distinct (layer, extent, version, keys) group — the same ~30-array-
+      pass path the tile sink uses, no per-feature Python encode.
+    * object lane (heterogeneous metadata): per-child encode_layer, the
+      decode-side general case.
+    """
+    if levels < 1:
+        raise ValueError(f"overzoom levels must be >= 1, got {levels}")
+    s = 1 << levels
+    b = buffer_px
+    frames: dict[tuple, list] = {}  # child key -> [(name, frame, nrows)]
+    groups: dict[tuple, dict] = {}
+
+    for pz, ptx, pty, data in parents:
+        z2 = pz + levels
+        for name, layer in codec.decode_tile(bytes(data)).items():
+            ext = layer.extent
+            feats = layer.features
+            if not feats:
+                continue
+            keys0 = tuple(feats[0].metadata.keys())
+            tags0 = tuple(t for t, _ in feats[0].metadata.values())
+            # batched-lane gate: at most ONE metadata key, uniform across
+            # features. With C <= 1 the batch encoder's per-column value
+            # dictionary coincides with encode_layer's interleaved
+            # first-appearance dictionary, so both lanes emit identical
+            # bytes; C >= 2 layers keep the object path (dictionary entry
+            # ORDER would differ — decode-equal but not byte-equal).
+            gate = len(keys0) <= 1 and all(
+                tuple(f.metadata.keys()) == keys0
+                and tuple(t for t, _ in f.metadata.values()) == tags0
+                for f in feats
+            )
+            if not gate:
+                kids: dict[tuple, codec.Layer] = {}
+                for f in feats:
+                    for c, geom in _split_feature(f, ext, s, b):
+                        lay = kids.setdefault(
+                            c, codec.Layer(name, layer.version, ext, [])
+                        )
+                        lay.features.append(
+                            codec.Feature(f.feature_id, f.metadata, f.geom_type, geom)
+                        )
+                for c in sorted(kids):
+                    ck = (z2, ptx * s + c[0], pty * s + c[1])
+                    frame = wire.len_delimited(3, codec.encode_layer(kids[c]))
+                    frames.setdefault(ck, []).append(
+                        (name, frame, len(kids[c].features))
+                    )
+                continue
+
+            # ---- batched lane ----
+            single_res: dict[int, tuple] = {}
+            if b == 0:
+                singles = [
+                    i for i, f in enumerate(feats)
+                    if f.geom_type == GEOM_POINT and len(f.geom) == 1
+                ]
+                if singles:
+                    coords = (
+                        np.concatenate([feats[i].geom for i in singles]).astype(np.int64)
+                        * s
+                    )
+                    lim = s * ext
+                    ok = (
+                        (coords[:, 0] >= 0) & (coords[:, 0] <= lim)
+                        & (coords[:, 1] >= 0) & (coords[:, 1] <= lim)
+                    )
+                    cx = np.minimum(coords[:, 0] // ext, s - 1)
+                    cy = np.minimum(coords[:, 1] // ext, s - 1)
+                    lx = coords[:, 0] - cx * ext
+                    ly = coords[:, 1] - cy * ext
+                    zz = np.empty((len(singles), 3), np.uint32)
+                    zz[:, 0] = 9  # MoveTo(1)
+                    zz[:, 1] = ((lx << 1) ^ (lx >> 63)).astype(np.uint32)
+                    zz[:, 2] = ((ly << 1) ^ (ly >> 63)).astype(np.uint32)
+                    cxl, cyl, okl = cx.tolist(), cy.tolist(), ok.tolist()
+                    for j, i in enumerate(singles):
+                        single_res[i] = (okl[j], cxl[j], cyl[j], zz[j])
+
+            kid_rows: dict[tuple, list] = {}
+            for i, f in enumerate(feats):
+                r = single_res.get(i)
+                if r is not None:
+                    okj, cxj, cyj, stream = r
+                    if okj:
+                        kid_rows.setdefault((cxj, cyj), []).append(
+                            (f.geom_type, f.feature_id, f.metadata, stream)
+                        )
+                    continue
+                for c, geom in _split_feature(f, ext, s, b):
+                    stream = geom_to_stream(f.geom_type, geom).astype(np.uint32)
+                    kid_rows.setdefault(c, []).append(
+                        (f.geom_type, f.feature_id, f.metadata, stream)
+                    )
+            if not kid_rows:
+                continue
+            g = groups.setdefault(
+                (name, ext, layer.version, keys0, tags0),
+                {
+                    "tz": [], "tx": [], "ty": [], "fid": [], "gt": [],
+                    "streams": [], "vals": [[] for _ in keys0],
+                },
+            )
+            for c in sorted(kid_rows):
+                rows = kid_rows[c]
+                rows.sort(key=lambda r: r[0])  # stable: pts, lines, polys
+                x2, y2 = ptx * s + c[0], pty * s + c[1]
+                for gt, fid, meta, stream in rows:
+                    g["tz"].append(z2)
+                    g["tx"].append(x2)
+                    g["ty"].append(y2)
+                    w = fid & 0xFFFFFFFFFFFFFFFF  # wire uint64 -> signed i64
+                    g["fid"].append(w - (1 << 64) if w >= (1 << 63) else w)
+                    g["gt"].append(gt)
+                    g["streams"].append(np.asarray(stream, np.uint32))
+                    for k_i, key in enumerate(keys0):
+                        g["vals"][k_i].append(meta[key][1])
+
+    for (name, ext, version, keys0, tags0), g in groups.items():
+        n = len(g["fid"])
+        lens = np.fromiter((len(st) for st in g["streams"]), np.int64, count=n)
+        geom_offsets = np.zeros(n + 1, np.int64)
+        np.cumsum(lens, out=geom_offsets[1:])
+        geom_values = (
+            np.concatenate(g["streams"]) if n else np.zeros(0, np.uint32)
+        )
+        meta_cols = []
+        for k_i, key in enumerate(keys0):
+            vals = g["vals"][k_i]
+            lut: dict = {}
+            uniq: list = []
+            codes = np.empty(n, np.int64)
+            for i, v in enumerate(vals):
+                c = lut.get(v)
+                if c is None:
+                    c = lut[v] = len(uniq)
+                    uniq.append(v)
+                codes[i] = c
+            # fully FRAMED Layer.values entries (0x22 + len + Value body),
+            # the shape encode_multi_tile_batch's dictionaries expect
+            framed = [
+                wire.len_delimited(4, codec.encode_value_bytes(tags0[k_i], v))
+                for v in uniq
+            ]
+            foff = np.zeros(len(framed) + 1, np.int64)
+            np.cumsum(np.fromiter(map(len, framed), np.int64, count=len(framed)),
+                      out=foff[1:])
+            fbuf = np.frombuffer(b"".join(framed), np.uint8)
+            meta_cols.append((key, codes, fbuf, foff))
+        tz = np.asarray(g["tz"], np.int64)
+        tx = np.asarray(g["tx"], np.int64)
+        ty = np.asarray(g["ty"], np.int64)
+        mvts, tile_starts, _ = codec.encode_multi_tile_batch(
+            tz, tx, ty,
+            np.zeros(n, np.int64), [name],
+            np.asarray(g["fid"], np.int64), np.asarray(g["gt"], np.int64),
+            geom_values, geom_offsets, meta_cols,
+            version=version, extent=ext,
+        )
+        bounds = np.concatenate([tile_starts, [n]]).astype(np.int64)
+        for t_i, frame in enumerate(mvts):
+            r0 = int(bounds[t_i])
+            ck = (int(tz[r0]), int(tx[r0]), int(ty[r0]))
+            frames.setdefault(ck, []).append(
+                (name, frame, int(bounds[t_i + 1] - r0))
+            )
+
+    out = ([], [], [], [], [], [])
+    for ck in sorted(frames):
+        parts = sorted(frames[ck], key=lambda p: p[0])
+        blob = b"".join(fr for _, fr, _ in parts)
+        for col, v in zip(out, (
+            ck[0], ck[1], ck[2], blob,
+            sum(nr for _, _, nr in parts), len(parts),
+        )):
+            col.append(v)
+    return out
+
+
 def overzoom_tiles(
     tiles: DataFrame, levels: int = 1, buffer_px: int = 0
 ) -> DataFrame:
@@ -184,26 +406,22 @@ def overzoom_tiles(
         import pyarrow as pa
 
         for batch in batches:
-            zs = batch.column("tile_z").to_pylist()
-            xs = batch.column("tile_x").to_pylist()
-            ys = batch.column("tile_y").to_pylist()
-            ms = batch.column("mvt").to_pylist()
-            cols: list[list] = [[], [], [], [], [], []]
-            for z, x, y, m in zip(zs, xs, ys, ms):
-                for dx, dy, blob, nf, nl in overzoom_blob(m, levels, buffer_px):
-                    for c, v in zip(
-                        cols, (z + levels, x * s + dx, y * s + dy, blob, nf, nl)
-                    ):
-                        c.append(v)
-            if cols[0]:
+            parents = zip(
+                batch.column("tile_z").to_pylist(),
+                batch.column("tile_x").to_pylist(),
+                batch.column("tile_y").to_pylist(),
+                batch.column("mvt").to_pylist(),
+            )
+            cz, cx, cy, cm, cnf, cnl = _overzoom_rows(parents, levels, buffer_px)
+            if cz:
                 yield pa.record_batch(
                     [
-                        pa.array(cols[0], pa.int32()),
-                        pa.array(cols[1], pa.int32()),
-                        pa.array(cols[2], pa.int32()),
-                        pa.array(cols[3], pa.binary()),
-                        pa.array(cols[4], pa.int64()),
-                        pa.array(cols[5], pa.int32()),
+                        pa.array(cz, pa.int32()),
+                        pa.array(cx, pa.int32()),
+                        pa.array(cy, pa.int32()),
+                        pa.array(cm, pa.binary()),
+                        pa.array(cnf, pa.int64()),
+                        pa.array(cnl, pa.int32()),
                     ],
                     names=[
                         "tile_z", "tile_x", "tile_y", "mvt", "n_features", "n_layers",
