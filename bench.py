@@ -399,6 +399,48 @@ def main():
         )
     except Exception:  # noqa: BLE001
         pass
+    # overzoom parity datum: derive roads.mvt's 4 children (decode + clip +
+    # batch re-encode) and a dense 5k-single-point tile (the sink-shaped hot
+    # case, batched lane) — same guard policy as the decode/encode datum
+    overzoom_roads_ms = None
+    overzoom_pts_kfeat_s = None
+    try:
+        import numpy as _np
+
+        from vectortiles_spark.mvt import codec as _codec
+        from vectortiles_spark.operators.overzoom import overzoom_blob as _oz
+
+        with open("/root/reference/test/roads.mvt", "rb") as f:
+            _roads = f.read()
+        _oz(_roads)
+        overzoom_roads_ms = round(
+            min(
+                (lambda t0: (_oz(_roads), time.perf_counter() - t0)[1])(
+                    time.perf_counter()
+                )
+                for _ in range(5)
+            )
+            * 1000.0,
+            2,
+        )
+        _rng = _np.random.default_rng(7)
+        _lay = _codec.Layer("pts")
+        _segs = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+        _xy = _rng.integers(0, 4096, (5000, 2))
+        for _i in range(5000):
+            _lay.features.append(_codec.Feature(
+                _i + 1, {"segment": (1, _segs[_i % 5])}, 1,
+                _xy[_i:_i + 1].astype(_np.int64),
+            ))
+        _ptile = _codec.encode_tile([_lay])
+        _oz(_ptile)
+        _w = min(
+            (lambda t0: (_oz(_ptile), time.perf_counter() - t0)[1])(time.perf_counter())
+            for _ in range(5)
+        )
+        overzoom_pts_kfeat_s = round(5000 / _w / 1000.0, 1)
+    except Exception:  # noqa: BLE001
+        pass
     sidecar = {
         "attribution": attribution,
         "sf_large": extras.get("sf_large"),
@@ -407,6 +449,8 @@ def main():
         "rows": extras.get("rows"),
         "decode_roads_ms": decode_ms,
         "encode_roads_ms": encode_ms,
+        "overzoom_roads_ms": overzoom_roads_ms,
+        "overzoom_pts_kfeat_per_sec_core": overzoom_pts_kfeat_s,
         # contention sentinel: identical pure-CPU control before/after the
         # suite. Quiet host: both ~equal and small; a contended window shows
         # an inflated value — the suite walls then carry that caveat.
@@ -432,6 +476,7 @@ def main():
         "vector_features_per_sec": vec.get("features_per_sec"),
         "decode_roads_ms": decode_ms,
         "encode_roads_ms": encode_ms,
+        "overzoom_roads_ms": overzoom_roads_ms,
         "sentinel_pre_sec": sentinel_pre,
         "sentinel_post_sec": sentinel_post,
     }
