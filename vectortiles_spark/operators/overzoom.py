@@ -194,6 +194,120 @@ def _split_feature(f, ext: int, s: int, b: int):
     raise ValueError("Geometry type of UNKNOWN given.")
 
 
+def _raw_gate(raw):
+    """Decide whether one parsed layer can skip decode_tile entirely:
+    regular batch decode, every feature a single-point ``[MoveTo(1), zx,
+    zy]`` stream, metadata either absent everywhere or exactly one
+    uniform in-range key with a uniform value tag — i.e. the shape every
+    point-sink layer has. Returns the prepared arrays or None. The gate
+    PROVES well-formedness of everything it bypasses (tag pairing, index
+    ranges, geometry validity), so a gated tile needs no decode_tile
+    validation pass; anything else falls back to the decode path, which
+    rejects exactly what decode_tile rejects."""
+    bt = raw.batch
+    if bt is None:
+        return None
+    n = len(bt.ids)
+    if n == 0:
+        return None
+    if not bool((np.asarray(bt.types) == 1).all()):
+        return None
+    gc = np.asarray(bt.geom_cnt)
+    gv = np.asarray(bt.geom_vals)
+    if not bool((gc == 3).all()) or len(gv) != 3 * n or not bool((gv[0::3] == 9).all()):
+        return None
+    tc = np.asarray(bt.tag_cnt)
+    if bool((tc == 0).all()):
+        return gv, None, None, ((), ())
+    if not bool((tc == 2).all()):
+        return None
+    tv = np.asarray(bt.tag_vals)
+    if len(tv) != 2 * n:
+        return None
+    kk, vv = tv[0::2], tv[1::2]
+    if not bool((kk == kk[0]).all()) or int(kk[0]) >= len(raw.keys):
+        return None
+    if not len(raw.values) or int(vv.max()) >= len(raw.values):
+        return None
+    used = np.unique(vv)
+    tags = {raw.values[int(i)][0] for i in used}
+    if len(tags) != 1:
+        return None
+    tag0 = next(iter(tags))
+    return gv, vv.astype(np.int64), used, ((raw.keys[int(kk[0])],), (tag0,))
+
+
+def _raw_parent_chunks(data: bytes, z2: int, ptx: int, pty: int, s: int):
+    """Wire-level lane for a WHOLE parent: if every layer passes
+    _raw_gate, derive all children straight from the parsed command
+    streams (unzigzag -> scale -> floor-div child -> re-zigzag, all
+    vectorized) and return [(group_key, chunk)] for the batch encoder —
+    no decode_tile, no Feature objects. Returns None when any layer
+    fails the gate (duplicate names, lines/polys, multi-key metadata,
+    irregular wire), sending the parent through the decode path
+    unchanged. Framing errors raise here exactly as decode_tile would —
+    parse_raw_tile is the same parser."""
+    raws = codec.parse_raw_tile(data)
+    names = [r.name for r in raws]
+    if len(set(names)) != len(names):
+        return None
+    preps = []
+    for raw in raws:
+        p = _raw_gate(raw)
+        if p is None:
+            return None
+        preps.append(p)
+    out = []
+    for raw, (gv, vcodes, used, (keys0, tags0)) in zip(raws, preps):
+        ext = raw.extent if raw.extent is not None else codec.DEFAULT_EXTENT
+        zx = gv[1::3].astype(np.int64)
+        zy = gv[2::3].astype(np.int64)
+        px = (zx >> 1) ^ -(zx & 1)
+        py = (zy >> 1) ^ -(zy & 1)
+        xs, ys = px * s, py * s
+        lim = s * ext
+        ok = (xs >= 0) & (xs <= lim) & (ys >= 0) & (ys <= lim)
+        keep = np.flatnonzero(ok)
+        if not len(keep):
+            continue
+        xs, ys = xs[keep], ys[keep]
+        cx = np.minimum(xs // ext, s - 1)
+        cy = np.minimum(ys // ext, s - 1)
+        # child-major, parent emission order within a child — the same
+        # (cx, cy, original index) order the decode lanes produce
+        order = np.lexsort((keep, cy, cx))
+        cx, cy = cx[order], cy[order]
+        lx = xs[order] - cx * ext
+        ly = ys[order] - cy * ext
+        m = len(order)
+        svals = np.empty((m, 3), np.uint32)
+        svals[:, 0] = 9
+        svals[:, 1] = ((lx << 1) ^ (lx >> 63)).astype(np.uint32)
+        svals[:, 2] = ((ly << 1) ^ (ly >> 63)).astype(np.uint32)
+        chunk = {
+            "tz": np.full(m, z2, np.int64),
+            "tx": ptx * s + cx,
+            "ty": pty * s + cy,
+            "fid": np.asarray(bt_ids := raw.batch.ids, np.uint64).astype(np.int64)[keep][order],
+            "gt": np.ones(m, np.int64),
+            "svals": svals.ravel(),
+            "slens": np.full(m, 3, np.int64),
+            "codes": [],
+            "framed": [],
+        }
+        if keys0:
+            local = np.searchsorted(used, vcodes[keep][order])
+            chunk["codes"] = [local]
+            chunk["framed"] = [[
+                wire.len_delimited(
+                    4, codec.encode_value_bytes(tags0[0], raw.values[int(i)][1])
+                )
+                for i in used.tolist()
+            ]]
+        out.append(((raw.name, ext, raw.version, keys0, tags0), chunk))
+    return out
+
+
 def _overzoom_rows(parents, levels: int = 1, buffer_px: int = 0):
     """Batched overzoom kernel over MANY parents at once.
 
@@ -223,9 +337,16 @@ def _overzoom_rows(parents, levels: int = 1, buffer_px: int = 0):
     b = buffer_px
     frames: dict[tuple, list] = {}  # child key -> [(name, frame, nrows)]
     groups: dict[tuple, dict] = {}
+    raw_chunks: dict[tuple, list] = {}  # gkey -> [chunk dicts], append order
 
     for pz, ptx, pty, data in parents:
         z2 = pz + levels
+        if b == 0:
+            got = _raw_parent_chunks(bytes(data), z2, ptx, pty, s)
+            if got is not None:
+                for gkey, chunk in got:
+                    raw_chunks.setdefault(gkey, []).append(chunk)
+                continue
         for name, layer in codec.decode_tile(bytes(data)).items():
             ext = layer.extent
             feats = layer.features
@@ -330,44 +451,83 @@ def _overzoom_rows(parents, levels: int = 1, buffer_px: int = 0):
                     for k_i, key in enumerate(keys0):
                         g["vals"][k_i].append(meta[key][1])
 
-    for (name, ext, version, keys0, tags0), g in groups.items():
-        n = len(g["fid"])
-        lens = np.fromiter((len(st) for st in g["streams"]), np.int64, count=n)
+    for gkey in list(groups) + [k for k in raw_chunks if k not in groups]:
+        name, ext, version, keys0, tags0 = gkey
+        parts = []
+        g = groups.get(gkey)
+        if g:
+            # the decode-lane rows of this group, folded into one chunk
+            m = len(g["fid"])
+            codes_l, framed_l = [], []
+            for k_i in range(len(keys0)):
+                vals = g["vals"][k_i]
+                lut: dict = {}
+                uniq: list = []
+                codes = np.empty(m, np.int64)
+                for i, v in enumerate(vals):
+                    c = lut.get(v)
+                    if c is None:
+                        c = lut[v] = len(uniq)
+                        uniq.append(v)
+                    codes[i] = c
+                codes_l.append(codes)
+                # fully FRAMED Layer.values entries (0x22 + len + body),
+                # the shape encode_multi_tile_batch's dictionaries expect
+                framed_l.append([
+                    wire.len_delimited(4, codec.encode_value_bytes(tags0[k_i], v))
+                    for v in uniq
+                ])
+            parts.append({
+                "tz": np.asarray(g["tz"], np.int64),
+                "tx": np.asarray(g["tx"], np.int64),
+                "ty": np.asarray(g["ty"], np.int64),
+                "fid": np.asarray(g["fid"], np.int64),
+                "gt": np.asarray(g["gt"], np.int64),
+                "svals": (
+                    np.concatenate(g["streams"]) if m else np.zeros(0, np.uint32)
+                ),
+                "slens": np.fromiter(
+                    (len(st) for st in g["streams"]), np.int64, count=m
+                ),
+                "codes": codes_l,
+                "framed": framed_l,
+            })
+        parts.extend(raw_chunks.get(gkey, ()))
+        n = int(sum(len(p["fid"]) for p in parts))
+        if not n:
+            continue
+        tz = np.concatenate([p["tz"] for p in parts])
+        tx = np.concatenate([p["tx"] for p in parts])
+        ty = np.concatenate([p["ty"] for p in parts])
+        fid = np.concatenate([p["fid"] for p in parts])
+        gt = np.concatenate([p["gt"] for p in parts])
+        geom_values = np.concatenate([p["svals"] for p in parts])
+        lens = np.concatenate([p["slens"] for p in parts])
         geom_offsets = np.zeros(n + 1, np.int64)
         np.cumsum(lens, out=geom_offsets[1:])
-        geom_values = (
-            np.concatenate(g["streams"]) if n else np.zeros(0, np.uint32)
-        )
         meta_cols = []
         for k_i, key in enumerate(keys0):
-            vals = g["vals"][k_i]
-            lut: dict = {}
-            uniq: list = []
-            codes = np.empty(n, np.int64)
-            for i, v in enumerate(vals):
-                c = lut.get(v)
-                if c is None:
-                    c = lut[v] = len(uniq)
-                    uniq.append(v)
-                codes[i] = c
-            # fully FRAMED Layer.values entries (0x22 + len + Value body),
-            # the shape encode_multi_tile_batch's dictionaries expect
-            framed = [
-                wire.len_delimited(4, codec.encode_value_bytes(tags0[k_i], v))
-                for v in uniq
-            ]
-            foff = np.zeros(len(framed) + 1, np.int64)
-            np.cumsum(np.fromiter(map(len, framed), np.int64, count=len(framed)),
-                      out=foff[1:])
-            fbuf = np.frombuffer(b"".join(framed), np.uint8)
+            # chunk-local codes offset into one concatenated framed-value
+            # table; encode_multi_tile_batch re-canonicalizes per run, so
+            # cross-chunk dedupe is unnecessary
+            base = 0
+            code_parts, framed_all = [], []
+            for p in parts:
+                code_parts.append(p["codes"][k_i] + base)
+                framed_all.extend(p["framed"][k_i])
+                base += len(p["framed"][k_i])
+            codes = np.concatenate(code_parts)
+            foff = np.zeros(len(framed_all) + 1, np.int64)
+            np.cumsum(
+                np.fromiter(map(len, framed_all), np.int64, count=len(framed_all)),
+                out=foff[1:],
+            )
+            fbuf = np.frombuffer(b"".join(framed_all), np.uint8)
             meta_cols.append((key, codes, fbuf, foff))
-        tz = np.asarray(g["tz"], np.int64)
-        tx = np.asarray(g["tx"], np.int64)
-        ty = np.asarray(g["ty"], np.int64)
         mvts, tile_starts, _ = codec.encode_multi_tile_batch(
             tz, tx, ty,
             np.zeros(n, np.int64), [name],
-            np.asarray(g["fid"], np.int64), np.asarray(g["gt"], np.int64),
+            fid, gt,
             geom_values, geom_offsets, meta_cols,
             version=version, extent=ext,
         )
