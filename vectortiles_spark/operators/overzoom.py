@@ -132,16 +132,35 @@ def _split_feature(f, ext: int, s: int, b: int):
         parts = [np.asarray(p, np.float64) * s for p in f.geom if len(p) >= 2]
         if not parts:
             return
-        allp = np.concatenate(parts)
-        xlo, xhi = _child_range(allp[:, 0].min(), allp[:, 0].max(), ext, s, b)
-        ylo, yhi = _child_range(allp[:, 1].min(), allp[:, 1].max(), ext, s, b)
+        # per-part bboxes; a part STRICTLY outside a child box would come
+        # back [] from the clipper, so skipping it is output-identical
+        # (touching parts still go to the kernel)
+        pbb = [
+            (p[:, 0].min(), p[:, 0].max(), p[:, 1].min(), p[:, 1].max())
+            for p in parts
+        ]
+        xlo, xhi = _child_range(
+            min(bb[0] for bb in pbb), max(bb[1] for bb in pbb), ext, s, b
+        )
+        ylo, yhi = _child_range(
+            min(bb[2] for bb in pbb), max(bb[3] for bb in pbb), ext, s, b
+        )
         for cy in range(ylo, yhi + 1):
             for cx in range(xlo, xhi + 1):
                 x0, y0 = cx * ext - b, cy * ext - b
                 x1, y1 = (cx + 1) * ext + b, (cy + 1) * ext + b
                 out = []
-                for p in parts:
-                    for piece in clip_polyline(p, x0, y0, x1, y1):
+                for p, (bx0, bx1, by0, by1) in zip(parts, pbb):
+                    if bx1 < x0 or bx0 > x1 or by1 < y0 or by0 > y1:
+                        continue
+                    pieces = (
+                        # bbox fully inside: the kernel's fully-inside
+                        # branch would hand back these same values
+                        (p,)
+                        if bx0 >= x0 and bx1 <= x1 and by0 >= y0 and by1 <= y1
+                        else clip_polyline(p, x0, y0, x1, y1)
+                    )
+                    for piece in pieces:
                         loc = _localize_line(piece, float(cx * ext), float(cy * ext))
                         if loc is not None:
                             out.append(np.asarray(loc, np.int64))
@@ -166,16 +185,28 @@ def _split_feature(f, ext: int, s: int, b: int):
         polys = [p for p in polys if len(p[0]) >= 3]
         if not polys:
             return
-        allp = np.concatenate([r for poly in polys for r in poly])
-        xlo, xhi = _child_range(allp[:, 0].min(), allp[:, 0].max(), ext, s, b)
-        ylo, yhi = _child_range(allp[:, 1].min(), allp[:, 1].max(), ext, s, b)
+        # per-polygon bboxes; a part strictly outside a child box clips to
+        # [] (every ring eliminated by some half-plane pass), so the skip
+        # is output-identical
+        pbb = []
+        for poly in polys:
+            ar = poly[0] if len(poly) == 1 else np.concatenate(poly)
+            pbb.append((ar[:, 0].min(), ar[:, 0].max(), ar[:, 1].min(), ar[:, 1].max()))
+        xlo, xhi = _child_range(
+            min(bb[0] for bb in pbb), max(bb[1] for bb in pbb), ext, s, b
+        )
+        ylo, yhi = _child_range(
+            min(bb[2] for bb in pbb), max(bb[3] for bb in pbb), ext, s, b
+        )
         for cy in range(ylo, yhi + 1):
             for cx in range(xlo, xhi + 1):
                 x0, y0 = cx * ext - b, cy * ext - b
                 x1, y1 = (cx + 1) * ext + b, (cy + 1) * ext + b
                 ox, oy = float(cx * ext), float(cy * ext)
                 out = []
-                for rings in polys:
+                for rings, (bx0, bx1, by0, by1) in zip(polys, pbb):
+                    if bx1 < x0 or bx0 > x1 or by1 < y0 or by0 > y1:
+                        continue
                     for piece in clip_polygon_exact(rings, x0, y0, x1, y1):
                         loc_rings = []
                         for k, r in enumerate(piece):

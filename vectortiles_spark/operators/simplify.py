@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame
 
 from ..mvt.geometry import GEOM_LINESTRING, GEOM_POINT, GEOM_POLYGON
 from .arrow_geom import feature_parts
+from .clip import _rot
 
 
 def dp_keep_mask(pts: np.ndarray, tol: float) -> np.ndarray:
@@ -165,7 +166,7 @@ def simplify_ring(ring: list, tol: float, closed: bool) -> list | None:
         if len(kept) < 4:
             return None
         x, y = kept[:-1, 0], kept[:-1, 1]
-        if np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)) == 0:
+        if np.dot(x, _rot(y)) - np.dot(y, _rot(x)) == 0:
             return None
     elif len(kept) < 2:
         return None
@@ -319,7 +320,7 @@ def simplify_geoms(
                         if len(kept) < 4:
                             return None
                         x, y = kept[:-1, 0], kept[:-1, 1]
-                        if np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)) == 0:
+                        if np.dot(x, _rot(y)) - np.dot(y, _rot(x)) == 0:
                             return None  # zero area corrupts sign grouping
                     elif len(kept) < 2:
                         return None
