@@ -719,6 +719,90 @@ ORDER BY a.tile_x2, a.tile_y2
 Q_OVERZOOM_SQL = _overzoom_sql()
 
 
+def q_downzoom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blob-to-blob downzoom (overview derivation) under the FULL byte
+    oracle: customers tiles at z=6 merge into their z=5 parents by
+    halving coordinates (operators/downzoom.py — one bounded-group
+    shuffle, no source re-read). The oracle replays the floor-halving per
+    point (parent px = (px + 4096*(tile_x % 2)) // 2) plus the
+    closed-form varint byte count of every parent blob, so a one-pixel
+    deviation in the merged geometry or one byte of framing fails the
+    hash."""
+    from vectortiles_spark.operators import tiling
+    from vectortiles_spark.operators.downzoom import downzoom_tiles
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    pts = cust.select(
+        "c_custkey", "c_mktsegment", lon_of(F.col("c_custkey")), lat_of(F.col("c_custkey"))
+    )
+    children = tiling.encode_tiles(
+        tiling.point_features(
+            pts, z=_MERC_Z, layer="customers", feature_id=F.col("c_custkey"),
+            meta={"segment": F.col("c_mktsegment")},
+        )
+    )
+    return downzoom_tiles(children, levels=1).select(
+        "tile_z", "tile_x", "tile_y",
+        F.col("n_features").cast("bigint").alias("n_features"),
+        F.length("mvt").cast("bigint").alias("mvt_bytes"),
+    ).orderBy("tile_x", "tile_y")
+
+
+def _downzoom_sql() -> str:
+    """The q_mvt_tiles closed form, one level UP: the tile key's low bit
+    offsets the child into the parent frame and the coordinate floor-
+    halves; the byte arithmetic re-runs on the parent-local points.
+    Points are never dropped by downzoom, so counts are plain sums."""
+    import math as _m
+
+    n = float(1 << _MERC_Z)
+    clamp = repr(_m.nextafter(n, 0.0))
+    fbytes = (
+        f"2 + 1 + {_vl('c_custkey')} + 4 + 2 + 3 + {_vl('2 * ppx')} + {_vl('2 * ppy')}"
+    )
+    return f"""
+WITH pts AS (
+  SELECT c_custkey, c_mktsegment,
+         {_sql_lon('c_custkey')} AS lon, {_sql_lat('c_custkey')} AS lat
+  FROM customer
+), m AS (
+  SELECT c_custkey, c_mktsegment,
+         (lon + 180.0) / 360.0 * {n} AS fx,
+         (1.0 - ln(tan(radians(lat)) + sqrt(tan(radians(lat)) * tan(radians(lat)) + 1.0)) / pi()) / 2.0 * {n} AS fy
+  FROM pts
+), g AS (
+  SELECT c_custkey, c_mktsegment,
+         cast(least(floor(fx), {int(n) - 1}) AS INT) AS tile_x,
+         cast(greatest(0, least(floor(fy), {int(n) - 1})) AS INT) AS tile_y,
+         least(floor((least(fx, {clamp}) - floor(least(fx, {clamp}))) * 4096.0), 4095)::BIGINT AS px,
+         least(floor((greatest(0.0, least(fy, {clamp})) - floor(greatest(0.0, least(fy, {clamp})))) * 4096.0), 4095)::BIGINT AS py
+  FROM m
+), c AS (
+  SELECT c_custkey, c_mktsegment,
+         cast(floor(tile_x / 2.0) AS INT) AS tile_xp,
+         cast(floor(tile_y / 2.0) AS INT) AS tile_yp,
+         cast(floor((px + 4096 * (tile_x % 2)) / 2.0) AS BIGINT) AS ppx,
+         cast(floor((py + 4096 * (tile_y % 2)) / 2.0) AS BIGINT) AS ppy
+  FROM g
+), agg AS (
+  SELECT tile_xp, tile_yp, count(*) AS n_features, sum({fbytes})::BIGINT AS fb
+  FROM c GROUP BY 1, 2
+), seg AS (
+  SELECT tile_xp, tile_yp, sum(4 + length(s))::BIGINT AS vbytes FROM (
+    SELECT DISTINCT tile_xp, tile_yp, c_mktsegment AS s FROM c
+  ) GROUP BY 1, 2
+)
+SELECT {_MERC_Z - 1} AS tile_z, a.tile_xp AS tile_x, a.tile_yp AS tile_y,
+       a.n_features::BIGINT AS n_features,
+       (1 + {_vl('(25 + s.vbytes + a.fb)')} + 25 + s.vbytes + a.fb)::BIGINT AS mvt_bytes
+FROM agg a JOIN seg s USING (tile_xp, tile_yp)
+ORDER BY a.tile_xp, a.tile_yp
+"""
+
+
+Q_DOWNZOOM_SQL = _downzoom_sql()
+
+
 def q_tile_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tile-set change detection under a closed-form oracle: two builds of
     the customers layer from overlapping subsets (custkey % 11 != 0 vs
