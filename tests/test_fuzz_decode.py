@@ -54,3 +54,25 @@ def test_image_decode_fuzz(data):
             ic.decode_image(data, fmt)
         except (ValueError, IndexError, OverflowError):
             pass
+
+
+def test_torn_unknown_field_rejected():
+    # skip_field must bounds-check: a tile-level unknown field whose
+    # payload (or fixed width) runs past the buffer is torn input, not
+    # an empty tile (round-5 verify probe found these ACCEPTED)
+    import pytest
+
+    from vectortiles_spark.mvt import codec
+
+    for torn in (
+        b"\x99\x88\x77",      # torn fixed64 unknown field
+        b"\x0a\x03\xff\xff",  # unknown len field claims 3 bytes, has 2
+        b"\x0d\x00",          # unknown fixed32, 1 of 4 bytes
+    ):
+        with pytest.raises(ValueError):
+            codec.decode_tile(torn)
+    # a varint with no terminator dies in read_varint itself — the
+    # scalar paths' pinned rejection type for that is IndexError
+    with pytest.raises((ValueError, IndexError)):
+        codec.decode_tile(b"\x08\xff")
+    assert codec.decode_tile(b"") == {}  # genuinely empty stays empty

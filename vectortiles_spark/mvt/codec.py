@@ -1092,7 +1092,7 @@ def split_layer_frames(data: bytes) -> list[tuple[str, bytes, int]]:
                         nfeat += 1
                     p += ln
                 else:
-                    p = wire.skip_field(buf, p, w)
+                    p = wire.skip_field(buf, p, w, body_end)
             out.append((name, bytes(buf[start:body_end]), nfeat))
             pos = body_end
         else:

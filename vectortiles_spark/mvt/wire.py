@@ -190,19 +190,28 @@ def read_tag(buf: memoryview, pos: int) -> tuple[int, int, int]:
     return key >> 3, key & 7, pos
 
 
-def skip_field(buf: memoryview, pos: int, wire_type: int) -> int:
-    """Skip an unknown field (forward compatibility)."""
+def skip_field(
+    buf: memoryview, pos: int, wire_type: int, end: int | None = None
+) -> int:
+    """Skip an unknown field (forward compatibility). A skip that runs
+    past ``end`` (default: the buffer end) is a TORN field — raise rather
+    than silently accepting a truncated message."""
+    if end is None:
+        end = len(buf)
     if wire_type == WT_VARINT:
         _, pos = read_varint(buf, pos)
-        return pos
-    if wire_type == WT_FIXED64:
-        return pos + 8
-    if wire_type == WT_LEN:
+    elif wire_type == WT_FIXED64:
+        pos += 8
+    elif wire_type == WT_LEN:
         n, pos = read_varint(buf, pos)
-        return pos + n
-    if wire_type == WT_FIXED32:
-        return pos + 4
-    raise ValueError(f"unsupported wire type {wire_type}")
+        pos += n
+    elif wire_type == WT_FIXED32:
+        pos += 4
+    else:
+        raise ValueError(f"unsupported wire type {wire_type}")
+    if pos > end:
+        raise ValueError("truncated unknown field")
+    return pos
 
 
 def tag_bytes(field_number: int, wire_type: int) -> bytes:
