@@ -168,3 +168,41 @@ def test_distributed_matches_kernel(spark):
         ]
         _, _, _, blob, nf, nl = downzoom_blobs(kids)
         assert got[(6, bx, by)] == (blob, nf, nl)
+
+
+def test_build_overviews(spark):
+    from vectortiles_spark.operators.downzoom import build_overviews
+
+    parent = _point_tile(n=60, seed=21)
+    rows = [
+        (8, 12 * 4 + dx, 8 * 4 + dy, bytearray(b))
+        for dx, dy, b, _, _ in overzoom_blob(parent, levels=2)
+    ]
+    df = spark.createDataFrame(rows, "tile_z int, tile_x int, tile_y int, mvt binary")
+    got = build_overviews(df, min_z=6, max_z=8).collect()
+    by_z = {}
+    for r in got:
+        by_z.setdefault(r.tile_z, []).append(r)
+    assert set(by_z) == {8, 7, 6}
+    assert len(by_z[8]) == len(rows)
+    assert len(by_z[6]) == 1
+    (z6,) = by_z[6]
+    assert (z6.tile_x, z6.tile_y) == (12, 8)
+    # two halvings of exactly-doubled-twice points restore the original
+    assert _canon(bytes(z6.mvt)) == _canon(parent)
+    # z7 from chained z8->z7 equals kernel downzoom of the z8 children
+    kids7 = {}
+    for r in rows:
+        kids7.setdefault((r[1] >> 1, r[2] >> 1), []).append(
+            (8, r[1], r[2], bytes(r[3]))
+        )
+    want7 = {
+        k: downzoom_blobs(v)[3] for k, v in kids7.items()
+    }
+    got7 = {(r.tile_x, r.tile_y): bytes(r.mvt) for r in by_z[7]}
+    assert got7 == want7
+
+    import pytest
+
+    with pytest.raises(ValueError, match="min_z <= max_z"):
+        build_overviews(df, min_z=9, max_z=8)

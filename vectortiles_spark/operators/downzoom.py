@@ -202,3 +202,29 @@ def downzoom_tiles(tiles: DataFrame, levels: int = 1) -> DataFrame:
         )
         .applyInPandas(fn, TILE_SCHEMA)
     )
+
+
+def build_overviews(tiles: DataFrame, min_z: int, max_z: int) -> DataFrame:
+    """Full overview pyramid from a finished max-zoom tile set: the input
+    rows (all at ``max_z``) plus every derived level down to ``min_z``,
+    each level downzoomed from the one above (so z-2 halves the ALREADY
+    halved z-1 geometry — the standard lossy overview chain).
+
+    Scale shape: log-depth chain of bounded-group shuffles over a
+    geometrically SHRINKING relation (level z-k has <= 1/4^k of the tile
+    keys), so total shuffled volume is < 4/3 of the input tile set. Each
+    level's result is the next level's input lineage — Spark re-executes
+    the chain per level unless the caller persists; for a sink write,
+    feed the returned union straight through (each level computes once
+    per action)."""
+    if not (0 <= min_z <= max_z):
+        raise ValueError(f"need 0 <= min_z <= max_z, got {min_z}..{max_z}")
+    base = tiles.select("tile_z", "tile_x", "tile_y", "mvt")
+    out = base
+    cur = base
+    for _ in range(max_z - min_z):
+        cur = downzoom_tiles(cur, levels=1).select(
+            "tile_z", "tile_x", "tile_y", "mvt"
+        )
+        out = out.unionByName(cur)
+    return out
