@@ -803,6 +803,90 @@ ORDER BY a.tile_xp, a.tile_yp
 Q_DOWNZOOM_SQL = _downzoom_sql()
 
 
+def q_tilestats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tileset statistics (the mbtiles-spec tilestats grain) under an
+    exact oracle: customers encode at z=6 with a string attribute
+    (segment) and a double attribute (acctbal), the finished BLOBS decode
+    back, and per-attribute type/count/distinct/range plus the layer
+    rollup must equal DuckDB's direct aggregation of the source relation
+    — proving the meta typing survives the wire byte-exactly (VAL_DOUBLE
+    is float64 on the wire, so min/max come back bit-identical)."""
+    from vectortiles_spark.operators import tiling
+    from vectortiles_spark.operators.tilestats import tilestats
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    pts = cust.select(
+        "c_custkey", "c_mktsegment", "c_acctbal",
+        lon_of(F.col("c_custkey")), lat_of(F.col("c_custkey")),
+    )
+    tiles = tiling.encode_tiles(
+        tiling.point_features(
+            pts, z=_MERC_Z, layer="customers", feature_id=F.col("c_custkey"),
+            meta={"segment": F.col("c_mktsegment"), "acctbal": F.col("c_acctbal")},
+        )
+    )
+    return tilestats(tiles).select(
+        "layer", "attribute", "att_type",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("n_distinct").cast("bigint").alias("n_distinct"),
+        "min_num", "max_num", "min_str", "max_str",
+        F.col("n_features").cast("bigint").alias("n_features"),
+        F.col("n_points").cast("bigint").alias("n_points"),
+        F.col("n_lines").cast("bigint").alias("n_lines"),
+        F.col("n_polys").cast("bigint").alias("n_polys"),
+        F.col("n_tiles").cast("bigint").alias("n_tiles"),
+    ).orderBy("attribute")
+
+
+def _tilestats_sql() -> str:
+    import math as _m
+
+    n = float(1 << _MERC_Z)
+    clamp = repr(_m.nextafter(n, 0.0))
+    return f"""
+WITH pts AS (
+  SELECT c_custkey, c_mktsegment, c_acctbal,
+         {_sql_lon('c_custkey')} AS lon, {_sql_lat('c_custkey')} AS lat
+  FROM customer
+), m AS (
+  SELECT c_custkey, c_mktsegment, c_acctbal,
+         (lon + 180.0) / 360.0 * {n} AS fx,
+         (1.0 - ln(tan(radians(lat)) + sqrt(tan(radians(lat)) * tan(radians(lat)) + 1.0)) / pi()) / 2.0 * {n} AS fy
+  FROM pts
+), g AS (
+  SELECT c_custkey, c_mktsegment, c_acctbal,
+         cast(least(floor(fx), {int(n) - 1}) AS INT) AS tile_x,
+         cast(greatest(0, least(floor(fy), {int(n) - 1})) AS INT) AS tile_y
+  FROM m
+), lay AS (
+  SELECT count(*)::BIGINT AS n_features,
+         count(*)::BIGINT AS n_points,
+         count(DISTINCT (tile_x, tile_y))::BIGINT AS n_tiles
+  FROM g
+)
+SELECT 'customers' AS layer, 'acctbal' AS attribute, 'number' AS att_type,
+       (SELECT count(*) FROM g)::BIGINT AS n_rows,
+       (SELECT count(DISTINCT c_acctbal) FROM g)::BIGINT AS n_distinct,
+       (SELECT min(c_acctbal) FROM g) AS min_num,
+       (SELECT max(c_acctbal) FROM g) AS max_num,
+       NULL::VARCHAR AS min_str, NULL::VARCHAR AS max_str,
+       n_features, n_points, 0::BIGINT AS n_lines, 0::BIGINT AS n_polys, n_tiles
+FROM lay
+UNION ALL
+SELECT 'customers', 'segment', 'string',
+       (SELECT count(*) FROM g)::BIGINT,
+       (SELECT count(DISTINCT c_mktsegment) FROM g)::BIGINT,
+       NULL::DOUBLE, NULL::DOUBLE,
+       (SELECT min(c_mktsegment) FROM g), (SELECT max(c_mktsegment) FROM g),
+       n_features, n_points, 0::BIGINT, 0::BIGINT, n_tiles
+FROM lay
+ORDER BY attribute
+"""
+
+
+Q_TILESTATS_SQL = _tilestats_sql()
+
+
 def q_tile_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tile-set change detection under a closed-form oracle: two builds of
     the customers layer from overlapping subsets (custkey % 11 != 0 vs
