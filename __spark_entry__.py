@@ -3,7 +3,7 @@
 ``entry`` runs the flagship pipeline (point features -> groupBy(z,x,y) ->
 applyInArrow MVT encode) on sf0.001. ``queries``/``oracle_sql`` pair every
 implemented operator family from SURVEY.md §2 with a DuckDB-checkable oracle
-(57 queries, 57 value-checked — including byte-exact MVT blob sizes, the
+(59 queries, 59 value-checked — including byte-exact MVT blob sizes, the
 tileset/MBTiles ingest circles, the multi-zoom pyramid builder, trained-IVF
 ANN, and a literal-expected oracle for the image-invariant gate whose seeded
 generator makes the aggregate a known constant).
@@ -137,6 +137,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_overzoom": Q.q_overzoom,
         "q_downzoom": Q.q_downzoom,
         "q_tilestats": Q.q_tilestats,
+        "q_tile_filter": Q.q_tile_filter,
+        "q_tile_enrich": Q.q_tile_enrich,
         "q_rasterize_density": Q.q_rasterize_density,
         # image codec gate (literal-expected oracle — see Q_IMAGE_INVARIANTS_SQL)
         "q_image_invariants": _q_image_invariants,
@@ -183,6 +185,8 @@ def oracle_sql() -> dict[str, str]:
         "q_overzoom": Q.Q_OVERZOOM_SQL,
         "q_downzoom": Q.Q_DOWNZOOM_SQL,
         "q_tilestats": Q.Q_TILESTATS_SQL,
+        "q_tile_filter": Q.Q_TILE_FILTER_SQL,
+        "q_tile_enrich": Q.Q_TILE_ENRICH_SQL,
         "q_rasterize_density": Q.Q_RASTERIZE_DENSITY_SQL,
         "q_ivf_topk": QT.Q_IVF_TOPK_SQL,
         "q_raster_contours": Q.Q_RASTER_CONTOURS_SQL,

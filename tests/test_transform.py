@@ -1,0 +1,136 @@
+"""Blob-to-blob filter and enrich transforms."""
+
+import numpy as np
+import pytest
+
+from vectortiles_spark.mvt import codec
+from vectortiles_spark.operators.transform import (
+    enrich_tile_features,
+    filter_tile_features,
+)
+
+
+def _tiles_df(spark):
+    lay = codec.Layer("pts")
+    for i in range(1, 7):
+        seg = ["AUTO", "BUILD", "FURN"][i % 3]
+        lay.features.append(
+            codec.Feature(i, {"segment": (1, seg), "grade": (1, "old")}, 1,
+                          np.array([[i * 10, i * 10]], np.int64))
+        )
+    other = codec.Layer("keepme")
+    other.features.append(
+        codec.Feature(99, {"segment": (1, "FURN")}, 1, np.array([[1, 1]], np.int64))
+    )
+    rows = [
+        (2, 1, 1, bytearray(codec.encode_tile([lay, other]))),
+        (2, 1, 2, bytearray(codec.encode_tile([other]))),
+    ]
+    return spark.createDataFrame(
+        rows, "tile_z int, tile_x int, tile_y int, mvt binary"
+    )
+
+
+def test_filter_drops_features_and_empty_tiles(spark):
+    df = _tiles_df(spark)
+    out = {
+        (r.tile_x, r.tile_y): r
+        for r in filter_tile_features(
+            df, lambda name, f: f.metadata["segment"][1] != "FURN"
+        ).collect()
+    }
+    # tile (1,2) had only FURN features -> gone entirely
+    assert set(out) == {(1, 1)}
+    t = codec.decode_tile(bytes(out[(1, 1)].mvt))
+    assert set(t) == {"pts"}  # keepme's only feature was FURN
+    segs = {f.metadata["segment"][1] for f in t["pts"].features}
+    assert segs == {"AUTO", "BUILD"}
+    assert out[(1, 1)].n_features == 4
+
+
+def test_filter_layers_scope_passes_others_through(spark):
+    df = _tiles_df(spark)
+    out = {
+        (r.tile_x, r.tile_y): r
+        for r in filter_tile_features(
+            df, lambda name, f: False, layers=["pts"]
+        ).collect()
+    }
+    # pts filtered away everywhere; keepme untouched
+    assert set(out) == {(1, 1), (1, 2)}
+    for r in out.values():
+        t = codec.decode_tile(bytes(r.mvt))
+        assert set(t) == {"keepme"}
+        assert t["keepme"].features[0].feature_id == 99
+
+
+def test_filter_output_is_canonical_encode(spark):
+    # filtering with an always-true predicate re-encodes canonically:
+    # byte-equal to encode_tile of the decoded layers
+    df = _tiles_df(spark)
+    rows = {(r.tile_x, r.tile_y): bytes(r.mvt)
+            for r in filter_tile_features(df, lambda n, f: True).collect()}
+    src = {(r.tile_x, r.tile_y): bytes(r.mvt) for r in df.collect()}
+    for k, blob in src.items():
+        want = codec.encode_tile(list(codec.decode_tile(blob).values()))
+        assert rows[k] == want
+
+
+def test_enrich_appends_typed_meta(spark):
+    df = _tiles_df(spark)
+    attrs = spark.createDataFrame(
+        [("AUTO", "vroom", 1.5, 7), ("FURN", "sit", 2.5, 8)],
+        "segment string, sound string, score double, rank bigint",
+    )
+    out = filter_tile_features(  # no-op filter to get a comparable base
+        enrich_tile_features(df, attrs, on="segment"), lambda n, f: True
+    ).collect()
+    feats = {}
+    for r in out:
+        for name, lay in codec.decode_tile(bytes(r.mvt)).items():
+            for f in lay.features:
+                feats[(r.tile_x, r.tile_y, name, f.feature_id)] = f.metadata
+    m = feats[(1, 1, "pts", 3)]  # i=3 -> AUTO
+    assert m["sound"] == (codec.VAL_STRING, "vroom")
+    assert m["score"] == (codec.VAL_DOUBLE, 1.5)
+    assert m["rank"] == (codec.VAL_INT, 7)
+    m2 = feats[(1, 1, "pts", 1)]  # i=1 -> BUILD: unmatched, unchanged
+    assert set(m2) == {"segment", "grade"}
+    m3 = feats[(1, 2, "keepme", 99)]  # FURN
+    assert m3["sound"] == (codec.VAL_STRING, "sit")
+
+
+def test_enrich_overwrite_and_errors(spark):
+    df = _tiles_df(spark)
+    attrs = spark.createDataFrame(
+        [("AUTO", "x")], "segment string, segment2 string"
+    )
+    # an attr column colliding with an EXISTING meta key ("grade") is
+    # kept unless overwrite
+    clobber = spark.createDataFrame(
+        [("AUTO", "CLOBBERED")], "segment string, grade string"
+    )
+    # duplicate join keys rejected
+    dup = spark.createDataFrame(
+        [("AUTO", "a"), ("AUTO", "b")], "segment string, v string"
+    )
+    with pytest.raises(ValueError, match="duplicate join key"):
+        enrich_tile_features(df, dup, on="segment").collect()
+    with pytest.raises(ValueError, match="no columns besides"):
+        enrich_tile_features(df, attrs.select("segment"), on="segment")
+
+    def grades(rows):
+        got = set()
+        for r in rows:
+            for lay in codec.decode_tile(bytes(r.mvt)).values():
+                for f in lay.features:
+                    if "grade" in f.metadata:
+                        got.add(f.metadata["grade"][1])
+        return got
+
+    assert "CLOBBERED" not in grades(
+        enrich_tile_features(df, clobber, on="segment").collect()
+    )
+    assert "CLOBBERED" in grades(
+        enrich_tile_features(df, clobber, on="segment", overwrite=True).collect()
+    )

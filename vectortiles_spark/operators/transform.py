@@ -1,0 +1,169 @@
+"""Blob-to-blob tile transforms: per-feature filter and attribute enrich.
+
+tippecanoe ships both as post-build tools — ``-j/--feature-filter``
+drops features by attribute predicate, ``tile-join -c`` joins a CSV of
+attributes onto features by key — because re-running the whole build to
+change metadata is absurd at planet scale. Same logic here: both
+operators rewrite each finished blob IN PLACE:
+
+* ``filter_tile_features``: ZERO shuffle — one mapInArrow pass, each
+  task decodes its tiles, keeps the features the predicate accepts,
+  re-encodes. Tiles left with no features drop out of the relation.
+* ``enrich_tile_features``: the attribute table broadcasts (it is a
+  dimension: one row per join-key value), then the same zero-shuffle
+  rewrite — no blob ever moves between executors for either operator.
+
+Re-encode goes through codec.encode_tile, so output blobs carry the
+engine's canonical framing (sorted layers, pts->lines->polys feature
+order, first-appearance dictionaries) and decode_tile-rejected inputs
+fail here identically (semantic contract: vectortiles Internal.hs
+encode determinism, VectorTiles.hs tile/untile).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..mvt import codec
+from .tiling import TILE_SCHEMA
+
+
+def _rewrite_rows(batch, rewrite_layer):
+    """Shared mapInArrow body: decode each tile, run ``rewrite_layer``
+    (name, Layer) -> list[Feature] on every layer, re-encode non-empty
+    results. Returns the output-column lists."""
+    out = {k: [] for k in ("tile_z", "tile_x", "tile_y", "mvt", "n_features", "n_layers")}
+    for z, x, y, data in zip(
+        batch.column("tile_z").to_pylist(),
+        batch.column("tile_x").to_pylist(),
+        batch.column("tile_y").to_pylist(),
+        batch.column("mvt").to_pylist(),
+    ):
+        layers = []
+        for name, lay in codec.decode_tile(bytes(data)).items():
+            kept = rewrite_layer(name, lay)
+            if kept:
+                layers.append(codec.Layer(name, lay.version, lay.extent, kept))
+        if not layers:
+            continue  # a tile with no surviving features leaves the set
+        nf = sum(len(l.features) for l in layers)
+        for k, v in zip(
+            out, (z, x, y, codec.encode_tile(layers), nf, len(layers))
+        ):
+            out[k].append(v)
+    return out
+
+
+def _emit(out):
+    import pyarrow as pa
+
+    if not out["tile_z"]:
+        return None
+    return pa.record_batch(
+        [
+            pa.array(out["tile_z"], pa.int32()),
+            pa.array(out["tile_x"], pa.int32()),
+            pa.array(out["tile_y"], pa.int32()),
+            pa.array(out["mvt"], pa.binary()),
+            pa.array(out["n_features"], pa.int64()),
+            pa.array(out["n_layers"], pa.int32()),
+        ],
+        names=["tile_z", "tile_x", "tile_y", "mvt", "n_features", "n_layers"],
+    )
+
+
+def filter_tile_features(
+    tiles: DataFrame, predicate, layers=None
+) -> DataFrame:
+    """Keep only the features ``predicate(layer_name, feature)`` accepts.
+
+    ``predicate`` runs executor-side on decoded codec.Feature objects
+    (feature.metadata maps key -> (tag, value)); ``layers`` optionally
+    restricts rewriting to the named layers (others pass through
+    untouched). Zero shuffle: every task rewrites its own tiles."""
+    want = None if layers is None else set(layers)
+
+    def rewrite(name, lay):
+        if want is not None and name not in want:
+            return lay.features
+        return [f for f in lay.features if predicate(name, f)]
+
+    def run(batches):
+        for batch in batches:
+            rb = _emit(_rewrite_rows(batch, rewrite))
+            if rb is not None:
+                yield rb
+
+    return tiles.select("tile_z", "tile_x", "tile_y", "mvt").mapInArrow(
+        run, schema=TILE_SCHEMA
+    )
+
+
+def enrich_tile_features(
+    tiles: DataFrame,
+    attrs: DataFrame,
+    on: str,
+    layers=None,
+    overwrite: bool = False,
+) -> DataFrame:
+    """Join new metadata onto features: for each feature whose metadata
+    carries ``on``, look its value up in ``attrs`` (a dimension table
+    with an ``on`` column) and append the remaining columns as typed
+    metadata. Existing keys are kept unless ``overwrite``.
+
+    The attribute table collects to the driver and broadcasts — it is a
+    per-key-value dimension (tile-join's CSV), small by definition; the
+    blob rewrite itself is the same zero-shuffle mapInArrow pass as
+    filter_tile_features. Unmatched features pass through unchanged.
+    Supported attribute column types: string, integral, floating, bool.
+    """
+    want = None if layers is None else set(layers)
+    cols = [c for c in attrs.columns if c != on]
+    if not cols:
+        raise ValueError("attrs carries no columns besides the join key")
+
+    def _tagged(v):
+        if isinstance(v, bool):
+            return (codec.VAL_BOOL, v)
+        if isinstance(v, int):
+            return (codec.VAL_INT, v)
+        if isinstance(v, float):
+            return (codec.VAL_DOUBLE, v)
+        return (codec.VAL_STRING, str(v))
+
+    lut = {}
+    for r in attrs.select(on, *cols).collect():
+        key = r[0]
+        if key in lut:
+            raise ValueError(f"attrs has duplicate join key {key!r}")
+        lut[key] = {c: _tagged(v) for c, v in zip(cols, r[1:]) if v is not None}
+    sc = tiles.sparkSession.sparkContext
+    blut = sc.broadcast(lut)
+
+    def rewrite(name, lay):
+        if want is not None and name not in want:
+            return lay.features
+        table = blut.value
+        out = []
+        for f in lay.features:
+            hit = f.metadata.get(on)
+            add = table.get(hit[1]) if hit is not None else None
+            if add:
+                meta = dict(f.metadata)
+                for k, tv in add.items():
+                    if overwrite or k not in meta:
+                        meta[k] = tv
+                f = codec.Feature(f.feature_id, meta, f.geom_type, f.geom)
+            out.append(f)
+        return out
+
+    def run(batches):
+        for batch in batches:
+            rb = _emit(_rewrite_rows(batch, rewrite))
+            if rb is not None:
+                yield rb
+
+    return tiles.select("tile_z", "tile_x", "tile_y", "mvt").mapInArrow(
+        run, schema=TILE_SCHEMA
+    )

@@ -887,6 +887,135 @@ ORDER BY attribute
 Q_TILESTATS_SQL = _tilestats_sql()
 
 
+def q_tile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blob-to-blob feature filtering (tippecanoe -j parity) under the
+    FULL byte oracle: customers tiles at z=6 keep only three of the five
+    market segments; the rewritten blobs' exact byte counts must match
+    the closed-form varint arithmetic of a tile built from the filtered
+    relation — including the shrunken per-tile value dictionaries. Tiles
+    whose features all drop must leave the relation entirely. Zero
+    shuffle (operators/transform.py)."""
+    from vectortiles_spark.operators import tiling
+    from vectortiles_spark.operators.transform import filter_tile_features
+
+    keep = {"AUTOMOBILE", "BUILDING", "MACHINERY"}
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    pts = cust.select(
+        "c_custkey", "c_mktsegment", lon_of(F.col("c_custkey")), lat_of(F.col("c_custkey"))
+    )
+    tiles = tiling.encode_tiles(
+        tiling.point_features(
+            pts, z=_MERC_Z, layer="customers", feature_id=F.col("c_custkey"),
+            meta={"segment": F.col("c_mktsegment")},
+        )
+    )
+    kept = filter_tile_features(
+        tiles, lambda name, f: f.metadata["segment"][1] in keep
+    )
+    return kept.select(
+        "tile_z", "tile_x", "tile_y",
+        F.col("n_features").cast("bigint").alias("n_features"),
+        F.length("mvt").cast("bigint").alias("mvt_bytes"),
+    ).orderBy("tile_x", "tile_y")
+
+
+def _tile_filter_sql() -> str:
+    import math as _m
+
+    n = float(1 << _MERC_Z)
+    clamp = repr(_m.nextafter(n, 0.0))
+    fbytes = (
+        f"2 + 1 + {_vl('c_custkey')} + 4 + 2 + 3 + {_vl('2 * px')} + {_vl('2 * py')}"
+    )
+    return f"""
+WITH pts AS (
+  SELECT c_custkey, c_mktsegment,
+         {_sql_lon('c_custkey')} AS lon, {_sql_lat('c_custkey')} AS lat
+  FROM customer
+  WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING', 'MACHINERY')
+), m AS (
+  SELECT c_custkey, c_mktsegment,
+         (lon + 180.0) / 360.0 * {n} AS fx,
+         (1.0 - ln(tan(radians(lat)) + sqrt(tan(radians(lat)) * tan(radians(lat)) + 1.0)) / pi()) / 2.0 * {n} AS fy
+  FROM pts
+), g AS (
+  SELECT c_custkey, c_mktsegment,
+         cast(least(floor(fx), {int(n) - 1}) AS INT) AS tile_x,
+         cast(greatest(0, least(floor(fy), {int(n) - 1})) AS INT) AS tile_y,
+         least(floor((least(fx, {clamp}) - floor(least(fx, {clamp}))) * 4096.0), 4095)::BIGINT AS px,
+         least(floor((greatest(0.0, least(fy, {clamp})) - floor(greatest(0.0, least(fy, {clamp})))) * 4096.0), 4095)::BIGINT AS py
+  FROM m
+), agg AS (
+  SELECT tile_x, tile_y, count(*) AS n_features, sum({fbytes})::BIGINT AS fb
+  FROM g GROUP BY 1, 2
+), seg AS (
+  SELECT tile_x, tile_y, sum(4 + length(s))::BIGINT AS vbytes FROM (
+    SELECT DISTINCT tile_x, tile_y, c_mktsegment AS s FROM g
+  ) GROUP BY 1, 2
+)
+SELECT {_MERC_Z} AS tile_z, a.tile_x, a.tile_y,
+       a.n_features::BIGINT AS n_features,
+       (1 + {_vl('(25 + s.vbytes + a.fb)')} + 25 + s.vbytes + a.fb)::BIGINT AS mvt_bytes
+FROM agg a JOIN seg s USING (tile_x, tile_y)
+ORDER BY a.tile_x, a.tile_y
+"""
+
+
+Q_TILE_FILTER_SQL = _tile_filter_sql()
+
+
+def q_tile_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blob-to-blob attribute enrichment (tile-join -c parity) under an
+    exact join oracle: a per-segment dimension (min custkey, member
+    count) derived from the source joins onto every feature of the
+    finished customer tiles, the blobs decode back, and each feature's
+    appended typed metadata must equal DuckDB's direct relational join.
+    The dimension broadcasts; the blob rewrite is zero-shuffle."""
+    from vectortiles_spark.operators import tiling
+    from vectortiles_spark.operators.transform import enrich_tile_features
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    pts = cust.select(
+        "c_custkey", "c_mktsegment", lon_of(F.col("c_custkey")), lat_of(F.col("c_custkey"))
+    )
+    tiles = tiling.encode_tiles(
+        tiling.point_features(
+            pts, z=_MERC_Z, layer="customers", feature_id=F.col("c_custkey"),
+            meta={"segment": F.col("c_mktsegment")},
+        )
+    )
+    dim = cust.groupBy("c_mktsegment").agg(
+        F.min("c_custkey").alias("seg_min_key"),
+        F.count("*").alias("seg_n"),
+    ).select(F.col("c_mktsegment").alias("segment"), "seg_min_key", "seg_n")
+    enriched = enrich_tile_features(tiles, dim, on="segment")
+    dec = tiling.decode_tiles(enriched)
+
+    def meta_val(key, field):
+        return F.element_at(
+            F.filter("meta", lambda m: m["key"] == key), 1
+        )[field]
+
+    return dec.select(
+        F.col("feature_id").alias("c_custkey"),
+        meta_val("segment", "s").alias("segment"),
+        meta_val("seg_min_key", "i").cast("bigint").alias("seg_min_key"),
+        meta_val("seg_n", "i").cast("bigint").alias("seg_n"),
+    ).orderBy("c_custkey")
+
+
+Q_TILE_ENRICH_SQL = """
+WITH dim AS (
+  SELECT c_mktsegment, min(c_custkey) AS k, count(*) AS n
+  FROM customer GROUP BY 1
+)
+SELECT c.c_custkey, c.c_mktsegment AS segment,
+       d.k::BIGINT AS seg_min_key, d.n::BIGINT AS seg_n
+FROM customer c JOIN dim d USING (c_mktsegment)
+ORDER BY c.c_custkey
+"""
+
+
 def q_tile_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tile-set change detection under a closed-form oracle: two builds of
     the customers layer from overlapping subsets (custkey % 11 != 0 vs
