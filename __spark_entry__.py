@@ -140,6 +140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tile_filter": Q.q_tile_filter,
         "q_tile_enrich": Q.q_tile_enrich,
         "q_rasterize_density": Q.q_rasterize_density,
+        "q_cluster_points": Q.q_cluster_points,
         # image codec gate (literal-expected oracle — see Q_IMAGE_INVARIANTS_SQL)
         "q_image_invariants": _q_image_invariants,
     }
@@ -188,6 +189,7 @@ def oracle_sql() -> dict[str, str]:
         "q_tile_filter": Q.Q_TILE_FILTER_SQL,
         "q_tile_enrich": Q.Q_TILE_ENRICH_SQL,
         "q_rasterize_density": Q.Q_RASTERIZE_DENSITY_SQL,
+        "q_cluster_points": Q.Q_CLUSTER_POINTS_SQL,
         "q_ivf_topk": QT.Q_IVF_TOPK_SQL,
         "q_raster_contours": Q.Q_RASTER_CONTOURS_SQL,
         "q_vector_pipeline": Q.Q_VECTOR_PIPELINE_SQL,

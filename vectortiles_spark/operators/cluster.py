@@ -1,0 +1,203 @@
+"""Point clustering: grid-bin points per tile into representative
+cluster features with aggregated attributes.
+
+A tile of 400k POIs is unreadable and unencodable; every production
+tile pipeline thins dense point layers by CLUSTERING rather than
+dropping (tippecanoe ``--cluster-densest-as-needed`` / ``--cluster-
+distance``, supercluster): nearby points collapse into one
+representative feature carrying ``point_count`` plus aggregated
+attributes, and the map shows "1,274 places" instead of a blob. This
+module is that operator, Spark-first:
+
+* ``cluster_points``: ONE hash aggregate keyed on (tile, bin) — pure
+  Column arithmetic (projection + shift binning, JVM whole-stage
+  codegen) in, map-side-combinable aggregates out. Shuffle volume is
+  bounded by OUTPUT cardinality (tiles x (extent/radius_px)^2), never
+  by input rows: a 10^9-point metro tile moves (extent/radius)^2
+  partial rows through the exchange, exactly like
+  ``rasterize_points`` (raster.py) and unlike any per-feature shuffle.
+  Hot tiles therefore cannot skew this exchange — the skew-handling
+  story is the binning itself.
+* A singleton bin IS the original point: its centroid (sum div n with
+  n=1) is the point's own pixel and its rep_id is the point's id, so
+  unclustered points pass through exactly (supercluster's behavior)
+  with no second pass and no join-back.
+* ``cluster_features``: cluster rows -> canonical feature rows for
+  ``encode_tiles`` (tiling.py), the packed single-point stream with
+  ``point_count`` metadata — so a clustered layer drops into the
+  flagship sink unchanged.
+* ``cluster_pyramid``: the per-zoom union (supercluster builds its
+  cluster index per zoom; each level here is an independent one-
+  exchange aggregate from the base relation, embarrassingly parallel
+  across zooms — not the sequential hierarchical variant, which would
+  chain z max..0 dependencies for a slightly different dot placement).
+
+Centroids use INTEGER division (sum(px) div n) so the Spark plan and
+the DuckDB oracle (plans/queries.py Q_CLUSTER_SQL) agree bit-for-bit
+with zero float-summation-order exposure.
+
+Reference semantic contract: the emitted features encode through the
+same MVT point semantics as point_features (vectortiles
+Internal.hs:158-159 single-point command stream, cursor (0,0)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.tiles import tile_px, tile_py, tile_x, tile_y, zigzag
+from ..mvt import codec
+
+_AGG_FNS = ("sum", "min", "max", "avg", "count")
+
+
+def _projected(df, z, lon, lat, projection, extent):
+    """(tile_x, tile_y, px, py) Columns for one point row — webmercator
+    through the engine's tile grid (functions.tiles), equirect as the
+    pure-arithmetic twin the DuckDB oracle replays (the SAME expressions
+    rasterize_points uses; the two operators must never drift)."""
+    lon_c, lat_c = F.col(lon), F.col(lat)
+    if projection == "webmercator":
+        return (
+            tile_x(lon_c, z),
+            tile_y(lat_c, z),
+            tile_px(lon_c, z, extent),
+            tile_py(lat_c, z, extent),
+        )
+    n = float(1 << z)
+    top = float((1 << z) - 1)
+    fx = (lon_c + 180.0) / 360.0 * n
+    fy = (85.0 - lat_c) / 170.0 * n
+    tx = F.least(F.floor(fx), F.lit(top)).cast("int")
+    ty = F.least(F.floor(fy), F.lit(top)).cast("int")
+    fx0 = F.least(fx, F.lit(top))
+    fy0 = F.least(fy, F.lit(top))
+    px = F.least(
+        F.floor((fx - F.floor(fx0)) * float(extent)), F.lit(float(extent - 1))
+    ).cast("int")
+    py = F.least(
+        F.floor((fy - F.floor(fy0)) * float(extent)), F.lit(float(extent - 1))
+    ).cast("int")
+    return tx, ty, px, py
+
+
+def cluster_points(
+    df: DataFrame,
+    z: int,
+    radius_px: int = 256,
+    lon: str = "lon",
+    lat: str = "lat",
+    id_col: str | None = None,
+    agg: dict[str, str] | None = None,
+    projection: str = "webmercator",
+    extent: int = codec.DEFAULT_EXTENT,
+) -> DataFrame:
+    """World-space points -> one cluster row per non-empty (tile, bin).
+
+    Output: ``(tile_z, tile_x, tile_y, bin_x, bin_y, px, py,
+    point_count, is_cluster[, rep_id][, <col>_<fn> ...])`` where
+    (px, py) is the integer centroid (sum div count — exact, oracle-
+    replayable), ``rep_id`` = min(``id_col``) (the deterministic
+    representative), ``is_cluster`` = 1 when the bin holds >1 point,
+    and ``agg`` maps column -> fn in {sum, min, max, avg, count}
+    (sum/avg round to 2 places, matching rasterize_points' weight
+    policy). Singletons pass through exactly: centroid == the point,
+    rep_id == its id, aggregates == its values.
+    """
+    if radius_px < 1 or radius_px & (radius_px - 1):
+        raise ValueError(f"radius_px={radius_px} must be a power of two")
+    if extent % radius_px:
+        raise ValueError(f"radius_px={radius_px} must divide extent={extent}")
+    if projection not in ("webmercator", "equirect"):
+        raise ValueError(f"unknown projection {projection!r}")
+    bad = {fn for fn in (agg or {}).values() if fn not in _AGG_FNS}
+    if bad:
+        raise ValueError(f"unsupported agg fns {sorted(bad)}; use {_AGG_FNS}")
+    shift = radius_px.bit_length() - 1
+    tx, ty, px, py = _projected(df, z, lon, lat, projection, extent)
+    binned = df.select(
+        F.lit(z).cast("int").alias("tile_z"),
+        tx.alias("tile_x"),
+        ty.alias("tile_y"),
+        F.shiftright(px, shift).alias("bin_x"),
+        F.shiftright(py, shift).alias("bin_y"),
+        px.cast("bigint").alias("_px"),
+        py.cast("bigint").alias("_py"),
+        *([F.col(id_col).cast("bigint").alias("_id")] if id_col else []),
+        *[F.col(c) for c in (agg or {})],
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("point_count"),
+        F.expr("sum(_px) div count(*)").cast("int").alias("px"),
+        F.expr("sum(_py) div count(*)").cast("int").alias("py"),
+    ]
+    if id_col:
+        aggs.append(F.min("_id").alias("rep_id"))
+    for c, fn in (agg or {}).items():
+        out = f"{c}_{fn}"
+        if fn == "count":
+            aggs.append(F.count(c).alias(out))
+        elif fn in ("sum", "avg"):
+            aggs.append(F.round(getattr(F, fn)(c), 2).alias(out))
+        else:
+            aggs.append(getattr(F, fn)(c).alias(out))
+    g = binned.groupBy("tile_z", "tile_x", "tile_y", "bin_x", "bin_y").agg(*aggs)
+    return g.withColumn(
+        "is_cluster", (F.col("point_count") > 1).cast("int")
+    )
+
+
+def cluster_features(
+    clusters: DataFrame,
+    layer: str = "clusters",
+    extent: int = codec.DEFAULT_EXTENT,
+) -> DataFrame:
+    """Cluster rows -> canonical feature rows for ``encode_tiles``: the
+    packed single-point stream (geom_pt bigint for the default extent,
+    mirroring point_features' fast lane) with ``point_count`` typed
+    metadata. feature_id is rep_id when present (stable under
+    repartitioning), else the bin key packed into one bigint."""
+    zx, zy = zigzag(F.col("px")), zigzag(F.col("py"))
+    if "rep_id" in clusters.columns:
+        fid = F.col("rep_id")
+    else:
+        fid = (
+            F.shiftleft(F.col("bin_x").cast("bigint"), 32)
+            .bitwiseOR(F.col("bin_y").cast("bigint"))
+            + 1
+        )
+    if extent == codec.DEFAULT_EXTENT:
+        geom = F.shiftleft(zx, 13).bitwiseOR(zy).cast("bigint").alias("geom_pt")
+    else:
+        header = F.lit((1 << 3) | 1).cast("bigint")
+        geom = F.array(header, zx.cast("bigint"), zy.cast("bigint")).alias(
+            "geom_cmds"
+        )
+    return clusters.select(
+        "tile_z",
+        "tile_x",
+        "tile_y",
+        F.lit(layer).alias("layer"),
+        F.lit(1).alias("geom_type"),
+        fid.cast("bigint").alias("feature_id"),
+        geom,
+        F.col("point_count").cast("bigint").alias("point_count"),
+        F.col("is_cluster").cast("boolean").alias("clustered"),
+    )
+
+
+def cluster_pyramid(
+    df: DataFrame, min_z: int, max_z: int, **kwargs
+) -> DataFrame:
+    """cluster_points at every zoom in [min_z, max_z], unioned — the
+    supercluster-shaped multi-zoom index as independent per-zoom
+    aggregates (each zoom is one exchange; zooms share the scan when
+    the source is cached or the plan is reused under AQE)."""
+    if not (0 <= min_z <= max_z):
+        raise ValueError(f"need 0 <= min_z <= max_z, got {min_z}..{max_z}")
+    out = None
+    for z in range(min_z, max_z + 1):
+        lvl = cluster_points(df, z, **kwargs)
+        out = lvl if out is None else out.unionByName(lvl)
+    return out

@@ -1163,6 +1163,63 @@ ORDER BY tile_x, tile_y, cell_x, cell_y
 Q_RASTERIZE_DENSITY_SQL = _rasterize_sql()
 
 
+def q_cluster_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point clustering under the value oracle: customers grid-clustered
+    at z=4 equirectangular tiles with 256px bins — one representative
+    row per (tile, bin) carrying the INTEGER centroid (sum div count,
+    bit-replayable), deterministic rep_id (min key), point_count, and a
+    summed attribute. One hash aggregate; shuffle bounded by output
+    cardinality (operators/cluster.py docstring)."""
+    from vectortiles_spark.operators.cluster import cluster_points
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    pts = cust.select(
+        "c_custkey", "c_acctbal",
+        lon_of(F.col("c_custkey")), lat_of(F.col("c_custkey")),
+    )
+    return cluster_points(
+        pts, z=4, radius_px=256, id_col="c_custkey",
+        agg={"c_acctbal": "sum"}, projection="equirect",
+    ).orderBy("tile_x", "tile_y", "bin_x", "bin_y")
+
+
+def _cluster_sql() -> str:
+    n = float(1 << 4)
+    top = (1 << 4) - 1
+    return f"""
+WITH pts AS (
+  SELECT c_custkey, c_acctbal,
+         {_sql_lon('c_custkey')} AS lon, {_sql_lat('c_custkey')} AS lat
+  FROM customer
+), f AS (
+  SELECT c_custkey, c_acctbal,
+         (lon + 180.0) / 360.0 * {n} AS fx,
+         (85.0 - lat) / 170.0 * {n} AS fy
+  FROM pts
+), g AS (
+  SELECT c_custkey, c_acctbal,
+         cast(least(floor(fx), {float(top)}) AS INT) AS tile_x,
+         cast(least(floor(fy), {float(top)}) AS INT) AS tile_y,
+         cast(least(floor((fx - floor(least(fx, {float(top)}))) * 4096.0), 4095.0) AS BIGINT) AS _px,
+         cast(least(floor((fy - floor(least(fy, {float(top)}))) * 4096.0), 4095.0) AS BIGINT) AS _py
+  FROM f
+)
+SELECT 4 AS tile_z, tile_x, tile_y,
+       cast(_px // 256 AS INT) AS bin_x, cast(_py // 256 AS INT) AS bin_y,
+       count(*) AS point_count,
+       cast(sum(_px) // count(*) AS INT) AS px,
+       cast(sum(_py) // count(*) AS INT) AS py,
+       cast(min(c_custkey) AS BIGINT) AS rep_id,
+       round(sum(c_acctbal), 2) AS c_acctbal_sum,
+       cast(count(*) > 1 AS INT) AS is_cluster
+FROM g GROUP BY 1, 2, 3, 4, 5
+ORDER BY tile_x, tile_y, bin_x, bin_y
+"""
+
+
+Q_CLUSTER_POINTS_SQL = _cluster_sql()
+
+
 def q_quadkey(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bing/Azure quadkey addressing under the value oracle: customer
     tiles at z=6 -> quadkey strings (pure Column bit arithmetic) and the
