@@ -126,6 +126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mvt_roundtrip_geoms": Q.q_mvt_roundtrip_geoms,
         "q_tileset_roundtrip": Q.q_tileset_roundtrip,
         "q_mbtiles_roundtrip": Q.q_mbtiles_roundtrip,
+        "q_pmtiles_roundtrip": Q.q_pmtiles_roundtrip,
         "q_vector_pyramid": Q.q_vector_pyramid,
         "q_ivf_topk": QT.q_ivf_topk,
         "q_raster_contours": Q.q_raster_contours,
@@ -178,6 +179,7 @@ def oracle_sql() -> dict[str, str]:
         "q_mvt_roundtrip_geoms": Q.Q_MVT_ROUNDTRIP_GEOMS_SQL,
         "q_tileset_roundtrip": Q.Q_TILESET_ROUNDTRIP_SQL,
         "q_mbtiles_roundtrip": Q.Q_MVT_ROUNDTRIP_GEOMS_SQL,
+        "q_pmtiles_roundtrip": Q.Q_MVT_ROUNDTRIP_GEOMS_SQL,
         "q_vector_pyramid": Q.Q_VECTOR_PYRAMID_SQL,
         "q_mvt_tiles": Q.Q_MVT_TILES_SQL,
         "q_tile_refresh": Q.Q_TILE_REFRESH_SQL,

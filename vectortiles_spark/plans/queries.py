@@ -2078,6 +2078,34 @@ def q_mbtiles_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _per_tile_stream_sums(decoded)
 
 
+def q_pmtiles_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PMTiles distribution circle under the value oracle: lattice
+    corpus -> encode_tiles -> write_pmtiles (single-file archive: Hilbert
+    tile ids, varint directories, clustered gzip tile data, executor
+    range-partitioned parts + driver directory assembly) -> read_pmtiles
+    (entry-range pread fan-out, zoom pushdown) -> decode_tiles, checked
+    against the SAME closed-form stream sums as q_mvt_roundtrip_geoms —
+    any defect in the Hilbert math, directory codec, byte offsets, or
+    the gzip circle shifts a per-tile sum. (sources/pmtiles.py; spec
+    github.com/protomaps/PMTiles)"""
+    import tempfile
+
+    from vectortiles_spark.operators import tiling
+    from vectortiles_spark.sources.pmtiles import read_pmtiles, write_pmtiles
+
+    rows = _lattice_geom_rows(spark, sf_dir)
+    tiles = tiling.encode_tiles(tiling.geom_features(rows))
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = os.path.join(
+        tempfile.gettempdir(), f"q_pmtiles_roundtrip_{tag}_{os.getpid()}.pmtiles"
+    )
+    if os.path.exists(path):
+        os.remove(path)
+    write_pmtiles(tiles, path, metadata={"minzoom": 4, "maxzoom": 4})
+    decoded = tiling.decode_tiles(read_pmtiles(spark, path, z=4))
+    return _per_tile_stream_sums(decoded)
+
+
 Q_TILESET_ROUNDTRIP_SQL = """
 WITH derived AS (
   SELECT c_custkey AS k,
