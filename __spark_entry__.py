@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_topk_per_group": Q.q_topk_per_group,
         "q_semi_join": Q.q_semi_join,
         "q_anti_join_resume": Q.q_anti_join_resume,
+        "q_iceberg_maintenance": Q.q_iceberg_maintenance,
         "q_rollup_revenue": Q.q_rollup_revenue,
         "q_events_hourly": Q.q_events_hourly,
         "q_sessionize": Q.q_sessionize,
@@ -158,6 +159,7 @@ def oracle_sql() -> dict[str, str]:
         "q_topk_per_group": Q.Q_TOPK_SQL,
         "q_semi_join": Q.Q_SEMI_SQL,
         "q_anti_join_resume": Q.Q_ANTI_SQL,
+        "q_iceberg_maintenance": Q.Q_ICEBERG_MAINT_SQL,
         "q_rollup_revenue": Q.Q_ROLLUP_SQL,
         "q_events_hourly": Q.Q_EVENTS_HOURLY_SQL,
         "q_sessionize": Q.Q_SESSIONIZE_SQL,

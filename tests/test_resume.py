@@ -128,3 +128,149 @@ def test_iceberg_partition_values_with_special_chars(spark, tmp_path):
     assert got == {1, 2}
     got2 = {r.v for r in t.read(partition_values=["eu west"]).collect()}
     assert got2 == {3}
+
+
+# ------------------------------------------------------- table maintenance
+
+
+def _sum_ids(df):
+    return df.agg(F.sum("id")).collect()[0][0]
+
+
+def test_compact_merges_small_files_data_identical(spark, tmp_path):
+    t = IcebergLiteTable(spark, str(tmp_path / "tbl"))
+    for lo in range(0, 400, 100):  # 4 small appends -> many small files
+        t.append(
+            spark.range(lo, lo + 100).withColumn("part", F.pmod("id", F.lit(2))),
+            partition_by="part",
+        )
+    pre_files = len(t.files())
+    pre_sum = _sum_ids(t.read())
+    snap = t.compact(target_rows_per_file=1_000_000)
+    assert snap == 5
+    # data identical, layout collapsed to one file per partition
+    assert _sum_ids(t.read()) == pre_sum
+    assert t.read().count() == 400
+    post = t._live_manifest_rows(t.current_snapshot())
+    assert len(post) < pre_files
+    assert post.groupby("partition_key").size().max() == 1
+    # time travel to pre-compaction snapshots still resolves original files
+    assert t.read(snapshot_id=2).count() == 200
+    assert t.snapshots().operation.tolist()[-1] == "replace"
+    # snapshot log total_rows counts LIVE rows, not manifest duplicates
+    assert t.snapshots().total_rows.tolist()[-1] == 400
+
+
+def test_compact_noop_when_nothing_to_do(spark, tmp_path):
+    t = IcebergLiteTable(spark, str(tmp_path / "tbl"))
+    t.append(spark.range(0, 50).coalesce(1))
+    assert t.compact() is None  # every partition already a single file
+    assert t.compact(min_files=1) is not None  # forced rewrite works too
+
+
+def test_compact_respects_target_rows_per_file(spark, tmp_path):
+    t = IcebergLiteTable(spark, str(tmp_path / "tbl"))
+    for lo in (0, 300):
+        t.append(spark.range(lo, lo + 300).withColumn("part", F.lit(0)), partition_by="part")
+    t.compact(target_rows_per_file=100)
+    live = t._live_manifest_rows(t.current_snapshot())
+    # 600 rows / 100-target -> >1 output file (hot partition split by
+    # buckets), none wildly above target
+    assert len(live) > 1
+    assert _sum_ids(t.read()) == sum(range(600))
+
+
+def test_overwrite_partitions_replaces_only_touched(spark, tmp_path):
+    t = IcebergLiteTable(spark, str(tmp_path / "tbl"))
+    base = spark.range(0, 100).withColumn("part", F.pmod("id", F.lit(4)))
+    t.append(base, partition_by="part")
+    # rewrite partition 1 with entirely new rows (ids shifted by 1000)
+    repl = (
+        spark.range(1000, 1025)
+        .withColumn("part", F.lit(1).cast("bigint"))
+    )
+    s = t.overwrite_partitions(repl, partition_by="part")
+    got = t.read()
+    assert got.filter(F.col("part") == 1).count() == 25
+    assert got.filter((F.col("part") == 1) & (F.col("id") < 1000)).count() == 0
+    # untouched partitions intact
+    assert got.filter(F.col("part") != 1).count() == 75
+    # time travel to the pre-overwrite state
+    assert t.read(snapshot_id=s - 1).filter(
+        (F.col("part") == 1) & (F.col("id") < 1000)
+    ).count() == 25
+    assert t.snapshots().operation.tolist()[-1] == "overwrite"
+
+
+def test_appends_on_top_of_rewrite_snapshot(spark, tmp_path):
+    t = IcebergLiteTable(spark, str(tmp_path / "tbl"))
+    for lo in (0, 100):
+        t.append(spark.range(lo, lo + 100).withColumn("part", F.pmod("id", F.lit(2))),
+                 partition_by="part")
+    t.compact()
+    t.append(spark.range(200, 250).withColumn("part", F.pmod("id", F.lit(2))),
+             partition_by="part")
+    assert t.read().count() == 250
+    assert _sum_ids(t.read()) == sum(range(250))
+
+
+def test_expire_snapshots_deletes_orphans_keeps_tail(spark, tmp_path):
+    import os
+
+    t = IcebergLiteTable(spark, str(tmp_path / "tbl"))
+    for lo in range(0, 300, 100):
+        t.append(spark.range(lo, lo + 100).withColumn("part", F.pmod("id", F.lit(2))),
+                 partition_by="part")
+    t.compact()  # snapshot 4: rewrites everything -> snapshots 1-3 redundant
+    pre_sum = _sum_ids(t.read())
+    old_files = set(t.files(snapshot_id=3))
+    stats = t.expire_snapshots(keep_last=1)
+    assert stats["expired"] == 3
+    assert stats["deleted_files"] == len(old_files)
+    for fp in old_files:
+        assert not os.path.exists(fp)
+    # the surviving snapshot reads identically
+    assert _sum_ids(t.read()) == pre_sum
+    assert t.read().count() == 300
+    assert len(t.snapshots()) == 1
+    # expired history is gone
+    with pytest.raises(ValueError):
+        t.read(snapshot_id=2)
+    # the table keeps working: append after expiry
+    t.append(spark.range(300, 350).withColumn("part", F.pmod("id", F.lit(2))),
+             partition_by="part")
+    assert t.read().count() == 350
+
+
+def test_expire_keeps_files_any_retained_snapshot_needs(spark, tmp_path):
+    import os
+
+    t = IcebergLiteTable(spark, str(tmp_path / "tbl"))
+    t.append(spark.range(0, 100))          # 1
+    t.append(spark.range(100, 200))        # 2
+    t.compact(min_files=1)                 # 3 (rewrite)
+    t.append(spark.range(200, 220))        # 4
+    # keep 3 and 4: snapshot-1/2 originals are orphans, compacted files stay
+    stats = t.expire_snapshots(keep_last=2)
+    assert stats["expired"] == 2
+    assert t.read(snapshot_id=3).count() == 200
+    assert t.read().count() == 220
+    for fp in t.files():
+        assert os.path.exists(fp)
+
+
+def test_partition_spec_is_pinned(spark, tmp_path):
+    t = IcebergLiteTable(spark, str(tmp_path / "tbl"))
+    df = spark.range(0, 10).withColumn("part", F.pmod("id", F.lit(2)))
+    t.append(df, partition_by="part")
+    assert t.partition_spec() == "part"
+    with pytest.raises(ValueError, match="partitioned by"):
+        t.append(df, partition_by="id")
+    with pytest.raises(ValueError, match="partitioned by"):
+        t.append(spark.range(0, 5))  # unpartitioned write to partitioned table
+
+
+def test_append_rejects_reserved_operations(spark, tmp_path):
+    t = IcebergLiteTable(spark, str(tmp_path / "tbl"))
+    with pytest.raises(ValueError, match="reserved"):
+        t.append(spark.range(0, 5), operation="replace")

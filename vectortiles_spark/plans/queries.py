@@ -229,6 +229,67 @@ ORDER BY l_returnflag
 """
 
 
+def q_iceberg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full Iceberg-lite table LIFECYCLE under the value oracle
+    (sources/iceberg_lite.py; north_rule's "Iceberg manifest" leg):
+    two appends build the corpus partitioned by lang -> dynamic partition
+    overwrite replaces the 'en' partition with n_chars doubled ->
+    small-file compaction rewrites the layout (one "replace" snapshot,
+    data bit-identical) -> expire_snapshots drops pre-corpus history and
+    deletes orphaned files. The output unions the CURRENT state with a
+    TIME-TRAVEL read of the retained pre-overwrite snapshot, so the
+    oracle catches: lost/duplicated rows across any maintenance commit,
+    overwrite leaking into untouched partitions, compaction corrupting
+    values, or expiry breaking a retained snapshot's file resolution."""
+    import shutil
+    import tempfile
+
+    from vectortiles_spark.sources.iceberg_lite import IcebergLiteTable
+
+    (docs,) = load(spark, sf_dir, "documents")
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = os.path.join(
+        tempfile.gettempdir(), f"q_iceberg_maint_{tag}_{os.getpid()}"
+    )
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    t = IcebergLiteTable(spark, path)
+    t.append(docs.filter(F.col("doc_id") % 2 == 0), partition_by="lang")
+    pre_snap = t.append(docs.filter(F.col("doc_id") % 2 == 1), partition_by="lang")
+    t.overwrite_partitions(
+        docs.filter(F.col("lang") == "en")
+        .withColumn("n_chars", F.col("n_chars") * 2),
+        partition_by="lang",
+    )
+    t.compact(target_rows_per_file=1_000_000)
+    t.expire_snapshots(keep_last=3)  # retains pre_snap, overwrite, compact
+
+    def agg(df: DataFrame, state: str) -> DataFrame:
+        return df.groupBy("lang").agg(
+            F.count("*").alias("n_docs"), F.sum("n_chars").alias("sum_chars")
+        ).withColumn("state", F.lit(state))
+
+    return (
+        agg(t.read(), "current")
+        .unionByName(agg(t.read(snapshot_id=pre_snap), "pre_overwrite"))
+        .select("state", "lang", "n_docs", "sum_chars")
+        .orderBy("state", "lang")
+    )
+
+
+Q_ICEBERG_MAINT_SQL = """
+SELECT 'current' AS state, lang, count(*) AS n_docs,
+       CAST(sum(CASE WHEN lang = 'en' THEN n_chars * 2 ELSE n_chars END) AS BIGINT)
+           AS sum_chars
+FROM documents GROUP BY lang
+UNION ALL
+SELECT 'pre_overwrite' AS state, lang, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY lang
+ORDER BY state, lang
+"""
+
+
 def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP aggregate (grouping-sets family)."""
     nation, cust, orders = load(spark, sf_dir, "nation", "customer", "orders")
