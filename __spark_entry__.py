@@ -3,7 +3,7 @@
 ``entry`` runs the flagship pipeline (point features -> groupBy(z,x,y) ->
 applyInArrow MVT encode) on sf0.001. ``queries``/``oracle_sql`` pair every
 implemented operator family from SURVEY.md §2 with a DuckDB-checkable oracle
-(59 queries, 59 value-checked — including byte-exact MVT blob sizes, the
+(60 queries, 60 value-checked — including byte-exact MVT blob sizes, the
 tileset/MBTiles ingest circles, the multi-zoom pyramid builder, trained-IVF
 ANN, and a literal-expected oracle for the image-invariant gate whose seeded
 generator makes the aggregate a known constant).
@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pmtiles_roundtrip": Q.q_pmtiles_roundtrip,
         "q_vector_pyramid": Q.q_vector_pyramid,
         "q_ivf_topk": QT.q_ivf_topk,
+        "q_pq_topk": QT.q_pq_topk,
         "q_raster_contours": Q.q_raster_contours,
         "q_vector_pipeline": Q.q_vector_pipeline,
         "q_mvt_tiles": Q.q_mvt_tiles,
@@ -195,6 +196,7 @@ def oracle_sql() -> dict[str, str]:
         "q_rasterize_density": Q.Q_RASTERIZE_DENSITY_SQL,
         "q_cluster_points": Q.Q_CLUSTER_POINTS_SQL,
         "q_ivf_topk": QT.Q_IVF_TOPK_SQL,
+        "q_pq_topk": QT.Q_PQ_TOPK_SQL,
         "q_raster_contours": Q.Q_RASTER_CONTOURS_SQL,
         "q_vector_pipeline": Q.Q_VECTOR_PIPELINE_SQL,
         "q_dedup_exact": QT.Q_DEDUP_EXACT_SQL,

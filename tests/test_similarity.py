@@ -194,3 +194,98 @@ def test_ivf_train_keeps_assign_contract(spark):
     assert got == {int(v): ids[int(c)] for v, c in zip(pdf.vec_id, want)}
     empty = cand.filter("vec_id < 0")
     assert similarity.ivf_train(empty, n_cells=4, n_iters=2) == []
+
+
+# ------------------------------------------------------------------ PQ / ADC
+
+
+def _pq_reference_codes(pdf, books):
+    """NumPy reference: per-subspace L2 argmin (ties -> lowest code)."""
+    m, d_sub = len(books), len(books[0][0])
+    mat = np.array(pdf.embedding.tolist(), dtype=np.float64)
+    codes = np.zeros((len(pdf), m), dtype=int)
+    for s in range(m):
+        sub = mat[:, s * d_sub:(s + 1) * d_sub]
+        cb = np.array(books[s], dtype=np.float64)
+        d2 = ((sub[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+        codes[:, s] = d2.argmin(axis=1)  # first minimum = lowest code
+    return codes
+
+
+def test_pq_encode_matches_numpy_argmin(spark):
+    pdf = _vecs(150)
+    df = spark.createDataFrame(pdf)
+    books = similarity.pq_train(df, m=4, k_codes=8, n_iters=1)
+    assert len(books) == 4 and len(books[0]) == 8 and len(books[0][0]) == DIM // 4
+    got = {
+        r.vec_id: [r.code_0, r.code_1, r.code_2, r.code_3]
+        for r in similarity.pq_encode(df, books).collect()
+    }
+    ref = _pq_reference_codes(pdf, books)
+    for i, v in enumerate(pdf.vec_id):
+        assert got[v] == list(ref[i]), v
+
+
+def test_pq_train_lloyd_reduces_quantization_error(spark):
+    pdf = _vecs(300, seed=4)
+    df = spark.createDataFrame(pdf)
+    mat = np.array(pdf.embedding.tolist(), dtype=np.float64)
+
+    def qerr(books):
+        codes = _pq_reference_codes(pdf, books)
+        m, d_sub = len(books), len(books[0][0])
+        err = 0.0
+        for s in range(m):
+            sub = mat[:, s * d_sub:(s + 1) * d_sub]
+            cb = np.array(books[s], dtype=np.float64)
+            err += ((sub - cb[codes[:, s]]) ** 2).sum()
+        return err
+
+    seeds_only = similarity.pq_train(df, m=4, k_codes=8, n_iters=0)
+    trained = similarity.pq_train(df, m=4, k_codes=8, n_iters=2)
+    assert qerr(trained) < qerr(seeds_only) * 0.8
+
+
+def test_pq_topk_approximates_l2_neighbors(spark):
+    """ADC ranking recalls a healthy share of the TRUE L2 top-10 (PQ is
+    lossy by design; the floor guards against machinery bugs, which
+    produce near-random overlap ~ k/n = 3%)."""
+    pdf = _vecs(300, seed=7)
+    df = spark.createDataFrame(pdf)
+    qs = spark.createDataFrame(
+        pdf.head(6).rename(columns={"vec_id": "query_id", "embedding": "q_emb"})
+    )
+    books = similarity.pq_train(df, m=4, k_codes=16, n_iters=2)
+    rows = similarity.pq_topk(qs, df, books, k=10).collect()
+    mat = np.array(pdf.embedding.tolist(), dtype=np.float64)
+    recalls = []
+    for qi in range(6):
+        true = np.argsort(((mat - mat[qi]) ** 2).sum(axis=1))[:10]
+        got = {r.vec_id for r in rows if r.query_id == qi}
+        recalls.append(len(got & set(pdf.vec_id.iloc[true])) / 10)
+    assert np.mean(recalls) >= 0.4, recalls
+    # every query's own vector has ADC distance <= any other candidate's
+    for qi in range(6):
+        mine = [r for r in rows if r.query_id == qi and r.vec_id == qi]
+        assert mine and mine[0].rank == 1, (qi, mine)
+
+
+def test_pq_exact_when_candidates_are_codewords(spark):
+    """Vectors that coincide with codewords encode to themselves and the
+    query's nearest codeword vector ranks first — ADC with zero
+    quantization error is exact."""
+    pdf = _vecs(64, seed=11)
+    df = spark.createDataFrame(pdf)
+    books = similarity.pq_train(df, m=4, k_codes=8, n_iters=0)  # seeds = rows 0..7
+    codes = {
+        r.vec_id: (r.code_0, r.code_1, r.code_2, r.code_3)
+        for r in similarity.pq_encode(df, books).collect()
+    }
+    for i in range(8):  # seed rows quantize to their own code in every subspace
+        assert codes[i] == (i, i, i, i)
+
+
+def test_pq_train_rejects_bad_dim(spark):
+    pdf = _vecs(20)
+    with pytest.raises(ValueError, match="divisible"):
+        similarity.pq_train(spark.createDataFrame(pdf), m=5)

@@ -458,3 +458,187 @@ def embedding_near_dups(
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
         .orderBy("id_a", "id_b")
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ): compress embeddings to m byte-codes, search
+# with asymmetric distance computation (ADC). The memory story at 10^12
+# vectors: a 64-dim float32 embedding is 256 bytes; its PQ code is m bytes
+# (m=4 here), so the searchable relation shrinks ~64x and the scan feeds
+# from codes only — the raw vectors never move after encoding.
+
+
+def _sub_slice(col, s: int, d_sub: int):
+    """Columns for subspace s: elements [s*d_sub, (s+1)*d_sub) as double."""
+    return F.transform(
+        F.slice(col, s * d_sub + 1, d_sub), lambda x: x.cast("double")
+    )
+
+
+def _seq_dot(a: list, b: list) -> float:
+    """Sequential left-fold float64 dot — the exact op order of Spark's
+    aggregate(zip_with(...)) and DuckDB's list_dot_product, so a value
+    computed here on the driver is bit-identical to both engines."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += x * y
+    return acc
+
+
+def _argmin_code(sub_col, codebook_s: list[list[float]]):
+    """Column: index of the nearest codeword (L2) for one subspace.
+
+    The comparison key is ||c||^2 - 2<e,c> (monotone in L2^2, independent
+    of ||e||^2), with both dots as SEQUENTIAL folds so an external engine
+    can replay the argmin bit-for-bit. Ties take the lowest code id
+    (array_position returns the first minimum)."""
+    keys = F.array(*[
+        F.lit(_seq_dot(c, c)) - F.lit(2.0) * _dot_lit(sub_col, c)
+        for c in codebook_s
+    ])
+    return (F.array_position(keys, F.array_min(keys)) - 1).cast("int")
+
+
+def _dot_lit(col, lit_vec: list[float]):
+    """Sequential-fold dot of an array column with a literal vector."""
+    return F.aggregate(
+        F.zip_with(col, F.array(*[F.lit(float(v)) for v in lit_vec]),
+                   lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_train(
+    candidates: DataFrame,
+    m: int = 4,
+    k_codes: int = 16,
+    n_iters: int = 1,
+    cand_id: str = "vec_id",
+    emb: str = "embedding",
+    round_dp: int | None = 9,
+) -> list[list[list[float]]]:
+    """Train PQ codebooks: per subspace, k-means over the sub-vectors.
+    Seeds are the lowest-id rows' slices (deterministic); each Lloyd
+    iteration assigns every row JVM-side (pure Column argmin, zero
+    Python) and re-centers as the per-(subspace, code, dim) mean — ONE
+    m*k*d_sub-bounded shuffle per iteration, collected to the driver
+    where the codebook lives (tiny by definition). Empty codes keep
+    their previous codeword. ``round_dp`` rounds the re-centered means
+    so nondeterministic partition-order float sums can't leak into the
+    codebook (same discipline as ivf_train).
+
+    Returns codebooks[m][k_codes][d_sub] as plain Python floats."""
+    first = candidates.select(F.size(emb).alias("d")).first()
+    if first is None:
+        return []
+    dim = int(first.d)
+    if dim % m:
+        raise ValueError(f"embedding dim {dim} not divisible by m={m}")
+    d_sub = dim // m
+    seed_rows = (
+        candidates.select(cand_id, emb).orderBy(cand_id).limit(k_codes).collect()
+    )
+    books = [
+        [[float(v) for v in r[emb][s * d_sub:(s + 1) * d_sub]] for r in seed_rows]
+        for s in range(m)
+    ]
+    for _ in range(max(0, n_iters)):
+        parts = []
+        for s in range(m):
+            sub = _sub_slice(F.col(emb), s, d_sub)
+            parts.append(
+                candidates.select(
+                    F.lit(s).alias("sub"),
+                    _argmin_code(sub, books[s]).alias("code"),
+                    F.posexplode(sub).alias("dim", "v"),
+                )
+            )
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        mean = (
+            F.round(F.avg("v"), round_dp) if round_dp is not None else F.avg("v")
+        )  # F.round is HALF_UP like DuckDB's round (Python round is banker's)
+        stats = df.groupBy("sub", "code", "dim").agg(mean.alias("c")).collect()
+        new = [[list(c) for c in b] for b in books]
+        for r in stats:
+            new[r.sub][r.code][r.dim] = r.c
+        books = new
+    return books
+
+
+def pq_encode(
+    candidates: DataFrame,
+    codebooks: list[list[list[float]]],
+    cand_id: str = "vec_id",
+    emb: str = "embedding",
+) -> DataFrame:
+    """(cand_id, code_0..code_{m-1}) — each row's nearest codeword per
+    subspace, computed entirely JVM-side (no shuffle, no Python: the
+    codebook rides in as literals). At 10^12 rows this is the one full
+    scan PQ needs; everything downstream reads m bytes per vector."""
+    m = len(codebooks)
+    d_sub = len(codebooks[0][0])
+    cols = [F.col(cand_id)]
+    for s in range(m):
+        sub = _sub_slice(F.col(emb), s, d_sub)
+        cols.append(_argmin_code(sub, codebooks[s]).alias(f"code_{s}"))
+    return candidates.select(*cols)
+
+
+def pq_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    query_id: str = "query_id",
+    cand_id: str = "vec_id",
+    q_emb: str = "q_emb",
+    emb: str = "embedding",
+    dist_dp: int = 6,
+) -> DataFrame:
+    """ADC top-k: encode candidates once, build each query's lookup table
+    (m x k_codes partial distances ||c||^2 - 2<q_sub,c>, driver-side —
+    queries are small by contract and the LUT is tiny), then score every
+    candidate as a SUM OF m ARRAY LOOKUPS — no dot products on the scan
+    side at all, zero shuffle before the per-query top-k window. The
+    reported adc_dist drops the constant ||q||^2 term (rank-neutral).
+
+    LUT entries use the same sequential folds as training, so the whole
+    pipeline — codebook, codes, distances, ranks — replays bit-for-bit
+    in an external engine (q_pq_topk's DuckDB oracle does exactly that).
+    """
+    m = len(codebooks)
+    codes = pq_encode(candidates, codebooks, cand_id=cand_id, emb=emb)
+    q_rows = queries.select(query_id, q_emb).collect()
+    lut_rows = []
+    for r in q_rows:
+        qv = [float(v) for v in r[q_emb]]
+        d_sub = len(codebooks[0][0])
+        luts = []
+        for s in range(m):
+            qs = qv[s * d_sub:(s + 1) * d_sub]
+            luts.append([
+                _seq_dot(c, c) - 2.0 * _seq_dot(qs, c) for c in codebooks[s]
+            ])
+        lut_rows.append((r[query_id], *luts))
+    lut_schema = f"{query_id} long, " + ", ".join(
+        f"lut_{s} array<double>" for s in range(m)
+    )
+    spark = queries.sparkSession
+    luts_df = spark.createDataFrame(lut_rows, lut_schema)
+    dist = F.element_at(F.col("lut_0"), F.col("code_0") + 1)
+    for s in range(1, m):
+        dist = dist + F.element_at(F.col(f"lut_{s}"), F.col(f"code_{s}") + 1)
+    scored = codes.crossJoin(F.broadcast(luts_df)).withColumn(
+        "adc_dist", F.round(dist, dist_dp)
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("adc_dist").asc(), F.col(cand_id).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, cand_id, "adc_dist", "rank")
+    )

@@ -897,3 +897,99 @@ SELECT doc_id, rank, term, score FROM (
 ) WHERE rank <= 3
 ORDER BY doc_id, rank
 """
+
+
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN under the FULL value oracle: train PQ
+    codebooks (m=4 subspaces x 8 codes, 1 Lloyd iteration, means rounded
+    to 9 dp — the ivf_train bit-stability discipline), encode every
+    candidate to 4 byte-codes JVM-side, then ADC top-10 for 8 queries as
+    a sum of LUT lookups. The DuckDB SQL replays EVERY stage — seeds,
+    the L2 argmin (spelled ||c||^2 - 2<e,c> with sequential-fold dots on
+    both engines), the rounded re-centering, the re-encode against the
+    trained books, the per-query LUTs, and the rank — bit-for-bit.
+    PQ is the memory leg of the ANN story: 4 bytes/vector searched
+    instead of 256 (operators/similarity.py:pq_train/pq_encode/pq_topk).
+    """
+    from ..operators.similarity import pq_topk, pq_train
+
+    (emb,) = load(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    books = pq_train(emb, m=4, k_codes=8, n_iters=1, round_dp=9)
+    return pq_topk(qs, emb, books, k=10).orderBy("query_id", "rank")
+
+
+def _pq_sql(m: int = 4, k_codes: int = 8, d_sub: int = 16,
+            n_queries: int = 8, topk: int = 10) -> str:
+    """Generate the DuckDB replay of q_pq_topk (m subspaces make the SQL
+    repetitive; building it keeps the two sides structurally in lockstep).
+    """
+    ctes = []
+    for s in range(m):
+        lo, hi = s * d_sub + 1, (s + 1) * d_sub
+        sl = f"embedding[{lo}:{hi}]::DOUBLE[]"
+        key = f"list_dot_product(c.c, c.c) - 2 * list_dot_product(e.{sl}, c.c)"
+        ctes.append(f"""seeds_{s} AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, {sl} AS c
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {k_codes})
+)""")
+        ctes.append(f"""a_{s} AS (
+  SELECT vec_id, code FROM (
+    SELECT e.vec_id, c.code,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {key} ASC, c.code ASC) AS rn
+    FROM embeddings e CROSS JOIN seeds_{s} c) WHERE rn = 1
+)""")
+        ctes.append(f"""u_{s} AS (
+  SELECT a.code, generate_subscripts(e.{sl}, 1) AS dim,
+         unnest(e.{sl}) AS v
+  FROM a_{s} a JOIN embeddings e USING (vec_id)
+)""")
+        ctes.append(f"""m_{s} AS (
+  SELECT code, list(c ORDER BY dim) AS mc FROM (
+    SELECT code, dim, round(avg(v), 9) AS c FROM u_{s} GROUP BY 1, 2
+  ) GROUP BY code
+)""")
+        ctes.append(f"""cent_{s} AS (
+  SELECT s.code, COALESCE(m.mc, s.c) AS c
+  FROM seeds_{s} s LEFT JOIN m_{s} m USING (code)
+)""")
+        ctes.append(f"""enc_{s} AS (
+  SELECT vec_id, code AS c{s} FROM (
+    SELECT e.vec_id, c.code,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {key} ASC, c.code ASC) AS rn
+    FROM embeddings e CROSS JOIN cent_{s} c) WHERE rn = 1
+)""")
+        ctes.append(f"""lut_{s} AS (
+  SELECT e.vec_id AS query_id, c.code,
+         list_dot_product(c.c, c.c) - 2 * list_dot_product(e.{sl}, c.c) AS val
+  FROM embeddings e CROSS JOIN cent_{s} c WHERE e.vec_id < {n_queries}
+)""")
+    enc_joins = " ".join(f"JOIN enc_{s} USING (vec_id)" for s in range(1, m))
+    lut_joins = " ".join(
+        f"JOIN lut_{s} l{s} ON l{s}.code = enc_{s}.c{s} AND l{s}.query_id = l0.query_id"
+        for s in range(1, m)
+    )
+    dist = " + ".join(f"l{s}.val" for s in range(m))
+    ctes.append(f"""scored AS (
+  SELECT l0.query_id, enc_0.vec_id, round({dist}, 6) AS adc_dist
+  FROM enc_0 {enc_joins}
+  JOIN lut_0 l0 ON l0.code = enc_0.c0
+  {lut_joins}
+)""")
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT query_id, vec_id, adc_dist, rank FROM (
+  SELECT query_id, vec_id, adc_dist,
+         row_number() OVER (PARTITION BY query_id
+           ORDER BY adc_dist ASC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {topk}
+ORDER BY query_id, rank
+""")
+
+
+Q_PQ_TOPK_SQL = _pq_sql()
