@@ -274,3 +274,86 @@ def test_append_rejects_reserved_operations(spark, tmp_path):
     t = IcebergLiteTable(spark, str(tmp_path / "tbl"))
     with pytest.raises(ValueError, match="reserved"):
         t.append(spark.range(0, 5), operation="replace")
+
+
+# -------------------------------------------- manifest stats + Z-order
+
+
+def test_manifest_stats_prune_files(spark, tmp_path):
+    t = IcebergLiteTable(spark, str(tmp_path / "tbl"))
+    for lo in (0, 100, 200):  # three files with disjoint id ranges
+        t.append(spark.range(lo, lo + 100).coalesce(1))
+    assert len(t.files()) == 3
+    hits = t.files(predicates={"id": (150, 160)})
+    assert len(hits) == 1
+    got = t.read(where={"id": (150, 160)})
+    assert sorted(r.id for r in got.collect()) == list(range(150, 161))
+    # open-ended bounds
+    assert len(t.files(predicates={"id": (250, None)})) == 1
+    assert len(t.files(predicates={"id": (None, 99)})) == 1
+    # a predicate pruning everything is an empty result, not an error
+    assert t.read(where={"id": (9999, 10000)}).count() == 0
+    # unknown column never prunes
+    assert len(t.files(predicates={"nope": (0, 1)})) == 3
+
+
+def test_stats_survive_compaction_and_carry(spark, tmp_path):
+    import json
+
+    t = IcebergLiteTable(spark, str(tmp_path / "tbl"))
+    for lo in (0, 100):
+        t.append(spark.range(lo, lo + 100).coalesce(1))
+    t.compact()
+    live = t._live_manifest_rows(t.current_snapshot())
+    for cs in live.col_stats:
+        assert json.loads(cs)["id"] == [0, 199]
+    # pruning keeps working against the rewritten file
+    assert t.read(where={"id": (5, 7)}).count() == 3
+
+
+def test_zorder_compaction_clusters_for_pruning(spark, tmp_path):
+    import json
+
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    xs, ys = rng.uniform(0, 100, 4000), rng.uniform(0, 100, 4000)
+    pdf = pd.DataFrame({"pid": range(4000), "x": xs, "y": ys})
+    t = IcebergLiteTable(spark, str(tmp_path / "tbl"))
+    for s in range(4):  # random spatial order, 4 appends
+        t.append(spark.createDataFrame(pdf.iloc[s::4]).repartition(4))
+    snap = t.compact(target_rows_per_file=250, zorder_by=["x", "y"])
+    assert snap is not None
+    live = t._live_manifest_rows(t.current_snapshot())
+    assert len(live) >= 8
+    # data identical after the clustered rewrite
+    got = t.read()
+    assert got.count() == 4000
+    assert got.agg(F.sum("pid")).collect()[0][0] == sum(range(4000))
+    # every file now covers a tight (x, y) rectangle: a 10x10 window query
+    # prunes most files via manifest stats alone
+    hits = t.files(predicates={"x": (40.0, 50.0), "y": (40.0, 50.0)})
+    assert 0 < len(hits) <= max(2, len(live) // 2), (len(hits), len(live))
+    # and the pruned read loses no rows vs the full-scan filter
+    full = t.read().filter(
+        (F.col("x") >= 40) & (F.col("x") <= 50) & (F.col("y") >= 40) & (F.col("y") <= 50)
+    )
+    pruned = t.read(where={"x": (40.0, 50.0), "y": (40.0, 50.0)})
+    assert pruned.count() == full.count()
+    # mean per-file bbox area is far below the unclustered expectation
+    # (un-clustered random files span ~the whole [0,100]^2 square)
+    areas = []
+    for cs in live.col_stats:
+        st = json.loads(cs)
+        areas.append((st["x"][1] - st["x"][0]) * (st["y"][1] - st["y"][0]))
+    assert np.mean(areas) < 3000, np.mean(areas)
+
+
+def test_stats_missing_manifest_column_backward_compat(spark, tmp_path):
+    t = IcebergLiteTable(spark, str(tmp_path / "tbl"))
+    t.append(spark.range(0, 50).coalesce(1))
+    # simulate a manifest written before col_stats existed
+    m = pd.read_parquet(t._manifest_path).drop(columns=["col_stats"])
+    m.to_parquet(t._manifest_path, index=False)
+    assert len(t.files(predicates={"id": (0, 1)})) == 1  # no stats -> no prune
+    assert t.read(where={"id": (0, 1)}).count() == 2

@@ -240,7 +240,9 @@ def q_iceberg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     TIME-TRAVEL read of the retained pre-overwrite snapshot, so the
     oracle catches: lost/duplicated rows across any maintenance commit,
     overwrite leaking into untouched partitions, compaction corrupting
-    values, or expiry breaking a retained snapshot's file resolution."""
+    values, expiry breaking a retained snapshot's file resolution, or the
+    stats-pruned read (Z-order-clustered rewrite + manifest min/max file
+    skipping + residual row filter) losing or duplicating rows."""
     import shutil
     import tempfile
 
@@ -261,7 +263,7 @@ def q_iceberg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_chars", F.col("n_chars") * 2),
         partition_by="lang",
     )
-    t.compact(target_rows_per_file=1_000_000)
+    t.compact(target_rows_per_file=200, zorder_by=["doc_id", "n_chars"])
     t.expire_snapshots(keep_last=3)  # retains pre_snap, overwrite, compact
 
     def agg(df: DataFrame, state: str) -> DataFrame:
@@ -272,6 +274,7 @@ def q_iceberg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         agg(t.read(), "current")
         .unionByName(agg(t.read(snapshot_id=pre_snap), "pre_overwrite"))
+        .unionByName(agg(t.read(where={"doc_id": (100, 299)}), "pruned"))
         .select("state", "lang", "n_docs", "sum_chars")
         .orderBy("state", "lang")
     )
@@ -286,6 +289,11 @@ UNION ALL
 SELECT 'pre_overwrite' AS state, lang, count(*) AS n_docs,
        CAST(sum(n_chars) AS BIGINT) AS sum_chars
 FROM documents GROUP BY lang
+UNION ALL
+SELECT 'pruned' AS state, lang, count(*) AS n_docs,
+       CAST(sum(CASE WHEN lang = 'en' THEN n_chars * 2 ELSE n_chars END) AS BIGINT)
+           AS sum_chars
+FROM documents WHERE doc_id BETWEEN 100 AND 299 GROUP BY lang
 ORDER BY state, lang
 """
 

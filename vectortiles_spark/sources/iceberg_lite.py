@@ -44,6 +44,80 @@ from pyspark.sql import DataFrame, SparkSession
 _REWRITE_OPS = ("replace", "overwrite")
 
 
+def _footer_stats_json(meta) -> str:
+    """Per-file column min/max as a JSON string, harvested from the Parquet
+    FOOTER statistics the writer already produced — zero data scan, the
+    same free lunch Iceberg's manifests eat. Only top-level scalar columns
+    with stats in EVERY row group are recorded (a column missing from the
+    JSON simply can't prune). Bytes stats decode as UTF-8 when possible."""
+    import json
+
+    agg: dict[str, list] = {}
+    ok: dict[str, bool] = {}
+    for rg in range(meta.num_row_groups):
+        g = meta.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if "." in name:  # nested (list/struct) — not prunable
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                ok[name] = False
+                continue
+            lo, hi = st.min, st.max
+            if isinstance(lo, bytes):
+                try:
+                    lo, hi = lo.decode("utf-8"), hi.decode("utf-8")
+                except UnicodeDecodeError:
+                    ok[name] = False
+                    continue
+            if not isinstance(lo, (int, float, str, bool)):
+                ok[name] = False
+                continue
+            if name in agg:
+                agg[name][0] = min(agg[name][0], lo)
+                agg[name][1] = max(agg[name][1], hi)
+            else:
+                agg[name] = [lo, hi]
+            ok.setdefault(name, True)
+    return json.dumps(
+        {k: v for k, v in agg.items() if ok.get(k)}, sort_keys=True, default=str
+    )
+
+
+def _zorder_key(cols: list[str], bounds: dict, bits: int = 16):
+    """Column: Z-order (Morton) key — each column scaled to `bits` bits
+    against its global [lo, hi], bits interleaved LSB-first across columns.
+    Pure JVM bit algebra (shiftleft/shiftright), no Python in the plan;
+    NULLs and degenerate ranges quantize to 0 (sort first, still valid)."""
+    from pyspark.sql import functions as F
+
+    top = (1 << bits) - 1
+    quantized = []
+    for c in cols:
+        lo, hi = bounds[c]
+        lo = float(lo) if lo is not None else 0.0
+        hi = float(hi) if hi is not None else 0.0
+        span = hi - lo
+        if span > 0:
+            q = F.floor(
+                (F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * F.lit(float(top))
+            )
+            q = F.greatest(F.lit(0), F.least(F.lit(top), q))
+        else:
+            q = F.lit(0).cast("long")
+        quantized.append(F.coalesce(q, F.lit(0)).cast("long"))
+    n = len(cols)
+    key = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, q in enumerate(quantized):
+            key = key + F.shiftleft(
+                F.shiftright(q, b).bitwiseAND(F.lit(1)), b * n + i
+            )
+    return key
+
+
 class IcebergLiteTable:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
@@ -63,9 +137,15 @@ class IcebergLiteTable:
 
     def manifest(self) -> pd.DataFrame:
         if os.path.exists(self._manifest_path):
-            return pd.read_parquet(self._manifest_path)
+            m = pd.read_parquet(self._manifest_path)
+            if "col_stats" not in m.columns:  # tables written before stats
+                m["col_stats"] = None
+            return m
         return pd.DataFrame(
-            columns=["snapshot_id", "file_path", "partition_key", "row_count", "operation"]
+            columns=[
+                "snapshot_id", "file_path", "partition_key", "row_count",
+                "col_stats", "operation",
+            ]
         )
 
     def snapshots(self) -> pd.DataFrame:
@@ -111,17 +191,21 @@ class IcebergLiteTable:
                 from urllib.parse import unquote
 
                 part_key = unquote(seg[0].split("=", 1)[1]) if seg else ""
+            meta = pq.ParquetFile(fp).metadata
             entries.append(
                 {
                     "snapshot_id": snap_id,
                     "file_path": fp,
                     "partition_key": part_key,
-                    "row_count": pq.ParquetFile(fp).metadata.num_rows,
+                    "row_count": meta.num_rows,
+                    "col_stats": _footer_stats_json(meta),
                 }
             )
         return pd.DataFrame(
             entries,
-            columns=["snapshot_id", "file_path", "partition_key", "row_count"],
+            columns=[
+                "snapshot_id", "file_path", "partition_key", "row_count", "col_stats",
+            ],
         )
 
     def _commit(self, new_rows: pd.DataFrame, snap_id: int, operation: str) -> int:
@@ -267,7 +351,20 @@ class IcebergLiteTable:
             return self.manifest().iloc[0:0]
         return self._live_rows(self.manifest(), self.snapshots(), snapshot_id)
 
-    def files(self, snapshot_id: int | None = None, partition_values: list[str] | None = None) -> list[str]:
+    def files(
+        self,
+        snapshot_id: int | None = None,
+        partition_values: list[str] | None = None,
+        predicates: dict | None = None,
+    ) -> list[str]:
+        """Live data files, pruned driver-side against manifest metadata:
+        partition_values prunes on the partition key; predicates is
+        {column: (lo, hi)} inclusive ranges (either bound None = open) that
+        prune on the per-file footer min/max stats — a file is skipped ONLY
+        when its recorded range provably misses the predicate, so columns
+        without stats never lose rows. This is the Iceberg planning story:
+        at 10^12 rows a range scan touches the few files whose stats
+        overlap, not the table."""
         if snapshot_id is None:
             snapshot_id = self.current_snapshot()
         if snapshot_id is None:
@@ -275,13 +372,54 @@ class IcebergLiteTable:
         m = self._live_manifest_rows(snapshot_id)
         if partition_values is not None:
             m = m[m.partition_key.isin([str(v) for v in partition_values])]
-        return m.file_path.tolist()
+        if not predicates:
+            return m.file_path.tolist()
+        import json
 
-    def read(self, snapshot_id: int | None = None, partition_values: list[str] | None = None) -> DataFrame:
-        files = self.files(snapshot_id, partition_values)
+        out = []
+        for r in m.itertuples():
+            stats = {}
+            if isinstance(r.col_stats, str) and r.col_stats:
+                stats = json.loads(r.col_stats)
+            hit = True
+            for col, (lo, hi) in predicates.items():
+                if col not in stats:
+                    continue  # no stats -> cannot prune this column
+                flo, fhi = stats[col]
+                if (hi is not None and flo > hi) or (lo is not None and fhi < lo):
+                    hit = False
+                    break
+            if hit:
+                out.append(r.file_path)
+        return out
+
+    def read(
+        self,
+        snapshot_id: int | None = None,
+        partition_values: list[str] | None = None,
+        where: dict | None = None,
+    ) -> DataFrame:
+        """Snapshot read. ``where`` = {column: (lo, hi)} both file-prunes via
+        manifest stats AND applies the residual row filter (stats pruning is
+        file-granular; surviving files still carry non-matching rows)."""
+        files = self.files(snapshot_id, partition_values, predicates=where)
         if not files:
+            # a predicate pruning ALL files is a legitimate empty result;
+            # only a genuinely file-less snapshot is an error
+            unpruned = self.files(snapshot_id, partition_values)
+            if where and unpruned:
+                return self.spark.read.parquet(*unpruned).limit(0)
             raise ValueError(f"no data files for snapshot {snapshot_id} in {self.path}")
-        return self.spark.read.parquet(*files)
+        df = self.spark.read.parquet(*files)
+        if where:
+            from pyspark.sql import functions as F
+
+            for col, (lo, hi) in where.items():
+                if lo is not None:
+                    df = df.filter(F.col(col) >= lo)
+                if hi is not None:
+                    df = df.filter(F.col(col) <= hi)
+        return df
 
     # ---------- maintenance ----------
 
@@ -289,6 +427,7 @@ class IcebergLiteTable:
         self,
         target_rows_per_file: int = 1_000_000,
         min_files: int = 2,
+        zorder_by: list[str] | None = None,
     ) -> int | None:
         """Small-file compaction (Iceberg's rewrite_data_files binpack):
         every partition holding >= min_files live files is rewritten into
@@ -304,7 +443,17 @@ class IcebergLiteTable:
         bucket) where each partition's bucket count is its own
         ceil(rows/target) (broadcast-joined tiny map), so a single hot
         partition spreads over many tasks instead of serializing into one
-        writer. Returns the new snapshot id, or None if nothing to do."""
+        writer. Returns the new snapshot id, or None if nothing to do.
+
+        ``zorder_by`` additionally CLUSTERS the rewritten data on a Z-order
+        (Morton) key over the given columns (Delta's OPTIMIZE ZORDER):
+        each column is scaled to 16 bits against its GLOBAL min/max (taken
+        from the manifest's footer stats — still no data scan), the bits
+        interleave into one long key, and the rewrite range-partitions +
+        sorts on it, so each output file covers a tight hyper-rectangle
+        and ``files(predicates=...)`` can skip most of the table on any
+        range query over those columns. Clustering changes layout only —
+        data stays bit-identical."""
         from pyspark.sql import functions as F
 
         cur = self.current_snapshot()
@@ -323,6 +472,11 @@ class IcebergLiteTable:
         snap_id = cur + 1
         partition_by = self.partition_spec()
         df = self.spark.read.parquet(*rewrite.file_path.tolist())
+        if zorder_by:
+            return self._compact_zorder(
+                df, rewrite, carried, snap_id, partition_by, zorder_by,
+                target_rows_per_file,
+            )
         n_out_total = int(
             sum(max(1, math.ceil(r / target_rows_per_file)) for r in todo.n_rows)
         )
@@ -359,6 +513,57 @@ class IcebergLiteTable:
                 .drop("___pk", "__nbuckets", "__bucket")
             )
             new_rows = self._write_data_files(out, snap_id, partition_by)
+        rows = pd.concat(
+            [new_rows, carried.assign(snapshot_id=snap_id)[new_rows.columns]],
+            ignore_index=True,
+        )
+        return self._commit(rows, snap_id, "replace")
+
+    def _compact_zorder(
+        self, df, rewrite, carried, snap_id, partition_by, zorder_by,
+        target_rows_per_file,
+    ) -> int:
+        import json
+
+        from pyspark.sql import functions as F
+
+        # global per-column bounds from the manifest's footer stats —
+        # driver-side metadata; fall back to one cheap agg job only for a
+        # column some file lacks stats for
+        bounds: dict[str, list] = {}
+        missing = set(zorder_by)
+        have_all = set(zorder_by)
+        for cs in rewrite.col_stats:
+            stats = json.loads(cs) if isinstance(cs, str) and cs else {}
+            for c in list(have_all):
+                if c not in stats:
+                    have_all.discard(c)
+                    bounds.pop(c, None)
+                    continue
+                lo, hi = stats[c]
+                if c in bounds:
+                    bounds[c][0] = min(bounds[c][0], lo)
+                    bounds[c][1] = max(bounds[c][1], hi)
+                else:
+                    bounds[c] = [lo, hi]
+        missing -= set(bounds)
+        if missing:
+            row = df.agg(
+                *[F.min(c).alias(f"lo_{c}") for c in missing],
+                *[F.max(c).alias(f"hi_{c}") for c in missing],
+            ).first()
+            for c in missing:
+                bounds[c] = [row[f"lo_{c}"], row[f"hi_{c}"]]
+        zkey = _zorder_key(zorder_by, bounds)
+        n_out = int(
+            sum(
+                max(1, math.ceil(r / target_rows_per_file))
+                for r in rewrite.groupby("partition_key").row_count.sum()
+            )
+        )
+        keys = ([F.col(partition_by)] if partition_by else []) + [zkey]
+        out = df.repartitionByRange(n_out, *keys).sortWithinPartitions(*keys)
+        new_rows = self._write_data_files(out, snap_id, partition_by)
         rows = pd.concat(
             [new_rows, carried.assign(snapshot_id=snap_id)[new_rows.columns]],
             ignore_index=True,
