@@ -256,3 +256,52 @@ def test_run_length_entries_honored_on_read(spark, tmp_path):
             np.array([r.tile_x for r in back]),
             np.array([r.tile_y for r in back]))
     ) == [6, 7, 8]
+
+
+def test_zoom_filter_keeps_run_crossing_zoom_boundary(spark, tmp_path):
+    """Zoom bases are contiguous in id space, so an RLE run written at z
+    can extend into z+1 (a planet ocean does this constantly); the zoom
+    pushdown must keep the boundary-crossing entry."""
+    path = str(tmp_path / "cross.pmtiles")
+    blob = gzip.compress(b"ocean", mtime=0)
+    # run of 4 ids starting at the LAST id of z=1 (id 4): covers ids
+    # 4,5,6,7 -> one z=1 tile + three z=2 tiles
+    root = P._gz(P._serialize_dir(
+        np.array([4], np.uint64), np.array([4], np.int64),
+        np.array([len(blob)], np.int64), np.array([0], np.int64)))
+    hdr = P._pack_header({
+        "root_off": P.HEADER_LEN, "root_len": len(root),
+        "meta_off": P.HEADER_LEN + len(root), "meta_len": 0,
+        "leaf_off": P.HEADER_LEN + len(root), "leaf_len": 0,
+        "data_off": P.HEADER_LEN + len(root), "data_len": len(blob),
+        "n_addressed": 4, "n_entries": 1, "n_contents": 1, "clustered": True,
+        "internal_compression": P.COMPRESSION_GZIP,
+        "tile_compression": P.COMPRESSION_GZIP, "tile_type": P.TILETYPE_MVT,
+        "min_zoom": 1, "max_zoom": 2,
+        "min_lon_e7": 0, "min_lat_e7": 0, "max_lon_e7": 0, "max_lat_e7": 0,
+        "center_zoom": 1, "center_lon_e7": 0, "center_lat_e7": 0,
+    })
+    with open(path, "wb") as f:
+        f.write(hdr + root + blob)
+    assert P.read_pmtiles(spark, path).count() == 4
+    z2 = P.read_pmtiles(spark, path, z=2).collect()   # ids 5,6,7
+    assert len(z2) == 3 and all(r.tile_z == 2 for r in z2)
+    z1 = P.read_pmtiles(spark, path, z=1).collect()   # id 4 only
+    assert len(z1) == 1 and z1[0].tile_z == 1
+
+
+def test_header_bounds_cover_rle_runs(spark, tmp_path):
+    """min/max zoom and the bbox must cover ADDRESSED tiles inside runs,
+    not just entry heads (chunked run expansion on the write side)."""
+    path = str(tmp_path / "runs.pmtiles")
+    z = 5
+    ocean = b"\x00" * 32
+    # every z=5 tile identical -> collapses to ONE run entry
+    rows = [Row(tile_z=z, tile_x=x, tile_y=y, mvt=ocean)
+            for x in range(32) for y in range(32)]
+    P.write_pmtiles(spark.createDataFrame(rows), path, partitions=3)
+    hdr = P.read_header(path)
+    assert hdr["n_entries"] == 1 and hdr["n_addressed"] == 1024
+    assert hdr["min_zoom"] == hdr["max_zoom"] == 5
+    # full-planet coverage at z=5 -> bbox spans the whole mercator square
+    assert hdr["min_lon_e7"] == -1800000000 and hdr["max_lon_e7"] == 1800000000

@@ -357,3 +357,14 @@ def test_stats_missing_manifest_column_backward_compat(spark, tmp_path):
     m.to_parquet(t._manifest_path, index=False)
     assert len(t.files(predicates={"id": (0, 1)})) == 1  # no stats -> no prune
     assert t.read(where={"id": (0, 1)}).count() == 2
+
+
+def test_expire_keep_last_floor_and_incomparable_predicates(spark, tmp_path):
+    t = IcebergLiteTable(spark, str(tmp_path / "tbl"))
+    t.append(spark.range(0, 10).coalesce(1))
+    t.append(spark.range(10, 20).coalesce(1))
+    # keep_last=0 must not expire the current snapshot
+    t.expire_snapshots(keep_last=0)
+    assert t.read().count() == 20
+    # string-vs-number predicate mismatch never prunes (and never crashes)
+    assert len(t.files(predicates={"id": ("a", "z")})) == len(t.files())

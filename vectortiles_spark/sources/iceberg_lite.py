@@ -97,6 +97,8 @@ def _zorder_key(cols: list[str], bounds: dict, bits: int = 16):
     quantized = []
     for c in cols:
         lo, hi = bounds[c]
+        if isinstance(lo, str) or isinstance(hi, str):
+            raise ValueError(f"zorder_by column {c!r} is not numeric")
         lo = float(lo) if lo is not None else 0.0
         hi = float(hi) if hi is not None else 0.0
         span = hi - lo
@@ -386,9 +388,13 @@ class IcebergLiteTable:
                 if col not in stats:
                     continue  # no stats -> cannot prune this column
                 flo, fhi = stats[col]
-                if (hi is not None and flo > hi) or (lo is not None and fhi < lo):
-                    hit = False
-                    break
+                try:
+                    if (hi is not None and flo > hi) or (lo is not None and fhi < lo):
+                        hit = False
+                        break
+                except TypeError:
+                    continue  # incomparable types (str stats vs numeric
+                    # bound, or vice versa) -> never prune on a guess
             if hit:
                 out.append(r.file_path)
         return out
@@ -579,6 +585,7 @@ class IcebergLiteTable:
         identically. Metadata commits first (atomic rename), file deletion
         after — a crash in between leaves only harmless orphans, never a
         broken table. Returns {"expired": n, "deleted_files": n}."""
+        keep_last = max(1, keep_last)  # the current snapshot is never expirable
         snaps = self.snapshots()
         committed = snaps.sort_values("snapshot_id")
         if len(committed) <= keep_last:

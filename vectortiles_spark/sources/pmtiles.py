@@ -443,13 +443,42 @@ def write_pmtiles(
 
     if n:
         # bounds over every ADDRESSED tile (runs expanded — consecutive
-        # Hilbert ids, so the expansion is exact, not just entry heads)
-        addr = np.concatenate(
-            [np.arange(i, i + r, dtype=np.uint64) for i, r in zip(e_ids, e_runs)]
-        )
-        zs, xs, ys = tileid_to_zxy(addr)
-        lo_lon, lo_lat, hi_lon, hi_lat = _tile_bounds_e7(zs, xs, ys)
-        minz, maxz = int(zs.min()), int(zs.max())
+        # Hilbert ids, so the expansion is exact, not just entry heads).
+        # Expansion is CHUNKED: a planet-scale ocean run can address
+        # billions of ids, and bounds need min/max accumulation, not one
+        # giant array in driver memory.
+        minz = maxz = None
+        lo_lon = lo_lat = hi_lon = hi_lat = None
+        CHUNK = 1 << 22
+        pending: list[np.ndarray] = []
+        pend_n = 0
+
+        def flush(buf):
+            nonlocal minz, maxz, lo_lon, lo_lat, hi_lon, hi_lat
+            addr = np.concatenate(buf)
+            zs, xs, ys = tileid_to_zxy(addr)
+            b = _tile_bounds_e7(zs, xs, ys)
+            z0, z1 = int(zs.min()), int(zs.max())
+            if minz is None:
+                minz, maxz = z0, z1
+                lo_lon, lo_lat, hi_lon, hi_lat = b
+            else:
+                minz, maxz = min(minz, z0), max(maxz, z1)
+                lo_lon, lo_lat = min(lo_lon, b[0]), min(lo_lat, b[1])
+                hi_lon, hi_lat = max(hi_lon, b[2]), max(hi_lat, b[3])
+
+        for i, r in zip(e_ids, e_runs):
+            s = 0
+            while s < r:
+                c = min(r - s, CHUNK - pend_n)
+                pending.append(np.arange(i + s, i + s + c, dtype=np.uint64))
+                pend_n += c
+                s += c
+                if pend_n >= CHUNK:
+                    flush(pending)
+                    pending, pend_n = [], 0
+        if pending:
+            flush(pending)
     else:
         lo_lon = lo_lat = hi_lon = hi_lat = 0
         minz = maxz = 0
@@ -548,6 +577,12 @@ def read_pmtiles(
     if z is not None:
         lo_i = int(np.searchsorted(ids, np.uint64(zoom_base(z))))
         hi_i = int(np.searchsorted(ids, np.uint64(zoom_base(z + 1))))
+        # zoom bases are contiguous in id space (base(z)+4^z == base(z+1)),
+        # so an RLE run written at z-1 can EXTEND into z; the per-row zoom
+        # filter in scan() drops its foreign rows, but the entry itself
+        # must stay in the slice or its z-tiles vanish
+        if lo_i > 0 and int(ids[lo_i - 1]) + max(1, int(runs[lo_i - 1])) > zoom_base(z):
+            lo_i -= 1
     count = hi_i - lo_i
     if count <= 0:
         return spark.createDataFrame([], TILES_SCHEMA)
