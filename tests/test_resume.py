@@ -368,3 +368,27 @@ def test_expire_keep_last_floor_and_incomparable_predicates(spark, tmp_path):
     assert t.read().count() == 20
     # string-vs-number predicate mismatch never prunes (and never crashes)
     assert len(t.files(predicates={"id": ("a", "z")})) == len(t.files())
+
+
+def test_spec_adoption_guards_legacy_layouts(spark, tmp_path):
+    import os
+
+    # unpartitioned data, spec file missing: a partitioned write must not
+    # adopt a spec over ""-keyed rows (they'd fall outside every partition)
+    t = IcebergLiteTable(spark, str(tmp_path / "a"))
+    t.append(spark.range(0, 10))
+    os.remove(t._spec_path) if os.path.exists(t._spec_path) else None
+    df = spark.range(0, 5).withColumn("part", F.lit(1))
+    with pytest.raises(ValueError, match="unpartitioned data"):
+        t.overwrite_partitions(df, partition_by="part")
+    # legacy partitioned table (spec file lost): partitioned write re-adopts,
+    # unpartitioned write is rejected
+    t2 = IcebergLiteTable(spark, str(tmp_path / "b"))
+    t2.append(spark.range(0, 10).withColumn("part", F.pmod("id", F.lit(2))),
+              partition_by="part")
+    os.remove(t2._spec_path)
+    with pytest.raises(ValueError, match="partitioned data"):
+        t2.append(spark.range(10, 15))
+    t2.append(spark.range(10, 20).withColumn("part", F.pmod("id", F.lit(2))),
+              partition_by="part")
+    assert t2.read().count() == 20

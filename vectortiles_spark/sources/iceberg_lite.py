@@ -290,7 +290,30 @@ class IcebergLiteTable:
         import json
 
         current = self.partition_spec()
+        if current is None and partition_by is None:
+            # legacy partitioned table (pre-spec-file) must not silently
+            # accept an unpartitioned write
+            live_keys = set(
+                self._live_manifest_rows(self.current_snapshot()).partition_key
+            )
+            if live_keys and live_keys != {""}:
+                raise ValueError(
+                    "table holds partitioned data; cannot write unpartitioned"
+                )
         if current is None and partition_by is not None:
+            # tables from before the spec file existed have data but no
+            # table.json: only adopt a spec when the existing layout is
+            # actually partitioned (non-empty keys) — silently pinning a
+            # spec over ""-keyed data would leave those rows permanently
+            # outside every partition, e.g. untouchable by overwrite
+            live_keys = set(
+                self._live_manifest_rows(self.current_snapshot()).partition_key
+            )
+            if live_keys and live_keys == {""}:
+                raise ValueError(
+                    "table holds unpartitioned data; cannot adopt "
+                    f"partition_by={partition_by!r}"
+                )
             tmp = self._spec_path + ".tmp"
             with open(tmp, "w") as f:
                 json.dump({"partition_by": partition_by}, f)
