@@ -81,6 +81,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational core (SURVEY.md §2.D2, D9, D13)
         "q01_pricing_summary": Q.q01_pricing_summary,
+        "q_percentiles": Q.q_percentiles,
+        "q_histogram": Q.q_histogram,
         "q03_join_agg": Q.q03_join_agg,
         "q05_region_revenue": Q.q05_region_revenue,
         "q_topk_per_group": Q.q_topk_per_group,
@@ -90,6 +92,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rollup_revenue": Q.q_rollup_revenue,
         "q_events_hourly": Q.q_events_hourly,
         "q_sessionize": Q.q_sessionize,
+        "q_asof_join": Q.q_asof_join,
+        "q_range_join": Q.q_range_join,
         "q_window_suite": Q.q_window_suite,
         "q_case_pivot": Q.q_case_pivot,
         # geo (D3, D5, D6)
@@ -113,6 +117,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ngram_jaccard": QT.q_ngram_jaccard,
         "q_minhash_near_dups": QT.q_minhash_near_dups,
         "q_dedup_clusters": QT.q_dedup_clusters,
+        "q_gopher_quality": QT.q_gopher_quality,
+        "q_chunk_dedup": QT.q_chunk_dedup,
         "q_simhash_buckets": QT.q_simhash_buckets,
         "q_rolling_fingerprint": QT.q_rolling_fingerprint,
         "q_token_bpe": QT.q_token_bpe,
@@ -155,6 +161,8 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "q01_pricing_summary": Q.Q01_SQL,
+        "q_percentiles": Q.Q_PERCENTILES_SQL,
+        "q_histogram": Q.Q_HISTOGRAM_SQL,
         "q03_join_agg": Q.Q03_SQL,
         "q05_region_revenue": Q.Q05_SQL,
         "q_topk_per_group": Q.Q_TOPK_SQL,
@@ -164,6 +172,8 @@ def oracle_sql() -> dict[str, str]:
         "q_rollup_revenue": Q.Q_ROLLUP_SQL,
         "q_events_hourly": Q.Q_EVENTS_HOURLY_SQL,
         "q_sessionize": Q.Q_SESSIONIZE_SQL,
+        "q_asof_join": Q.Q_ASOF_SQL,
+        "q_range_join": Q.Q_RANGE_JOIN_SQL,
         "q_window_suite": Q.Q_WINDOW_SUITE_SQL,
         "q_case_pivot": Q.Q_CASE_PIVOT_SQL,
         "q_mvt_roundtrip": Q.Q_MVT_ROUNDTRIP_SQL,
@@ -206,6 +216,8 @@ def oracle_sql() -> dict[str, str]:
         "q_ngram_jaccard": QT.Q_NGRAM_JACCARD_SQL,
         "q_minhash_near_dups": QT.Q_MINHASH_SQL,
         "q_dedup_clusters": QT.Q_DEDUP_CLUSTERS_SQL,
+        "q_gopher_quality": QT.Q_GOPHER_QUALITY_SQL,
+        "q_chunk_dedup": QT.Q_CHUNK_DEDUP_SQL,
         "q_simhash_buckets": QT.Q_SIMHASH_SQL,
         "q_rolling_fingerprint": QT.Q_ROLLING_FP_SQL,
         "q_token_bpe": QT.Q_TOKEN_BPE_SQL,

@@ -101,6 +101,74 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles + dispersion per group: median/p95
+    via ``percentile`` (DuckDB twin: ``quantile_cont``, the same linear
+    interpolation), stddev_samp, min/max.
+
+    Scale note: EXACT percentiles sort each group — fine for bounded
+    group counts like this; at 100 TB with huge groups the engine's
+    ``percentile_approx`` (t-digest, mergeable map-side) is the drop-in
+    scale path, kept out of the oracle battery because its sketch is
+    engine-specific."""
+    (li,) = load(spark, sf_dir, "lineitem")
+    x = F.col("l_extendedprice")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("median_price"),
+            F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95_price"),
+            F.round(F.stddev_samp(x), 4).alias("sd_price"),
+            F.min(x).alias("min_price"),
+            F.max(x).alias("max_price"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q_PERCENTILES_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(quantile_cont(l_extendedprice, 0.5), 4)  AS median_price,
+       round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price,
+       round(stddev_samp(l_extendedprice), 4)         AS sd_price,
+       min(l_extendedprice)                           AS min_price,
+       max(l_extendedprice)                           AS max_price
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+_HIST_W = 25000
+
+
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals per order-priority: bucket =
+    floor(x / w) — a pure projection + one groupBy shuffle, the shape that
+    holds at any scale (bucket cardinality is bounded by the value range,
+    not the row count)."""
+    (orders,) = load(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            "o_orderpriority",
+            F.floor(F.col("o_totalprice") / _HIST_W).alias("bucket"),
+        )
+        .groupBy("o_orderpriority", "bucket")
+        .agg(F.count("*").alias("n"))
+        .orderBy("o_orderpriority", "bucket")
+    )
+
+
+Q_HISTOGRAM_SQL = f"""
+SELECT o_orderpriority,
+       CAST(floor(o_totalprice / {_HIST_W}) AS BIGINT) AS bucket,
+       count(*) AS n
+FROM orders
+GROUP BY 1, 2
+ORDER BY o_orderpriority, bucket
+"""
+
+
 def q03_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-way join + aggregate: customer (broadcast) ⋈ orders ⋈ lineitem."""
     cust, orders, li = load(spark, sf_dir, "customer", "orders", "lineitem")
@@ -381,6 +449,100 @@ WITH lagged AS (
   SELECT user_id, session_id, count(*) AS n_events FROM sessions GROUP BY 1, 2
 )
 SELECT n_events, count(*) AS n_sessions FROM per_session GROUP BY 1 ORDER BY 1
+"""
+
+
+_ASOF_TOL_S = 600
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operator Spark lacks): each click event picks up the
+    most recent error within 10 minutes for the same user — pandas
+    merge_asof / DuckDB ASOF JOIN semantics, implemented as the
+    one-shuffle union+window formulation in operators/temporal.py."""
+    from ..operators.temporal import asof_join
+
+    (events,) = load(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    # right side unique per (user_id, ts): pre-agg duplicate timestamps
+    errs = (
+        events.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("err_value"))
+    )
+    out = asof_join(
+        clicks, errs, on="ts", by=["user_id"], value_cols=["err_value"],
+        tolerance_s=_ASOF_TOL_S,
+    )
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.col("ts_right").alias("err_ts"),
+        F.col("err_value_right").alias("err_value"),
+    ).orderBy("event_id")
+
+
+Q_ASOF_SQL = f"""
+WITH clicks AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
+), errs AS (
+  SELECT user_id, ts, max(value) AS err_value
+  FROM events WHERE event_type = 'error' GROUP BY 1, 2
+)
+SELECT c.event_id, c.user_id, c.ts,
+       CASE WHEN epoch(c.ts) - epoch(e.ts) <= {_ASOF_TOL_S} THEN e.ts END AS err_ts,
+       CASE WHEN epoch(c.ts) - epoch(e.ts) <= {_ASOF_TOL_S} THEN e.err_value END AS err_value
+FROM clicks c ASOF LEFT JOIN errs e
+  ON c.user_id = e.user_id AND c.ts >= e.ts
+ORDER BY c.event_id
+"""
+
+
+_RANGE_EPOCH0 = 1704067200  # 2024-01-01 00:00:00 UTC
+_RANGE_N_WINS = 500
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join: events against 500 half-open 30-minute
+    maintenance windows anchored on the hour — the binned equi-join
+    formulation in operators/temporal.py (never a cartesian/theta join)."""
+    from ..operators.temporal import interval_join
+
+    (events,) = load(spark, sf_dir, "events")
+    pts = events.select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    wins = spark.range(_RANGE_N_WINS).select(
+        F.col("id").alias("win_id"),
+        F.timestamp_seconds(_RANGE_EPOCH0 + F.col("id") * 3600).alias("win_start"),
+        F.timestamp_seconds(_RANGE_EPOCH0 + F.col("id") * 3600 + 1800).alias("win_end"),
+    )
+    pairs = interval_join(
+        pts, wins, ts_col="ts", start_col="win_start", end_col="win_end", bin_s=1800.0
+    )
+    return (
+        pairs.groupBy("win_id", "win_start", "win_end")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("win_id")
+    )
+
+
+Q_RANGE_JOIN_SQL = f"""
+WITH wins AS (
+  SELECT i AS win_id,
+         TIMESTAMP '2024-01-01 00:00:00' + i * INTERVAL 3600 SECOND AS win_start,
+         TIMESTAMP '2024-01-01 00:00:00' + (i * 3600 + 1800) * INTERVAL 1 SECOND AS win_end
+  FROM range({_RANGE_N_WINS}) t(i)
+)
+SELECT w.win_id, w.win_start, w.win_end,
+       count(*) AS n_events, round(sum(e.value), 4) AS sum_value
+FROM events e JOIN wins w ON e.ts >= w.win_start AND e.ts < w.win_end
+GROUP BY 1, 2, 3
+ORDER BY win_id
 """
 
 

@@ -993,3 +993,201 @@ ORDER BY query_id, rank
 
 
 Q_PQ_TOPK_SQL = _pq_sql()
+
+
+# -------- Gopher/C4-style quality filters + corpus chunk dedup --------
+
+_GQ_MIN_MWL, _GQ_MAX_MWL = 3.0, 10.0
+_GQ_MIN_DISTINCT = 0.2
+_GQ_MAX_TOP_FRAC = 0.2
+
+
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style word-level quality filters, aggregated per source:
+    mean word length, distinct-word ratio, top-word fraction, duplicate
+    2-gram fraction, plus the pass-count of the combined filter.
+
+    Everything except the top-word fraction is pure array Column algebra
+    (zero extra shuffles over the per-source agg); the top-word count
+    uses one explode + (doc, word) groupBy — shuffle payload is (doc_id,
+    word-hash-sized rows), never the document text."""
+    (docs,) = load(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    base = docs.select("doc_id", "source", toks.alias("toks")).withColumn(
+        "n_words", F.size("toks")
+    )
+    arrayed = base.select(
+        "doc_id",
+        "source",
+        "n_words",
+        (
+            F.expr("aggregate(toks, 0L, (a, x) -> a + length(x))")
+            / F.col("n_words")
+        ).alias("mean_word_len"),
+        (F.size(F.array_distinct("toks")) / F.col("n_words")).alias("distinct_ratio"),
+        F.when(
+            F.col("n_words") >= 2,
+            F.expr(
+                "transform(sequence(0, size(toks) - 2),"
+                " i -> concat(toks[i], ' ', toks[i + 1]))"
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("grams2"),
+    ).withColumn(
+        "dup_2gram_frac",
+        F.when(
+            F.size("grams2") > 0,
+            (F.size("grams2") - F.size(F.array_distinct("grams2")))
+            / F.size("grams2"),
+        ).otherwise(F.lit(0.0)),
+    )
+    top = (
+        base.select("doc_id", F.explode("toks").alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_word_count"))
+    )
+    scored = arrayed.join(top, "doc_id").withColumn(
+        "top_word_frac", F.col("top_word_count") / F.col("n_words")
+    )
+    passes = (
+        F.col("mean_word_len").between(_GQ_MIN_MWL, _GQ_MAX_MWL)
+        & (F.col("distinct_ratio") >= _GQ_MIN_DISTINCT)
+        & (F.col("top_word_frac") <= _GQ_MAX_TOP_FRAC)
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(passes.cast("long")).alias("n_pass"),
+            F.round(F.avg("mean_word_len"), 4).alias("avg_mwl"),
+            F.round(F.avg("distinct_ratio"), 4).alias("avg_distinct"),
+            F.round(F.avg("top_word_frac"), 4).alias("avg_top_frac"),
+            F.round(F.avg("dup_2gram_frac"), 4).alias("avg_dup2"),
+        )
+        .orderBy("source")
+    )
+
+
+Q_GOPHER_QUALITY_SQL = rf"""
+WITH base AS (
+  SELECT doc_id, source,
+         regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+  FROM documents
+), arrayed AS (
+  SELECT doc_id, source, len(toks) AS n_words,
+         list_sum(list_transform(toks, x -> length(x))) * 1.0 / len(toks)
+           AS mean_word_len,
+         len(list_distinct(toks)) * 1.0 / len(toks) AS distinct_ratio,
+         CASE WHEN len(toks) >= 2 THEN
+           list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])
+         ELSE [] END AS grams2
+  FROM base
+), with2 AS (
+  SELECT *, CASE WHEN len(grams2) > 0 THEN
+      (len(grams2) - len(list_distinct(grams2))) * 1.0 / len(grams2)
+    ELSE 0.0 END AS dup_2gram_frac
+  FROM arrayed
+), top AS (
+  SELECT doc_id, max(c) AS top_word_count FROM (
+    SELECT doc_id, w, count(*) AS c
+    FROM base, unnest(toks) AS t(w)
+    GROUP BY doc_id, w
+  ) GROUP BY doc_id
+), scored AS (
+  SELECT with2.*, top.top_word_count * 1.0 / with2.n_words AS top_word_frac
+  FROM with2 JOIN top USING (doc_id)
+)
+SELECT source, count(*) AS n_docs,
+       sum(CASE WHEN mean_word_len BETWEEN {_GQ_MIN_MWL} AND {_GQ_MAX_MWL}
+                 AND distinct_ratio >= {_GQ_MIN_DISTINCT}
+                 AND top_word_frac <= {_GQ_MAX_TOP_FRAC}
+            THEN 1 ELSE 0 END)::BIGINT AS n_pass,
+       round(avg(mean_word_len), 4) AS avg_mwl,
+       round(avg(distinct_ratio), 4) AS avg_distinct,
+       round(avg(top_word_frac), 4) AS avg_top_frac,
+       round(avg(dup_2gram_frac), 4) AS avg_dup2
+FROM scored GROUP BY source ORDER BY source
+"""
+
+
+_CHUNK_W = 10
+
+
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-level chunk dedup over the duplicated corpus:
+    split every document into fixed 10-word chunks, fingerprint each
+    chunk, and attribute each distinct chunk to its FIRST occurrence
+    (min (doc_id, chunk_idx)); report per-source occurrence vs owned
+    counts and the duplicate fraction.
+
+    Scale shape: explode + ONE window shuffle keyed on the chunk's md5
+    (the text itself never shuffles beyond its own partition — only
+    32-hex fingerprints + positions), then a per-source agg. Chunks at
+    a fixed width bound both the fan-out (n_words/10 rows per doc) and
+    the window group sizes."""
+    corpus = _dup_corpus(spark, sf_dir)
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    chunks = (
+        corpus.select("doc_id", "source", toks.alias("toks"))
+        .withColumn(
+            "chunk_idx",
+            F.explode(F.sequence(F.lit(0), F.ceil(F.size("toks") / _CHUNK_W) - 1)),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "chunk_idx",
+            F.md5(
+                F.array_join(
+                    F.slice(F.col("toks"), F.col("chunk_idx") * _CHUNK_W + 1, _CHUNK_W),
+                    " ",
+                )
+            ).alias("chunk_fp"),
+        )
+    )
+    w = Window.partitionBy("chunk_fp").orderBy("doc_id", "chunk_idx")
+    marked = chunks.withColumn(
+        "is_first", (F.row_number().over(w) == 1).cast("long")
+    )
+    return (
+        marked.groupBy("source")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum("is_first").alias("n_owned"),
+            F.round(1.0 - F.sum("is_first") / F.count("*"), 6).alias("dup_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+Q_CHUNK_DEDUP_SQL = rf"""
+WITH corpus AS ({_DUP_CORPUS_SQL}),
+toked AS (
+  SELECT doc_id, source,
+         regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+  FROM corpus
+), chunks0 AS (
+  SELECT doc_id, source, toks,
+         unnest(range(CAST(ceil(len(toks) * 1.0 / {_CHUNK_W}) AS BIGINT)))
+           AS chunk_idx
+  FROM toked
+), chunks AS (
+  SELECT doc_id, source, chunk_idx,
+         md5(array_to_string(
+           toks[chunk_idx * {_CHUNK_W} + 1 : (chunk_idx + 1) * {_CHUNK_W}],
+           ' ')) AS chunk_fp
+  FROM chunks0
+), marked AS (
+  SELECT source,
+         CASE WHEN row_number() OVER (
+             PARTITION BY chunk_fp ORDER BY doc_id, chunk_idx) = 1
+           THEN 1 ELSE 0 END AS is_first
+  FROM chunks
+)
+SELECT source, count(*) AS n_chunks, sum(is_first)::BIGINT AS n_owned,
+       round(1.0 - sum(is_first) * 1.0 / count(*), 6) AS dup_frac
+FROM marked GROUP BY source ORDER BY source
+"""
