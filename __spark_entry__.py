@@ -83,6 +83,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q01_pricing_summary": Q.q01_pricing_summary,
         "q_percentiles": Q.q_percentiles,
         "q_histogram": Q.q_histogram,
+        "q_hll_distinct": Q.q_hll_distinct,
+        "q_kmv_distinct": Q.q_kmv_distinct,
         "q03_join_agg": Q.q03_join_agg,
         "q05_region_revenue": Q.q05_region_revenue,
         "q_topk_per_group": Q.q_topk_per_group,
@@ -91,6 +93,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_iceberg_maintenance": Q.q_iceberg_maintenance,
         "q_rollup_revenue": Q.q_rollup_revenue,
         "q_events_hourly": Q.q_events_hourly,
+        "q_events_hopping": Q.q_events_hopping,
         "q_sessionize": Q.q_sessionize,
         "q_asof_join": Q.q_asof_join,
         "q_range_join": Q.q_range_join,
@@ -119,6 +122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_clusters": QT.q_dedup_clusters,
         "q_gopher_quality": QT.q_gopher_quality,
         "q_chunk_dedup": QT.q_chunk_dedup,
+        "q_phash_near_dups": QT.q_phash_near_dups,
         "q_simhash_buckets": QT.q_simhash_buckets,
         "q_rolling_fingerprint": QT.q_rolling_fingerprint,
         "q_token_bpe": QT.q_token_bpe,
@@ -163,6 +167,8 @@ def oracle_sql() -> dict[str, str]:
         "q01_pricing_summary": Q.Q01_SQL,
         "q_percentiles": Q.Q_PERCENTILES_SQL,
         "q_histogram": Q.Q_HISTOGRAM_SQL,
+        "q_hll_distinct": Q.Q_HLL_SQL,
+        "q_kmv_distinct": Q.Q_KMV_SQL,
         "q03_join_agg": Q.Q03_SQL,
         "q05_region_revenue": Q.Q05_SQL,
         "q_topk_per_group": Q.Q_TOPK_SQL,
@@ -171,6 +177,7 @@ def oracle_sql() -> dict[str, str]:
         "q_iceberg_maintenance": Q.Q_ICEBERG_MAINT_SQL,
         "q_rollup_revenue": Q.Q_ROLLUP_SQL,
         "q_events_hourly": Q.Q_EVENTS_HOURLY_SQL,
+        "q_events_hopping": Q.Q_EVENTS_HOPPING_SQL,
         "q_sessionize": Q.Q_SESSIONIZE_SQL,
         "q_asof_join": Q.Q_ASOF_SQL,
         "q_range_join": Q.Q_RANGE_JOIN_SQL,
@@ -218,6 +225,7 @@ def oracle_sql() -> dict[str, str]:
         "q_dedup_clusters": QT.Q_DEDUP_CLUSTERS_SQL,
         "q_gopher_quality": QT.Q_GOPHER_QUALITY_SQL,
         "q_chunk_dedup": QT.Q_CHUNK_DEDUP_SQL,
+        "q_phash_near_dups": QT.Q_PHASH_NEAR_DUPS_SQL,
         "q_simhash_buckets": QT.Q_SIMHASH_SQL,
         "q_rolling_fingerprint": QT.Q_ROLLING_FP_SQL,
         "q_token_bpe": QT.Q_TOKEN_BPE_SQL,

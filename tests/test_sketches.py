@@ -1,0 +1,130 @@
+"""Distinct-count sketches: brute-force md5 replication of the register
+and bottom-k maths, estimate accuracy bounds, duplicate-insensitivity,
+and the partial-bottom-k == global-kth invariant (operators/sketches.py)."""
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from vectortiles_spark.operators.sketches import (
+    HASH_BITS,
+    hash60,
+    hll_estimate,
+    hll_registers,
+    kmv_distinct,
+)
+
+
+def _h60(v) -> int:
+    return int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+
+
+def _brute_registers(values, b):
+    m, wbits = 1 << b, HASH_BITS - b
+    regs = {}
+    for v in values:
+        h = _h60(v)
+        bucket, w = h % m, h // m
+        rho = (wbits + 1) - w.bit_length() if w > 0 else wbits + 1
+        regs[bucket] = max(regs.get(bucket, 0), rho)
+    return regs
+
+
+def _brute_hll(values, b):
+    m, wbits = 1 << b, HASH_BITS - b
+    regs = _brute_registers(values, b)
+    scale = float(1 << (wbits + 1))
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    s = sum(1 << ((wbits + 1) - r) for r in regs.values())
+    v_empty = m - len(regs)
+    raw = (alpha * m * m * scale) / (float(s) + v_empty * scale)
+    if raw <= 2.5 * m and v_empty > 0:
+        return m * math.log(m / float(v_empty))
+    return raw
+
+
+def _brute_kmv(values, k):
+    hs = sorted({_h60(v) for v in values})
+    if len(hs) < k:
+        return float(len(hs))
+    return (k - 1) / (hs[k - 1] / float(1 << HASH_BITS))
+
+
+def test_hash60_matches_python_md5(spark):
+    vals = [0, 1, 42, -7, 123456789]
+    df = spark.createDataFrame([Row(x=v) for v in vals], "x long")
+    got = {r.x: r.h for r in df.select("x", hash60(F.col("x")).alias("h")).collect()}
+    assert got == {v: _h60(v) for v in vals}
+
+
+def test_registers_match_brute_force(spark):
+    vals = list(range(500))
+    df = spark.createDataFrame([Row(g="a", x=v) for v in vals], "g string, x long")
+    got = {
+        r.bucket: r.rho
+        for r in hll_registers(df, "x", ["g"], b=6).collect()
+    }
+    assert got == _brute_registers(vals, 6)
+
+
+@pytest.mark.parametrize("b", [6, 10])
+def test_hll_estimate_matches_brute_force_exactly(spark, b):
+    """Same integer register sums + the same single float division ->
+    the Spark estimate equals the Python replay bit-for-bit."""
+    rows = [Row(g="a", x=v) for v in range(3000)] + [
+        Row(g="b", x=v) for v in range(40)  # small group: ln correction path
+    ]
+    df = spark.createDataFrame(rows, "g string, x long")
+    est = {
+        r.g: r.hll_est
+        for r in hll_estimate(hll_registers(df, "x", ["g"], b=b), ["g"], b=b).collect()
+    }
+    assert est["a"] == _brute_hll(range(3000), b)
+    assert est["b"] == _brute_hll(range(40), b)
+
+
+def test_hll_duplicate_insensitive(spark):
+    ones = spark.createDataFrame([Row(g="a", x=v) for v in range(200)],
+                                 "g string, x long")
+    dups = ones.union(ones).union(ones)
+    b = 8
+    e1 = hll_estimate(hll_registers(ones, "x", ["g"], b=b), ["g"], b=b).collect()
+    e3 = hll_estimate(hll_registers(dups, "x", ["g"], b=b), ["g"], b=b).collect()
+    assert e1[0].hll_est == e3[0].hll_est
+
+
+def test_hll_accuracy_within_theory(spark):
+    """Relative error should land well inside ~3 sigma of 1.04/sqrt(m)."""
+    n, b = 20000, 10
+    df = spark.createDataFrame([Row(g="a", x=v) for v in range(n)],
+                               "g string, x long")
+    est = hll_estimate(hll_registers(df, "x", ["g"], b=b), ["g"], b=b).collect()[0]
+    assert abs(est.hll_est / n - 1.0) < 3 * 1.04 / math.sqrt(1 << b)
+
+
+def test_kmv_matches_brute_force_exactly(spark):
+    rows = [Row(g="a", x=v) for v in range(5000)] + [
+        Row(g="b", x=v) for v in range(10)  # below k: exact-count path
+    ]
+    # duplicates must not perturb the k-th distinct hash
+    df = spark.createDataFrame(rows + rows[:100], "g string, x long")
+    got = {r.g: r.kmv_est for r in kmv_distinct(df, "x", ["g"], k=64).collect()}
+    assert got["a"] == _brute_kmv(range(5000), 64)
+    assert got["b"] == 10.0
+    assert abs(got["a"] / 5000 - 1.0) < 3 * 1.0 / math.sqrt(64)
+
+
+def test_kmv_partial_is_lossless_across_partitions(spark):
+    """The per-partition bottom-k partial must leave the global k-th
+    distinct hash intact however rows are distributed."""
+    vals = list(range(2000))
+    want = _brute_kmv(vals, 32)
+    for nparts in (1, 7):
+        df = spark.createDataFrame(
+            [Row(g="a", x=v) for v in vals], "g string, x long"
+        ).repartition(nparts)
+        got = kmv_distinct(df, "x", ["g"], k=32).collect()[0].kmv_est
+        assert got == want, nparts

@@ -1,0 +1,237 @@
+"""Mergeable distinct-count sketches: HLL-style registers and a KMV
+(k-minimum-values / bottom-k) estimator.
+
+Why these exist: at 100 TB an exact COUNT(DISTINCT x) shuffles every
+distinct value; a sketch shuffles bounded state (4096 registers / k
+candidate hashes per group) and is mergeable map-side, so the shuffle
+payload is independent of row count.  Both sketches here are built on a
+SHARED deterministic hash (md5 -> first 15 hex digits -> 60-bit int)
+that DuckDB can replay bit-for-bit, so the estimates — not just the row
+counts — sit under the exact value oracle:
+
+* register max() is duplicate-insensitive and order-free;
+* the HLL harmonic sum is kept in INTEGER space (each register
+  contributes 2^(maxrho - rho), summed as BIGINT — exact regardless of
+  Spark's partition-order addition) and converted to a double by ONE
+  final division, so no float-accumulation-order divergence can leak
+  into the value hash;
+* KMV needs only the k-th smallest distinct hash — integers throughout,
+  one final double division for the estimate.
+
+Reference parity note: the reference engine (fosskers/vectortiles) has
+no sketch layer; this module is part of the training-pipeline charter
+(SURVEY.md "beyond the reference" ops), with DuckDB as the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+HASH_BITS = 60  # 15 hex digits of md5 — fits a signed 64-bit int
+_HASH_SCALE = float(1 << HASH_BITS)
+
+
+def hash60(col: Column) -> Column:
+    """md5(value-as-string) -> first 15 hex digits -> non-negative 60-bit
+    BIGINT.  The exact DuckDB twin is ``('0x' || substr(md5(x::VARCHAR),
+    1, 15))::BIGINT`` (see :func:`duck_hash60`)."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("long")
+
+
+def duck_hash60(expr: str) -> str:
+    """The DuckDB SQL twin of :func:`hash60` over a SQL expression."""
+    return f"('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 15))::BIGINT"
+
+
+# ------------------------------- HLL -------------------------------
+
+
+def hll_registers(df: DataFrame, col: str, by: list[str], b: int = 12) -> DataFrame:
+    """Per-group HLL registers: split the 60-bit hash into a ``b``-bit
+    bucket and a (60-b)-bit suffix ``w``; the register value is
+    rho = (position of the highest set bit of w, counted from the top)
+    + 1, i.e. ``wbits - bitlength(w) + 1`` (``wbits + 1`` when w == 0).
+
+    Output: ``by..., bucket, rho`` — one row per NON-EMPTY bucket.
+    max() is duplicate-insensitive, so no pre-distinct is needed (the
+    minhash lesson: a distinct here would be a redundant full shuffle).
+    Registers merge across shards/time by the same groupBy-max, which is
+    what makes the sketch streamable and map-side combinable.
+    """
+    m = 1 << b
+    wbits = HASH_BITS - b
+    src = df.select(*by, hash60(F.col(col)).alias("__h"))
+    # integer split: pmod keeps the bucket non-negative, `div` is exact
+    # 64-bit integer division (a float divide would lose bits past 2^53)
+    parts = src.select(
+        *by,
+        F.pmod(F.col("__h"), F.lit(m)).alias("bucket"),
+        F.expr(f"__h div {m}").alias("__w"),
+    )
+    # bit length via base-2 string length: exact integer/string algebra
+    # in both engines (log2() rounding at powers of two is not portable)
+    rho = (
+        F.when(
+            F.col("__w") > 0,
+            F.lit(wbits + 1) - F.length(F.conv(F.col("__w").cast("string"), 10, 2)),
+        )
+        .otherwise(F.lit(wbits + 1))
+        .cast("int")
+    )
+    return (
+        parts.select(*by, "bucket", rho.alias("__rho"))
+        .groupBy(*by, "bucket")
+        .agg(F.max("__rho").alias("rho"))
+    )
+
+
+def hll_estimate(registers: DataFrame, by: list[str], b: int = 12) -> DataFrame:
+    """Collapse per-group registers into the HLL cardinality estimate.
+
+    The harmonic denominator sum(2^-rho) is computed as the BIGINT
+    sum(2^(maxrho-rho)) — every term a power of two, no float addition
+    anywhere — then one double division applies alpha_m * m^2.  Empty
+    buckets contribute rho=0 (scaled term 2^maxrho each) and drive the
+    linear-counting small-range correction E = m*ln(m/V) when
+    E <= 2.5m and V > 0 (Flajolet et al. 2007).
+
+    Output: ``by..., hll_est`` (double).
+    """
+    m = 1 << b
+    wbits = HASH_BITS - b
+    maxrho = wbits + 1
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    scale = float(1 << maxrho)
+    per = registers.groupBy(*by).agg(
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {maxrho} - rho)")).alias("__s"),
+        F.count("*").alias("__np"),
+    )
+    v = F.lit(m) - F.col("__np")  # empty buckets
+    denom = F.col("__s").cast("double") + v.cast("double") * F.lit(scale)
+    raw = F.lit(alpha * m * m * scale) / denom
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")),
+    ).otherwise(raw)
+    return per.select(*by, est.alias("hll_est"))
+
+
+def _d(x: float) -> str:
+    """A float literal DuckDB parses as DOUBLE (plain decimals become
+    DECIMAL and overflow in products); 17 significant digits round-trip
+    the exact IEEE value, matching the Spark side's F.lit(float)."""
+    return f"{float(x):.17e}"
+
+
+def hll_estimate_sql(table_expr: str, col: str, by: list[str], b: int = 12) -> str:
+    """DuckDB replay of hll_registers + hll_estimate: returns a SQL
+    fragment selecting ``by..., hll_est`` from ``table_expr``."""
+    m = 1 << b
+    wbits = HASH_BITS - b
+    maxrho = wbits + 1
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    scale = float(1 << maxrho)
+    # numerator alpha * m^2 * scale, pre-multiplied exactly as the Spark
+    # side's F.lit(alpha * m * m * scale) computes it
+    num = alpha * m * m * scale
+    bys = ", ".join(by)
+    h = duck_hash60(col)
+    raw = f"{_d(num)} / (s::DOUBLE + ({m} - np)::DOUBLE * {_d(scale)})"
+    return f"""
+WITH __hashed AS (
+  SELECT {bys}, {h} AS h FROM {table_expr}
+), __parts AS (
+  SELECT {bys}, h % {m} AS bucket, h // {m} AS w FROM __hashed
+), __regs AS (
+  SELECT {bys}, bucket,
+         max(CASE WHEN w > 0
+             THEN {maxrho} - length(ltrim(bin(w), '0'))
+             ELSE {maxrho} END) AS rho
+  FROM __parts GROUP BY {bys}, bucket
+), __per AS (
+  SELECT {bys},
+         sum(1::BIGINT << ({maxrho} - rho)) AS s,
+         count(*) AS np
+  FROM __regs GROUP BY {bys}
+)
+SELECT {bys},
+       CASE WHEN {raw} <= {_d(2.5 * m)} AND ({m} - np) > 0
+            THEN {_d(m)} * ln({_d(m)} / ({m} - np)::DOUBLE)
+            ELSE {raw}
+       END AS hll_est
+FROM __per
+"""
+
+
+# ------------------------------- KMV -------------------------------
+
+
+def kmv_distinct(df: DataFrame, col: str, by: list[str], k: int = 256) -> DataFrame:
+    """KMV (bottom-k) distinct estimate per group: with h_k the k-th
+    smallest DISTINCT normalized hash, E = (k-1) / (h_k / 2^60); groups
+    with fewer than k distinct hashes report the exact distinct count.
+
+    Scale shape: a per-partition partial keeps only the k smallest
+    distinct hashes per group (mapInPandas, <= k * n_partitions * groups
+    rows survive), so the ONE shuffle moves bounded candidate sets, not
+    the full distinct-value stream — the same partial-aggregate shape
+    Spark gives groupBy max, applied to an order statistic it can't
+    express natively.  The global k-th is then exact because the true
+    bottom-k of a union is contained in the union of per-part bottom-ks.
+
+    Output: ``by..., kmv_est`` (double).
+    """
+    src = df.select(*by, hash60(F.col(col)).alias("__h"))
+    schema = src.schema
+    bys = list(by)
+
+    def _partial(batches):
+        import pandas as pd
+
+        acc: pd.DataFrame | None = None
+        for pdf in batches:
+            acc = pdf if acc is None else pd.concat((acc, pdf), ignore_index=True)
+            acc = (
+                acc.drop_duplicates()
+                .sort_values([*bys, "__h"], kind="stable")
+                .groupby(bys, sort=False)
+                .head(k)
+            )
+        if acc is not None and len(acc):
+            yield acc
+
+    cand = src.mapInPandas(_partial, schema)
+    w = Window.partitionBy(*bys).orderBy("__h")
+    ranked = cand.distinct().withColumn("__rn", F.row_number().over(w))
+    per = ranked.filter(F.col("__rn") <= k).groupBy(*bys).agg(
+        F.max("__rn").alias("__n"),
+        F.max(F.when(F.col("__rn") == k, F.col("__h"))).alias("__hk"),
+    )
+    est = F.when(
+        F.col("__n") < k, F.col("__n").cast("double")
+    ).otherwise(F.lit(float(k - 1)) / (F.col("__hk").cast("double") / F.lit(_HASH_SCALE)))
+    return per.select(*bys, est.alias("kmv_est"))
+
+
+def kmv_distinct_sql(table_expr: str, col: str, by: list[str], k: int = 256) -> str:
+    """DuckDB replay of kmv_distinct (the partial is an optimization,
+    not a semantic: the twin ranks the full distinct hash set)."""
+    bys = ", ".join(by)
+    h = duck_hash60(col)
+    return f"""
+WITH __hashed AS (
+  SELECT DISTINCT {bys}, {h} AS h FROM {table_expr}
+), __ranked AS (
+  SELECT {bys}, h, row_number() OVER (PARTITION BY {bys} ORDER BY h) AS rn
+  FROM __hashed
+), __per AS (
+  SELECT {bys}, max(rn) AS n, max(CASE WHEN rn = {k} THEN h END) AS hk
+  FROM __ranked WHERE rn <= {k} GROUP BY {bys}
+)
+SELECT {bys},
+       CASE WHEN n < {k} THEN n::DOUBLE
+            ELSE {_d(k - 1)} / (hk::DOUBLE / {_d(_HASH_SCALE)})
+       END AS kmv_est
+FROM __per
+"""

@@ -169,6 +169,108 @@ ORDER BY o_orderpriority, bucket
 """
 
 
+_HLL_B = 10
+_KMV_K = 256
+
+
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL-sketch distinct orders per returnflag vs the exact count.
+    The sketch (operators/sketches.py) shuffles at most 2^10 integer
+    registers per group — the 100 TB COUNT(DISTINCT) shape — and is
+    deterministic down to the value hash (md5-based shared hash, integer
+    register sums, one final float division) so DuckDB replays the
+    ESTIMATE, not just the row count."""
+    from ..operators.sketches import hll_estimate, hll_registers
+
+    (li,) = load(spark, sf_dir, "lineitem")
+    regs = hll_registers(li, "l_orderkey", ["l_returnflag"], b=_HLL_B)
+    est = hll_estimate(regs, ["l_returnflag"], b=_HLL_B)
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("n_exact")
+    )
+    return (
+        exact.join(est, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "n_exact",
+            F.round(F.col("hll_est"), 4).alias("hll_est"),
+            F.round(F.abs(F.col("hll_est") / F.col("n_exact") - 1.0), 6).alias(
+                "rel_err"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def _hll_sql() -> str:
+    from ..operators.sketches import hll_estimate_sql
+
+    frag = hll_estimate_sql("lineitem", "l_orderkey", ["l_returnflag"], b=_HLL_B)
+    return f"""
+WITH est AS ({frag}),
+exact AS (
+  SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_exact
+  FROM lineitem GROUP BY 1
+)
+SELECT exact.l_returnflag, n_exact,
+       round(hll_est, 4) AS hll_est,
+       round(abs(hll_est / n_exact - 1.0), 6) AS rel_err
+FROM exact JOIN est USING (l_returnflag)
+ORDER BY l_returnflag
+"""
+
+
+Q_HLL_SQL = _hll_sql()
+
+
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (bottom-k) distinct orders per returnflag vs the exact count:
+    per-partition partial bottom-k keeps the shuffle at <= k candidate
+    hashes per partition-group (operators/sketches.py), and the k-th
+    smallest distinct hash is integer-exact, so the estimate replays in
+    DuckDB bit-for-bit."""
+    from ..operators.sketches import kmv_distinct
+
+    (li,) = load(spark, sf_dir, "lineitem")
+    est = kmv_distinct(li, "l_orderkey", ["l_returnflag"], k=_KMV_K)
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("n_exact")
+    )
+    return (
+        exact.join(est, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "n_exact",
+            F.round(F.col("kmv_est"), 4).alias("kmv_est"),
+            F.round(F.abs(F.col("kmv_est") / F.col("n_exact") - 1.0), 6).alias(
+                "rel_err"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def _kmv_sql() -> str:
+    from ..operators.sketches import kmv_distinct_sql
+
+    frag = kmv_distinct_sql("lineitem", "l_orderkey", ["l_returnflag"], k=_KMV_K)
+    return f"""
+WITH est AS ({frag}),
+exact AS (
+  SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_exact
+  FROM lineitem GROUP BY 1
+)
+SELECT exact.l_returnflag, n_exact,
+       round(kmv_est, 4) AS kmv_est,
+       round(abs(kmv_est / n_exact - 1.0), 6) AS rel_err
+FROM exact JOIN est USING (l_returnflag)
+ORDER BY l_returnflag
+"""
+
+
+Q_KMV_SQL = _kmv_sql()
+
+
 def q03_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-way join + aggregate: customer (broadcast) ⋈ orders ⋈ lineitem."""
     cust, orders, li = load(spark, sf_dir, "customer", "orders", "lineitem")
@@ -408,6 +510,45 @@ SELECT date_trunc('hour', ts) AS hour, event_type,
 FROM events
 GROUP BY 1, 2
 ORDER BY hour, event_type
+"""
+
+
+def q_events_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) time-window aggregate: 1-hour windows every 30
+    minutes via the NATIVE F.window(slide) operator — each event lands in
+    exactly duration/slide = 2 windows, epoch-aligned. The oracle replays
+    the alignment arithmetically (floor(epoch/slide)*slide and its
+    predecessor), pinning Spark's window placement, not just the sums."""
+    (events,) = load(spark, sf_dir, "events")
+    w = F.window(F.col("ts"), "1 hour", "30 minutes")
+    return (
+        events.groupBy(w.alias("win"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+        .orderBy("win_start", "event_type")
+    )
+
+
+Q_EVENTS_HOPPING_SQL = """
+WITH e AS (
+  SELECT event_type, value,
+         CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) AS ws1
+  FROM events
+), x AS (
+  SELECT event_type, value,
+         unnest([ws1 - 1800, ws1]) AS ws
+  FROM e
+)
+SELECT TIMESTAMP '1970-01-01 00:00:00' + ws * INTERVAL 1 SECOND AS win_start,
+       event_type, count(*) AS n, round(sum(value), 4) AS total_value
+FROM x
+GROUP BY 1, 2
+ORDER BY win_start, event_type
 """
 
 

@@ -1191,3 +1191,92 @@ SELECT source, count(*) AS n_chunks, sum(is_first)::BIGINT AS n_owned,
        round(1.0 - sum(is_first) * 1.0 / count(*), 6) AS dup_frac
 FROM marked GROUP BY source ORDER BY source
 """
+
+
+# ---------- planted-phash near-dup pairs (hamming block-pair LSH) ----------
+
+_PH_FAMS = 50
+_PH_MAXFLIPS = 6  # k in [0, 5]
+_PH_MAXHAM = 6
+
+
+def _phash_fps(docs: DataFrame) -> DataFrame:
+    """Deterministic planted 60-bit fingerprints: each doc joins one of
+    50 families (shared md5-derived base) and flips 0-5 md5-derived bit
+    positions, so intra-family pairs land at hamming 0-10 and the <= 6
+    filter genuinely discriminates. Every derivation is md5 -> integer
+    algebra that DuckDB replays bit-for-bit (sketches.hash60 twin)."""
+    from ..operators.sketches import hash60
+
+    did = F.col("doc_id").cast("string")
+    out = docs.select(
+        "doc_id",
+        F.pmod(hash60(did), _PH_FAMS).alias("fam"),
+        F.pmod(hash60(F.concat(did, F.lit("k"))), _PH_MAXFLIPS).alias("k"),
+        *[
+            F.pmod(hash60(F.concat(did, F.lit(f"p{j}"))), 60).alias(f"p{j}")
+            for j in range(_PH_MAXFLIPS - 1)
+        ],
+    ).withColumn("base", hash60(F.col("fam").cast("string")))
+    flips = " ^ ".join(
+        f"(CASE WHEN k > {j} THEN shiftleft(CAST(1 AS BIGINT), p{j}) "
+        f"ELSE CAST(0 AS BIGINT) END)"
+        for j in range(_PH_MAXFLIPS - 1)
+    )
+    return out.select("doc_id", F.expr(f"base ^ {flips}").alias("fingerprint"))
+
+
+def q_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-phash-style near-dup pairs via the 64-bit hamming block-pair
+    LSH (operators/dedup.py:hamming_near_dups): pigeonhole guarantees
+    every pair within hamming<=6 shares an exact 16-bit block-pair key,
+    so the LSH equi-join + popcount verify returns EXACTLY the
+    brute-force pair set the oracle computes all-pairs — recall is
+    provable, not sampled. Scale: candidate generation is an equi-join
+    on C(8,2)=28 bounded-cardinality keys; nothing quadratic."""
+    from ..operators.dedup import hamming_near_dups
+
+    (docs,) = load(spark, sf_dir, "documents")
+    fps = _phash_fps(docs)
+    pairs = hamming_near_dups(
+        fps, max_hamming=_PH_MAXHAM, n_blocks=8, block_cap=10_000
+    )
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    ).orderBy("id_a", "id_b")
+
+
+def _phash_sql() -> str:
+    from ..operators.sketches import duck_hash60
+
+    h = duck_hash60
+    k_expr = h("doc_id || 'k'") + f" % {_PH_MAXFLIPS}"
+    flip_terms = ""
+    for j in range(_PH_MAXFLIPS - 1):
+        p_expr = h("doc_id || 'p" + str(j) + "'") + " % 60"
+        flip_terms += (
+            f", CASE WHEN {k_expr} > {j} "
+            f"THEN (1::BIGINT << ({p_expr})) ELSE 0::BIGINT END AS f{j}"
+        )
+    xor_chain = "base"
+    for j in range(_PH_MAXFLIPS - 1):
+        xor_chain = f"xor({xor_chain}, f{j})"
+    base_expr = h(h("doc_id") + f" % {_PH_FAMS}")
+    return f"""
+WITH parts AS (
+  SELECT doc_id,
+         {base_expr} AS base
+         {flip_terms}
+  FROM documents
+), fp AS (
+  SELECT doc_id, {xor_chain} AS fingerprint FROM parts
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.fingerprint, b.fingerprint)) AS INT) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.fingerprint, b.fingerprint)) <= {_PH_MAXHAM}
+ORDER BY id_a, id_b
+"""
+
+
+Q_PHASH_NEAR_DUPS_SQL = _phash_sql()
