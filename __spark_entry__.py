@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_histogram": Q.q_histogram,
         "q_hll_distinct": Q.q_hll_distinct,
         "q_kmv_distinct": Q.q_kmv_distinct,
+        "q_quantile_sketch": Q.q_quantile_sketch,
         "q03_join_agg": Q.q03_join_agg,
         "q05_region_revenue": Q.q05_region_revenue,
         "q_topk_per_group": Q.q_topk_per_group,
@@ -123,6 +124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_gopher_quality": QT.q_gopher_quality,
         "q_chunk_dedup": QT.q_chunk_dedup,
         "q_phash_near_dups": QT.q_phash_near_dups,
+        "q_corpus_pipeline": QT.q_corpus_pipeline,
         "q_simhash_buckets": QT.q_simhash_buckets,
         "q_rolling_fingerprint": QT.q_rolling_fingerprint,
         "q_token_bpe": QT.q_token_bpe,
@@ -169,6 +171,7 @@ def oracle_sql() -> dict[str, str]:
         "q_histogram": Q.Q_HISTOGRAM_SQL,
         "q_hll_distinct": Q.Q_HLL_SQL,
         "q_kmv_distinct": Q.Q_KMV_SQL,
+        "q_quantile_sketch": Q.Q_QUANTILE_SKETCH_SQL,
         "q03_join_agg": Q.Q03_SQL,
         "q05_region_revenue": Q.Q05_SQL,
         "q_topk_per_group": Q.Q_TOPK_SQL,
@@ -226,6 +229,7 @@ def oracle_sql() -> dict[str, str]:
         "q_gopher_quality": QT.Q_GOPHER_QUALITY_SQL,
         "q_chunk_dedup": QT.Q_CHUNK_DEDUP_SQL,
         "q_phash_near_dups": QT.Q_PHASH_NEAR_DUPS_SQL,
+        "q_corpus_pipeline": QT.Q_CORPUS_PIPELINE_SQL,
         "q_simhash_buckets": QT.Q_SIMHASH_SQL,
         "q_rolling_fingerprint": QT.Q_ROLLING_FP_SQL,
         "q_token_bpe": QT.Q_TOKEN_BPE_SQL,

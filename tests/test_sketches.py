@@ -128,3 +128,58 @@ def test_kmv_partial_is_lossless_across_partitions(spark):
         ).repartition(nparts)
         got = kmv_distinct(df, "x", ["g"], k=32).collect()[0].kmv_est
         assert got == want, nparts
+
+
+# ----------------------- histogram quantiles -----------------------
+
+
+def _brute_hist_q(values, width, q):
+    from collections import Counter
+
+    counts = Counter(int(math.floor(v / width)) for v in values)
+    n = sum(counts.values())
+    tgt = q * n
+    cum = 0
+    for b in sorted(counts):
+        prev = cum
+        cum += counts[b]
+        if cum >= tgt:
+            return b * width + width * (tgt - prev) / counts[b]
+    raise AssertionError("unreachable")
+
+
+def test_histogram_quantiles_match_brute_force(spark):
+    from vectortiles_spark.operators.sketches import histogram_quantiles
+
+    vals = [((i * 7919) % 1000) / 3.0 for i in range(2000)]
+    df = spark.createDataFrame([Row(g="a", x=v) for v in vals], "g string, x double")
+    got = histogram_quantiles(df, "x", ["g"], width=25.0, qs=(0.5, 0.95)).collect()[0]
+    assert got.q_0_5 == _brute_hist_q(vals, 25.0, 0.5)
+    assert got.q_0_95 == _brute_hist_q(vals, 25.0, 0.95)
+
+
+def test_histogram_quantiles_error_bounded_by_width(spark):
+    """|sketch - exact| <= width for continuous quantiles (the estimate
+    lives inside the bucket containing the target rank)."""
+    from vectortiles_spark.operators.sketches import histogram_quantiles
+
+    vals = sorted(((i * 104729) % 100000) / 7.0 for i in range(5000))
+    df = spark.createDataFrame([Row(g="a", x=v) for v in vals], "g string, x double")
+    for width in (50.0, 500.0):
+        got = histogram_quantiles(df, "x", ["g"], width=width, qs=(0.5,)).collect()[0]
+        exact = vals[len(vals) // 2]
+        assert abs(got.q_0_5 - exact) <= width, (width, got.q_0_5, exact)
+
+
+def test_histogram_quantiles_state_is_mergeable(spark):
+    """Computing the sketch over the union == computing it over shards
+    and merging counts (additivity of the (bucket,count) state)."""
+    from vectortiles_spark.operators.sketches import histogram_quantiles
+
+    a = [float(v) for v in range(0, 700)]
+    b = [float(v) for v in range(300, 1000)]
+    df_all = spark.createDataFrame(
+        [Row(g="a", x=v) for v in a + b], "g string, x double"
+    )
+    got = histogram_quantiles(df_all, "x", ["g"], width=100.0, qs=(0.5,)).collect()[0]
+    assert got.q_0_5 == _brute_hist_q(a + b, 100.0, 0.5)

@@ -235,3 +235,111 @@ SELECT {bys},
        END AS kmv_est
 FROM __per
 """
+
+
+# --------------------- histogram quantile sketch ---------------------
+
+
+def histogram_quantiles(
+    df: DataFrame, col: str, by: list[str], width: float, qs: tuple[float, ...]
+) -> DataFrame:
+    """Mergeable approximate quantiles from a fixed-width histogram:
+    ONE groupBy produces bounded (bucket, count) state (like HLL, the
+    shuffle payload is independent of row count and merges by adding
+    counts), then each requested quantile is linearly interpolated
+    inside the bucket containing its target rank.  Error is bounded by
+    ``width`` — the caller picks the resolution/state trade-off.
+
+    Rank convention: target = q * n; the selected bucket is the first
+    whose cumulative count reaches the target, and the estimate is
+    ``bucket_lo + width * (target - cum_before) / bucket_count``.
+    Integer counts end-to-end, two float ops at the end — exactly
+    replayable in SQL (see :func:`histogram_quantiles_sql`).
+
+    The selected bucket's own count is recovered WITHOUT a self-join:
+    cumulative counts increase strictly with bucket, so
+    min(cum | cum >= target) is the selected bucket's cum and
+    max(cum | cum < target) (0 when absent) is its predecessor —
+    their difference is the bucket count.  Everything stays two plain
+    aggregations; no join, no second window.
+
+    Output: ``by..., q_<q> for each q`` (doubles).
+    """
+    buckets = (
+        df.select(*by, F.floor(F.col(col) / F.lit(width)).alias("bucket"))
+        .groupBy(*by, "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy(*by).orderBy("bucket")
+    cum = buckets.withColumn("cum", F.sum("cnt").over(w))
+    per = cum.groupBy(*by).agg(F.max("cum").alias("__n"))
+    joined = cum.join(per, by)
+    aggs = []
+    for q in qs:
+        tgt = F.lit(float(q)) * F.col("__n").cast("double")
+        sel_cum = F.min(F.when(F.col("cum").cast("double") >= tgt, F.col("cum")))
+        sel_bucket = F.min(F.when(F.col("cum").cast("double") >= tgt, F.col("bucket")))
+        prev_cum = F.coalesce(
+            F.max(F.when(F.col("cum").cast("double") < tgt, F.col("cum"))), F.lit(0)
+        )
+        aggs.append(sel_cum.alias(f"__sc_{_qkey(q)}"))
+        aggs.append(sel_bucket.alias(f"__sb_{_qkey(q)}"))
+        aggs.append(prev_cum.alias(f"__pc_{_qkey(q)}"))
+    stats = joined.groupBy(*by, "__n").agg(*aggs)
+    out_cols = list(by)
+    for q in qs:
+        k = _qkey(q)
+        tgt = F.lit(float(q)) * F.col("__n").cast("double")
+        cnt = (F.col(f"__sc_{k}") - F.col(f"__pc_{k}")).cast("double")
+        est = (
+            F.col(f"__sb_{k}").cast("double") * F.lit(float(width))
+            + F.lit(float(width)) * (tgt - F.col(f"__pc_{k}").cast("double")) / cnt
+        )
+        out_cols.append(est.alias(f"q_{k}"))
+    return stats.select(*out_cols)
+
+
+def _qkey(q: float) -> str:
+    return str(q).replace(".", "_")
+
+
+def histogram_quantiles_sql(
+    table_expr: str, col: str, by: list[str], width: float, qs: tuple[float, ...]
+) -> str:
+    """DuckDB replay of :func:`histogram_quantiles` (same rank
+    convention, same integer cumulative counts, same two float ops)."""
+    bys = ", ".join(by)
+    sel = [bys]
+    for q in qs:
+        k = _qkey(q)
+        tgt = f"({_d(q)} * n::DOUBLE)"
+        sel.append(
+            f"(sb_{k}::DOUBLE * {_d(width)} + {_d(width)} * ({tgt} - pc_{k}::DOUBLE)"
+            f" / (sc_{k} - pc_{k})::DOUBLE) AS q_{k}"
+        )
+    agg_terms = []
+    for q in qs:
+        k = _qkey(q)
+        tgt = f"({_d(q)} * n::DOUBLE)"
+        agg_terms += [
+            f"min(CASE WHEN cum::DOUBLE >= {tgt} THEN cum END) AS sc_{k}",
+            f"min(CASE WHEN cum::DOUBLE >= {tgt} THEN bucket END) AS sb_{k}",
+            f"coalesce(max(CASE WHEN cum::DOUBLE < {tgt} THEN cum END), 0) AS pc_{k}",
+        ]
+    return f"""
+WITH __b AS (
+  SELECT {bys}, CAST(floor({col} / {_d(width)}) AS BIGINT) AS bucket,
+         count(*) AS cnt
+  FROM {table_expr} GROUP BY {bys}, bucket
+), __c AS (
+  SELECT {bys}, bucket, cnt,
+         sum(cnt) OVER (PARTITION BY {bys} ORDER BY bucket)::BIGINT AS cum
+  FROM __b
+), __n AS (
+  SELECT {bys}, max(cum) AS n FROM __c GROUP BY {bys}
+), __s AS (
+  SELECT {bys}, n, {", ".join(agg_terms)}
+  FROM __c JOIN __n USING ({bys}) GROUP BY {bys}, n
+)
+SELECT {", ".join(sel)} FROM __s
+"""

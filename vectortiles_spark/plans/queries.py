@@ -271,6 +271,63 @@ ORDER BY l_returnflag
 Q_KMV_SQL = _kmv_sql()
 
 
+_QSK_W = 500.0
+
+
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable histogram-quantile sketch vs the exact interpolated
+    percentiles: bounded (bucket,count) state per group (the shape that
+    survives 100 TB — see operators/sketches.py:histogram_quantiles),
+    with the sketch's p50/p95 replayed exactly by DuckDB and the exact
+    values alongside to exhibit the width-bounded error."""
+    from ..operators.sketches import histogram_quantiles
+
+    (li,) = load(spark, sf_dir, "lineitem")
+    by = ["l_returnflag", "l_linestatus"]
+    sk = histogram_quantiles(li, "l_extendedprice", by, width=_QSK_W, qs=(0.5, 0.95))
+    exact = li.groupBy(*by).agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("exact_p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("exact_p95"),
+    )
+    return (
+        exact.join(sk, by)
+        .select(
+            *by,
+            F.round(F.col("q_0_5"), 4).alias("sk_p50"),
+            F.round(F.col("q_0_95"), 4).alias("sk_p95"),
+            "exact_p50",
+            "exact_p95",
+        )
+        .orderBy(*by)
+    )
+
+
+def _qsk_sql() -> str:
+    from ..operators.sketches import histogram_quantiles_sql
+
+    frag = histogram_quantiles_sql(
+        "lineitem", "l_extendedprice", ["l_returnflag", "l_linestatus"],
+        width=_QSK_W, qs=(0.5, 0.95),
+    )
+    return f"""
+WITH sk AS ({frag}),
+exact AS (
+  SELECT l_returnflag, l_linestatus,
+         round(quantile_cont(l_extendedprice, 0.5), 4)  AS exact_p50,
+         round(quantile_cont(l_extendedprice, 0.95), 4) AS exact_p95
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT exact.l_returnflag, exact.l_linestatus,
+       round(q_0_5, 4) AS sk_p50, round(q_0_95, 4) AS sk_p95,
+       exact_p50, exact_p95
+FROM exact JOIN sk USING (l_returnflag, l_linestatus)
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+Q_QUANTILE_SKETCH_SQL = _qsk_sql()
+
+
 def q03_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-way join + aggregate: customer (broadcast) ⋈ orders ⋈ lineitem."""
     cust, orders, li = load(spark, sf_dir, "customer", "orders", "lineitem")

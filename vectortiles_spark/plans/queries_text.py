@@ -1280,3 +1280,97 @@ ORDER BY id_a, id_b
 
 
 Q_PHASH_NEAR_DUPS_SQL = _phash_sql()
+
+
+# --------------- composed corpus preparation pipeline ---------------
+
+
+_CP_MIN_WORDS = 30
+_CP_MWL_LO, _CP_MWL_HI = 3.0, 4.6
+_CP_MIN_DRATIO = 0.35
+
+
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-corpus prep funnel COMPOSED from the
+    battery's stages: exact dedup (md5 fingerprint window, keep min
+    doc_id) -> language gate (upstream lang tag == 'en', the
+    trust-the-classifier shape) -> quality gate (Gopher-lite: word
+    count, mean word length band, distinct-word ratio), reported as
+    per-source survivor counts at every stage plus final token volume.
+
+    Scale shape: ONE window shuffle (on the 32-hex fingerprint) + ONE
+    aggregation shuffle. The gates are pure map-side array algebra
+    computed as FLAGS, so no stage materializes an intermediate corpus —
+    the funnel is conditional sums over a single pass, which is how a
+    100 TB prep job avoids writing N-1 intermediate datasets."""
+    corpus = _dup_corpus(spark, sf_dir)
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    flagged = (
+        corpus.withColumn("fingerprint", F.md5("text"))
+        .withColumn("is_kept", (F.row_number().over(w) == 1).cast("int"))
+        .withColumn("n_words", F.size(toks))
+        .withColumn(
+            "mwl",
+            F.expr("aggregate(split(lower(trim(text)), '\\\\s+'), 0L, (a, x) -> a + length(x))")
+            / F.col("n_words"),
+        )
+        .withColumn("dratio", F.size(F.array_distinct(toks)) / F.col("n_words"))
+    )
+    is_en = F.col("lang") == "en"
+    is_q = (
+        (F.col("n_words") >= _CP_MIN_WORDS)
+        & F.col("mwl").between(_CP_MWL_LO, _CP_MWL_HI)
+        & (F.col("dratio") >= _CP_MIN_DRATIO)
+    )
+    kept = F.col("is_kept") == 1
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count("*").alias("n_raw"),
+            F.sum(kept.cast("long")).alias("n_dedup"),
+            F.sum((kept & is_en).cast("long")).alias("n_lang"),
+            F.sum((kept & is_en & is_q).cast("long")).alias("n_final"),
+            F.sum(F.when(kept & is_en & is_q, F.col("n_words")).otherwise(0)).alias(
+                "final_tokens"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def _corpus_pipeline_sql() -> str:
+    return rf"""
+WITH corpus AS ({_DUP_CORPUS_SQL}),
+flagged AS (
+  SELECT source, lang,
+         CASE WHEN row_number() OVER (
+             PARTITION BY md5(text) ORDER BY doc_id) = 1 THEN 1 ELSE 0 END
+           AS is_kept,
+         len(regexp_split_to_array(lower(trim(text)), '\s+')) AS n_words,
+         list_sum(list_transform(regexp_split_to_array(lower(trim(text)), '\s+'),
+                                 x -> length(x))) * 1.0
+           / len(regexp_split_to_array(lower(trim(text)), '\s+')) AS mwl,
+         len(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))) * 1.0
+           / len(regexp_split_to_array(lower(trim(text)), '\s+')) AS dratio
+  FROM corpus
+), gated AS (
+  SELECT source, is_kept, n_words,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en,
+         CASE WHEN n_words >= {_CP_MIN_WORDS}
+               AND mwl BETWEEN {_CP_MWL_LO} AND {_CP_MWL_HI}
+               AND dratio >= {_CP_MIN_DRATIO}
+           THEN 1 ELSE 0 END AS is_q
+  FROM flagged
+)
+SELECT source, count(*) AS n_raw,
+       sum(is_kept)::BIGINT AS n_dedup,
+       sum(is_kept * is_en)::BIGINT AS n_lang,
+       sum(is_kept * is_en * is_q)::BIGINT AS n_final,
+       sum(CASE WHEN is_kept * is_en * is_q = 1 THEN n_words ELSE 0 END)::BIGINT
+         AS final_tokens
+FROM gated GROUP BY source ORDER BY source
+"""
+
+
+Q_CORPUS_PIPELINE_SQL = _corpus_pipeline_sql()
