@@ -183,3 +183,15 @@ def test_histogram_quantiles_state_is_mergeable(spark):
     )
     got = histogram_quantiles(df_all, "x", ["g"], width=100.0, qs=(0.5,)).collect()[0]
     assert got.q_0_5 == _brute_hist_q(a + b, 100.0, 0.5)
+
+
+def test_kmv_null_group_key_survives_partial(spark):
+    """A NULL group key must keep its candidates through the partial
+    (pandas groupby drops NaN keys unless dropna=False)."""
+    rows = [Row(g=None, x=v) for v in range(500)] + [
+        Row(g="a", x=v) for v in range(500)
+    ]
+    df = spark.createDataFrame(rows, "g string, x long").repartition(5)
+    got = {r.g: r.kmv_est for r in kmv_distinct(df, "x", ["g"], k=32).collect()}
+    want = _brute_kmv(range(500), 32)
+    assert got == {None: want, "a": want}

@@ -183,3 +183,19 @@ def test_interval_join_is_equi_join_not_cartesian(spark):
                          bin_s=10)
     phys = plan._jdf.queryExecution().executedPlan().toString()
     assert "Cartesian" not in phys and "NestedLoop" not in phys, phys
+
+
+def test_asof_reserved_names_raise(spark):
+    bad = _mk(spark, [Row(id=1, k=1, ts=_ts(0), __asof_tag=1)],
+              "id long, k long, ts timestamp, __asof_tag int")
+    rdf = _mk(spark, [Row(k=1, ts=_ts(0), v=1.0)], "k long, ts timestamp, v double")
+    with pytest.raises(ValueError, match="reserved"):
+        asof_join(bad, rdf, on="ts", by=["k"], value_cols=["v"])
+
+
+def test_interval_shared_column_raises(spark):
+    pdf = _mk(spark, [Row(id=1, ts=_ts(0), v=1.0)], "id long, ts timestamp, v double")
+    idf = _mk(spark, [Row(wid=1, s=_ts(0), e=_ts(10), v=2.0)],
+              "wid long, s timestamp, e timestamp, v double")
+    with pytest.raises(ValueError, match="both sides"):
+        interval_join(pdf, idf, ts_col="ts", start_col="s", end_col="e", bin_s=10)

@@ -195,7 +195,10 @@ def kmv_distinct(df: DataFrame, col: str, by: list[str], k: int = 256) -> DataFr
             acc = (
                 acc.drop_duplicates()
                 .sort_values([*bys, "__h"], kind="stable")
-                .groupby(bys, sort=False)
+                # dropna=False: pandas silently DROPS null group keys by
+                # default, which would lose a null-keyed group's whole
+                # candidate set while the SQL twin keeps it
+                .groupby(bys, sort=False, dropna=False)
                 .head(k)
             )
         if acc is not None and len(acc):

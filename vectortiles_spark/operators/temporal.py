@@ -67,6 +67,9 @@ def asof_join(
     for named in (out_ts, *out_vals.values()):
         if named in lcols:
             raise ValueError(f"suffixed right column {named!r} collides with left")
+    for named in (_TAG, _RTS):
+        if named in lcols or named in right.columns:
+            raise ValueError(f"column {named!r} is reserved by asof_join")
     # the right ts rides under BOTH names: `on` so one window ordering
     # covers rows from either side, and _RTS as the carried match column
     # (null on left rows, so last(ignorenulls) skips them)
@@ -143,6 +146,15 @@ def interval_join(
     exploded interval side is small, with AQE handling hot bins.
     """
     by = by or []
+    shared = (set(points.columns) & set(intervals.columns)) - set(by)
+    if shared:
+        raise ValueError(
+            f"interval_join: columns {sorted(shared)!r} exist on both sides "
+            "(only `by` keys may be shared) — rename before joining"
+        )
+    for df_, side in ((points, "points"), (intervals, "intervals")):
+        if "__bin" in df_.columns:
+            raise ValueError(f"interval_join: '__bin' on {side} is reserved")
 
     def _ep(df: DataFrame, c: str) -> Column:
         col = F.col(c)
