@@ -200,3 +200,40 @@ def test_salted_cap_exchanges(spark):
     parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
     assert any("__salt" in p for p in parts), parts
     assert any("__salt" not in p and "tile_x" in p for p in parts), parts
+
+
+def test_hll_sketch_two_shuffles_only(spark):
+    """HLL = register agg (bucket shuffle) + estimate agg (group shuffle):
+    exactly two exchanges, no join, nothing proportional to row count."""
+    from vectortiles_spark.operators.sketches import hll_estimate, hll_registers
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    est = hll_estimate(hll_registers(li, "l_orderkey", ["l_returnflag"], b=10),
+                       ["l_returnflag"], b=10)
+    assert audit.count_shuffles(est) == 2, audit.plan_of(est)
+    audit.assert_no_cartesian(est)
+
+
+def test_corpus_pipeline_two_shuffles_only(spark):
+    """The composed prep funnel must stay one fingerprint window + one
+    aggregation — gates as flags, no per-stage materialization."""
+    from vectortiles_spark.plans.queries_text import q_corpus_pipeline
+
+    df = q_corpus_pipeline(spark, SF)
+    # window exchange + agg exchange + the final orderBy range exchange
+    assert audit.count_shuffles(df) <= 3, audit.plan_of(df)
+    audit.assert_no_cartesian(df)
+
+
+def test_interval_join_is_sortmerge_or_broadcast(spark):
+    from vectortiles_spark.operators.temporal import interval_join
+
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    pts = events.select("event_id", F.col("ts").cast("timestamp").alias("ts"))
+    wins = spark.range(10).select(
+        F.col("id").alias("wid"),
+        F.timestamp_seconds(1704067200 + F.col("id") * 3600).alias("s"),
+        F.timestamp_seconds(1704067200 + F.col("id") * 3600 + 1800).alias("e"),
+    )
+    j = interval_join(pts, wins, ts_col="ts", start_col="s", end_col="e", bin_s=1800)
+    audit.assert_no_cartesian(j)
