@@ -305,3 +305,30 @@ def test_header_bounds_cover_rle_runs(spark, tmp_path):
     assert hdr["min_zoom"] == hdr["max_zoom"] == 5
     # full-planet coverage at z=5 -> bbox spans the whole mercator square
     assert hdr["min_lon_e7"] == -1800000000 and hdr["max_lon_e7"] == 1800000000
+
+
+def test_first_entry_offset_sentinel_rejected_both_paths():
+    """Sentinel 0 on the FIRST entry is malformed on the vector path AND
+    the serial path (other zeros present) — both must raise."""
+    from vectortiles_spark.mvt import wire
+
+    for off_fields in ([0, 5], [0, 0]):  # serial path needs a later 0
+        stream = np.array(
+            [2, 10, 1, 1, 1, 4, 4] + off_fields, np.uint64
+        )  # n=2, ids 10,11, runs 1,1, lens 4,4
+        buf = bytes(wire.encode_varints(stream))
+        with pytest.raises(ValueError, match="sentinel"):
+            P._parse_dir(buf)
+
+
+def test_failed_write_leaves_no_part_litter(spark, tmp_path):
+    """A duplicate-key failure mid-assembly must clean up part files and
+    the part directory, not just the .tmp archive."""
+    rows = [Row(tile_z=3, tile_x=1, tile_y=1, mvt=bytearray(b"x")) for _ in range(2)]
+    df = spark.createDataFrame(rows, P.TILES_SCHEMA)
+    out = str(tmp_path / "dup.pmtiles")
+    with pytest.raises(ValueError, match="duplicate"):
+        P.write_pmtiles(df, out)
+    litter = [p for p in os.listdir(tmp_path) if p != "dup.pmtiles"]
+    assert litter == [], litter
+    assert not os.path.exists(out)

@@ -28,10 +28,11 @@ Scale shape:
 
 Format subset: header v3, gzip internal compression for directories and
 JSON metadata, gzip (default) or uncompressed tile data, root directory
-plus one leaf level when the entry count exceeds the root budget,
-run_length=1 entries (no RLE dedup on write; general run lengths are
-honored on read), no content-hash dedup (n_tile_contents ==
-n_tile_entries, addressed == entries).
+plus one leaf level when the entry count exceeds the root budget.
+The sink performs spec-legal content dedup (identical blobs share one
+data span via md5+length identity) and RLE (consecutive Hilbert ids
+with one content collapse into a run); general run lengths and shared
+offsets are honored on read.
 
 Reference parity: distribution wrapper around the same (tile_z, tile_x,
 tile_y, mvt) frame as sources/mbtiles.py; codec work stays in
@@ -190,13 +191,15 @@ def _parse_dir(buf: bytes):
     prev_end = 0
     # offsets are delta-free but the 0 sentinel chains: resolve serially
     # only across sentinel runs (vector fast path when none are 0)
+    if n and raw_off[0] == 0:
+        # the sentinel means "contiguous with the PREVIOUS entry" — the
+        # first entry has none (both resolution paths must reject this)
+        raise ValueError("pmtiles: first directory entry has offset sentinel 0")
     if (raw_off == 0)[1:].any() if n > 1 else False:
         for i in range(n):
             offs[i] = prev_end if raw_off[i] == 0 else raw_off[i] - 1
             prev_end = offs[i] + lens[i]
     else:
-        if n and raw_off[0] == 0:
-            raise ValueError("pmtiles: first directory entry has offset sentinel 0")
         offs = raw_off - 1
     return ids, runs, lens, offs
 
@@ -343,9 +346,24 @@ def write_pmtiles(
         os.replace(f"{tmp}.idx.npy", f"{part}.idx.npy")
         os.replace(tmp, part)
 
-    ordered.foreachPartition(write_part)
+    tmp = path + ".tmp"
+    try:
+        ordered.foreachPartition(write_part)
+        _assemble_archive(path, tmp, part_dir, metadata, do_gzip)
+    finally:
+        # parts + tmp must not leak on ANY failure path (including the
+        # duplicate-key / unsorted-part errors raised mid-assembly)
+        if os.path.exists(tmp):
+            os.remove(tmp)
+        for p in _glob.glob(os.path.join(part_dir, "part-*")):
+            os.remove(p)
+        os.rmdir(part_dir)
 
-    # ---- driver assembly: sidecars -> entries -> directories -> archive
+
+def _assemble_archive(
+    path: str, tmp: str, part_dir: str, metadata: dict | None, do_gzip: bool
+) -> None:
+    """Driver assembly: sidecars -> entries -> directories -> archive."""
     parts = sorted(_glob.glob(os.path.join(part_dir, "part-*.bin")))
     all_idx = []
     for p in parts:
@@ -503,33 +521,25 @@ def write_pmtiles(
         "center_lon_e7": (lo_lon + hi_lon) // 2,
         "center_lat_e7": (lo_lat + hi_lat) // 2,
     })
-    tmp = path + ".tmp"
-    try:
-        with open(tmp, "wb") as f:
-            f.write(header)
-            f.write(root)
-            f.write(meta_blob)
-            f.write(leaves)
-            # stream-copy parts, SKIPPING spans whose content was deduped
-            # (keep_data is in global blob order; parts concatenate in that
-            # same order)
-            gi = 0
-            for (idx, cnt), p in zip(all_idx, parts):
-                with open(p, "rb") as pf:
-                    for j in range(cnt):
-                        ln = int(lens_full[gi])
-                        if keep_data[gi]:
-                            f.write(pf.read(ln))
-                        else:
-                            pf.seek(ln, 1)
-                        gi += 1
-        os.replace(tmp, path)
-    finally:
-        if os.path.exists(tmp):
-            os.remove(tmp)
-        for p in _glob.glob(os.path.join(part_dir, "part-*")):
-            os.remove(p)
-        os.rmdir(part_dir)
+    with open(tmp, "wb") as f:
+        f.write(header)
+        f.write(root)
+        f.write(meta_blob)
+        f.write(leaves)
+        # stream-copy parts, SKIPPING spans whose content was deduped
+        # (keep_data is in global blob order; parts concatenate in that
+        # same order)
+        gi = 0
+        for (idx, cnt), p in zip(all_idx, parts):
+            with open(p, "rb") as pf:
+                for j in range(cnt):
+                    ln = int(lens_full[gi])
+                    if keep_data[gi]:
+                        f.write(pf.read(ln))
+                    else:
+                        pf.seek(ln, 1)
+                    gi += 1
+    os.replace(tmp, path)
 
 
 # ------------------------------------------------------------------ source
