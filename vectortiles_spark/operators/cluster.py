@@ -114,6 +114,16 @@ def cluster_points(
     bad = {fn for fn in (agg or {}).values() if fn not in _AGG_FNS}
     if bad:
         raise ValueError(f"unsupported agg fns {sorted(bad)}; use {_AGG_FNS}")
+    reserved = {
+        "tile_z", "tile_x", "tile_y", "bin_x", "bin_y",
+        "_px", "_py", "_id", "px", "py", "point_count", "is_cluster", "rep_id",
+    }
+    clash = set(agg or {}) & reserved
+    if clash:
+        raise ValueError(
+            f"agg columns {sorted(clash)} collide with cluster output/"
+            "internal names — rename them upstream"
+        )
     shift = radius_px.bit_length() - 1
     tx, ty, px, py = _projected(df, z, lon, lat, projection, extent)
     binned = df.select(
