@@ -136,3 +136,46 @@ def test_sessionize_late_event_cannot_bridge_emitted_session():
     ))
     assert out3 == []
     assert state.get[1] == 3  # absorbed into the open session
+
+
+def test_hopping_counts_stream_equals_batch(spark, events_dir):
+    from vectortiles_spark.plans.queries import q_events_hopping
+
+    stream = ev.read_events_stream(spark, events_dir, files_per_trigger=2)
+    agg = ev.hopping_counts(stream)
+    ev.run_stream_to_memory(agg, "hop_out", output_mode="append")
+    got = {
+        (r.win_start, r.event_type): (r.n, r.total_value)
+        for r in spark.sql("SELECT * FROM hop_out").collect()
+    }
+    want = {
+        (r.win_start, r.event_type): (r.n, r.total_value)
+        for r in q_events_hopping(spark, SF).collect()
+    }
+    assert got, "stream emitted nothing"
+    for k, v in got.items():
+        assert want[k] == v
+    # only the watermark-open tail may be missing (hop windows close when
+    # watermark (max_ts - 2h) passes win_start + 1h)
+    import datetime
+
+    max_start = max(s for s, _ in want)
+    cutoff = max_start - datetime.timedelta(hours=3)
+    missing = set(want) - set(got)
+    assert all(s >= cutoff for s, _ in missing), sorted(missing)[:5]
+
+
+def test_dedup_stream_drops_in_horizon_duplicates(spark, tmp_path):
+    """Every event written TWICE (same micro-batch horizon) must come out
+    once; state is keyed on event_id within the watermark."""
+    src = spark.read.parquet(f"{SF}/events.parquet").limit(500)
+    out = str(tmp_path / "dup_stream")
+    src.repartition(2).write.parquet(out)
+    src.repartition(3).write.mode("append").parquet(out)
+
+    stream = ev.read_events_stream(spark, out, files_per_trigger=10)
+    ev.run_stream_to_memory(ev.dedup_stream(stream), "dedup_out", output_mode="append")
+    got = spark.sql("SELECT event_id, count(*) AS c FROM dedup_out GROUP BY 1")
+    dupes = got.filter("c > 1").count()
+    assert dupes == 0
+    assert got.count() == 500

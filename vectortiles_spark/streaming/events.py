@@ -138,3 +138,35 @@ def run_stream_to_memory(stream_df: DataFrame, name: str, output_mode: str = "ap
     q.processAllAvailable()
     q.stop()
     return q
+
+
+def hopping_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked HOPPING-window aggregate (each event lands in
+    window/slide windows; state bounded by the watermark horizon).
+    Batch twin: plans/queries.py:q_events_hopping — same epoch-aligned
+    window placement, value-checked against DuckDB."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("win"), F.col("event_type"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(F.col("win.start").alias("win_start"), "event_type", "n", "total_value")
+    )
+
+
+def dedup_stream(
+    events: DataFrame, watermark: str = "2 hours", keys: tuple[str, ...] = ("event_id",)
+) -> DataFrame:
+    """Streaming exact dedup with BOUNDED state: duplicates arriving
+    within the watermark horizon of the first sighting are dropped, and
+    key state is evicted once the watermark passes — the only dedup
+    shape that survives an unbounded stream (a plain dropDuplicates
+    accretes state forever). The batch twin is q_dedup_exact's
+    keep-first semantics restricted to the horizon."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
