@@ -3,10 +3,12 @@
 ``entry`` runs the flagship pipeline (point features -> groupBy(z,x,y) ->
 applyInArrow MVT encode) on sf0.001. ``queries``/``oracle_sql`` pair every
 implemented operator family from SURVEY.md §2 with a DuckDB-checkable oracle
-(60 queries, 60 value-checked — including byte-exact MVT blob sizes, the
-tileset/MBTiles ingest circles, the multi-zoom pyramid builder, trained-IVF
-ANN, and a literal-expected oracle for the image-invariant gate whose seeded
-generator makes the aggregate a known constant).
+(75 queries, 75 value-checked — including byte-exact MVT blob sizes, the
+tileset/MBTiles/PMTiles ingest circles, the multi-zoom pyramid builder,
+trained-IVF and PQ/ADC ANN, as-of/interval joins, HLL/KMV/histogram-quantile
+sketches whose ESTIMATES replay in DuckDB bit-for-bit, the composed corpus
+prep funnel, and a literal-expected oracle for the image-invariant gate
+whose seeded generator makes the aggregate a known constant).
 """
 
 from __future__ import annotations
