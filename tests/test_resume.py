@@ -392,3 +392,32 @@ def test_spec_adoption_guards_legacy_layouts(spark, tmp_path):
     t2.append(spark.range(10, 20).withColumn("part", F.pmod("id", F.lit(2))),
               partition_by="part")
     assert t2.read().count() == 20
+
+
+def test_partition_metrics_rollup(spark, tmp_path):
+    """The checkpoint carries per-partition lineage + byte/row metrics,
+    and partition_metrics rolls them up consistently with the payload."""
+    ckpt = IcebergLiteTable(spark, str(tmp_path / "ckpt_pm"))
+    imgs = images_df(spark, n=400, seed=3).repartition(4)
+    feats = tiling.point_features(
+        imgs, z=6, layer="images", feature_id=F.xxhash64("image_id")
+    )
+    tiles = tiling.encode_tiles(feats, partitions=4)
+    resume.checkpoint_tiles(tiles, ckpt, source_snapshot=7)
+    pm = resume.partition_metrics(ckpt).collect()
+    assert pm, "no partition metric rows"
+    assert {r.lineage_stage for r in pm} == {"mvt_encode"}
+    assert {r.lineage_source_snapshot for r in pm} == {7}
+    committed = ckpt.read().select(
+        F.count("*").alias("t"),
+        F.sum("n_features").alias("f"),
+        F.sum(F.length("mvt")).alias("b"),
+    ).collect()[0]
+    assert sum(r.n_tiles for r in pm) == committed.t
+    assert sum(r.n_features for r in pm) == committed.f
+    assert sum(r.mvt_bytes for r in pm) == committed.b
+    # the rollup's plan must never touch the payload column
+    from vectortiles_spark.plans import audit
+    df = resume.partition_metrics(ckpt)
+    schema_line = audit.formatted_plan(df).split("ReadSchema")[-1].split("\n")[0]
+    assert "mvt:binary" not in schema_line, schema_line

@@ -24,15 +24,38 @@ def checkpoint_tiles(
 ) -> int:
     """Commit encoded tiles + progress metrics as a new snapshot.
 
-    Stored per tile: key, mvt payload, n_features (row-count metric), and
-    lineage columns (stage, source snapshot id)."""
+    Stored per tile: key, mvt payload, n_features (row-count metric),
+    mvt byte size, and lineage columns (stage, source snapshot id, the
+    PHYSICAL partition that produced the row — the north-rule
+    per-partition lineage grain; roll up with partition_metrics)."""
     out = tiles.withColumns(
         {
             "lineage_stage": F.lit(stage),
             "lineage_source_snapshot": F.lit(source_snapshot).cast("int"),
+            "lineage_partition": F.spark_partition_id(),
+            "metric_mvt_bytes": F.length("mvt").cast("long"),
         }
     )
     return table.append(out, partition_by="tile_z", operation=stage)
+
+
+def partition_metrics(
+    table: IcebergLiteTable, snapshot_id: int | None = None
+) -> DataFrame:
+    """Per (stage, source snapshot, physical partition) progress metrics
+    from the committed manifest: tile count, feature sum, byte volume —
+    the operational view a 1000-executor run monitors for stragglers and
+    skew without touching the payload column (column pruning keeps the
+    mvt blobs out of this scan)."""
+    return (
+        table.read(snapshot_id)
+        .groupBy("lineage_stage", "lineage_source_snapshot", "lineage_partition")
+        .agg(
+            F.count("*").alias("n_tiles"),
+            F.sum("n_features").alias("n_features"),
+            F.sum("metric_mvt_bytes").alias("mvt_bytes"),
+        )
+    )
 
 
 def completed_tiles(table: IcebergLiteTable, snapshot_id: int | None = None) -> DataFrame:
