@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tile_assign": Q.q_tile_assign,
         "q_tile_assign_merc": Q.q_tile_assign_merc,
         "q_quadkey": Q.q_quadkey,
+        "q_geohash": Q.q_geohash,
         "q_tile_pyramid": Q.q_tile_pyramid,
         "q_simplify_lines": Q.q_simplify_lines,
         "q_clip_rects": Q.q_clip_rects,
@@ -192,6 +193,7 @@ def oracle_sql() -> dict[str, str]:
         "q_tile_assign": Q.Q_TILE_ASSIGN_SQL,
         "q_tile_assign_merc": Q.Q_TILE_ASSIGN_MERC_SQL,
         "q_quadkey": Q.Q_QUADKEY_SQL,
+        "q_geohash": Q.Q_GEOHASH_SQL,
         "q_tile_pyramid": Q.Q_TILE_PYRAMID_SQL,
         "q_simplify_lines": Q.Q_SIMPLIFY_LINES_SQL,
         "q_clip_rects": Q.Q_CLIP_RECTS_SQL,

@@ -197,3 +197,78 @@ def test_quadkey_bing_examples_and_prefix_nesting(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         quadkey(0, F.col("x"), F.col("y"))
+
+
+# ------------------------------- geohash -------------------------------
+
+
+def _py_geohash(lon, lat, precision):
+    """Independent reference: classic interval-halving geohash."""
+    alpha = "0123456789bcdefghjkmnpqrstuvwxyz"
+    lo_lon, hi_lon, lo_lat, hi_lat = -180.0, 180.0, -90.0, 90.0
+    bits, ch, out, even = 0, 0, [], True
+    while len(out) < precision:
+        if even:
+            mid = (lo_lon + hi_lon) / 2
+            if lon >= mid:
+                ch = (ch << 1) | 1
+                lo_lon = mid
+            else:
+                ch <<= 1
+                hi_lon = mid
+        else:
+            mid = (lo_lat + hi_lat) / 2
+            if lat >= mid:
+                ch = (ch << 1) | 1
+                lo_lat = mid
+            else:
+                ch <<= 1
+                hi_lat = mid
+        even = not even
+        bits += 1
+        if bits == 5:
+            out.append(alpha[ch])
+            bits, ch = 0, 0
+    return "".join(out)
+
+
+def test_geohash_known_values(spark):
+    from vectortiles_spark.functions.cells import geohash_encode
+
+    df = spark.createDataFrame(
+        [(-5.603, 42.605, "ezs42"), (-0.1278, 51.5074, "gcpvj0d"),
+         (139.6917, 35.6895, "xn774c0")],
+        "lon double, lat double, want string",
+    )
+    p5 = df.select(geohash_encode(F.col("lon"), F.col("lat"), 5).alias("g"), "want")
+    for r in p5.collect():
+        assert r.g == r.want[:5], (r.g, r.want)
+    p7 = df.select(geohash_encode(F.col("lon"), F.col("lat"), 7).alias("g"), "want")
+    for r in p7.collect():
+        assert r.g == (r.want + "xxxxxxx")[:7] or len(r.want) < 7 or r.g == r.want
+
+
+def test_geohash_matches_reference_impl(spark):
+    from vectortiles_spark.functions.cells import geohash_encode
+
+    rows = [
+        (((i * 9973) % 36000) / 100.0 - 180.0, ((i * 7919) % 17000) / 100.0 - 85.0)
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "lon double, lat double")
+    for p in (1, 4, 6, 9):
+        got = df.select(
+            "lon", "lat", geohash_encode(F.col("lon"), F.col("lat"), p).alias("g")
+        ).collect()
+        for r in got:
+            assert r.g == _py_geohash(r.lon, r.lat, p), (r.lon, r.lat, p, r.g)
+
+
+def test_geohash_prefixes_nest(spark):
+    from vectortiles_spark.functions.cells import geohash_encode
+
+    df = spark.createDataFrame([(2.35, 48.86)], "lon double, lat double")
+    g9 = df.select(geohash_encode(F.col("lon"), F.col("lat"), 9).alias("g")).collect()[0].g
+    for p in range(1, 9):
+        gp = df.select(geohash_encode(F.col("lon"), F.col("lat"), p).alias("g")).collect()[0].g
+        assert g9.startswith(gp)

@@ -165,3 +165,88 @@ def hilbert_cell(lon: Column, lat: Column, level: int) -> Column:
         return out
 
     return _h(lon, lat)
+
+
+# ------------------------------- geohash -------------------------------
+
+GEOHASH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_encode(lon: Column, lat: Column, precision: int = 6) -> Column:
+    """Standard geohash (Niemeyer base32) as a PURE Column expression:
+    lon/lat quantize to ceil/floor(5p/2)-bit grid indexes, the indexes
+    bit-interleave (lon first, the geohash convention), and each 5-bit
+    group selects an alphabet character. Everything is float-quantize +
+    integer/string algebra that DuckDB replays bit-for-bit
+    (:func:`geohash_sql`), so geohash joins sit under the value oracle
+    like quadkeys do.
+
+    Scale: a geohash PREFIX is a spatial bucket (chars 1..p nest), so
+    groupBy(substring(geohash, 1, k)) is the classic cheap spatial
+    rollup — one hash aggregate, no geometry."""
+    if not 1 <= precision <= 12:
+        raise ValueError(f"geohash precision must be in [1, 12], got {precision}")
+    bits = 5 * precision
+    nlon = (bits + 1) // 2
+    nlat = bits // 2
+    lon_i = F.least(
+        F.floor((lon + 180.0) / 360.0 * float(1 << nlon)).cast("long"),
+        F.lit((1 << nlon) - 1),
+    )
+    lat_i = F.least(
+        F.floor((lat + 90.0) / 180.0 * float(1 << nlat)).cast("long"),
+        F.lit((1 << nlat) - 1),
+    )
+    h = F.lit(0).cast("long")
+    for i in range(bits):  # i = 0 is the MSB of the interleaved hash
+        if i % 2 == 0:
+            j = i // 2  # lon bit, MSB-first
+            bit = F.shiftrightunsigned(lon_i, nlon - 1 - j).bitwiseAND(F.lit(1))
+        else:
+            j = i // 2
+            bit = F.shiftrightunsigned(lat_i, nlat - 1 - j).bitwiseAND(F.lit(1))
+        h = h.bitwiseOR(F.shiftleft(bit, bits - 1 - i))
+    chars = [
+        F.substring(
+            F.lit(GEOHASH_ALPHABET),
+            (
+                F.shiftrightunsigned(h, 5 * (precision - 1 - k))
+                .bitwiseAND(F.lit(31))
+                .cast("int")
+                + 1
+            ),
+            1,
+        )
+        for k in range(precision)
+    ]
+    return F.concat(*chars)
+
+
+def geohash_sql(lon_expr: str, lat_expr: str, precision: int = 6) -> str:
+    """The exact DuckDB twin of :func:`geohash_encode` over SQL
+    expressions (same quantize, interleave, and alphabet indexing)."""
+    if not 1 <= precision <= 12:
+        raise ValueError(f"geohash precision must be in [1, 12], got {precision}")
+    bits = 5 * precision
+    nlon = (bits + 1) // 2
+    nlat = bits // 2
+    lon_i = (
+        f"least(CAST(floor(({lon_expr} + 180.0) / 360.0 * {float(1 << nlon)!r}) "
+        f"AS BIGINT), {(1 << nlon) - 1})"
+    )
+    lat_i = (
+        f"least(CAST(floor(({lat_expr} + 90.0) / 180.0 * {float(1 << nlat)!r}) "
+        f"AS BIGINT), {(1 << nlat) - 1})"
+    )
+    terms = []
+    for i in range(bits):
+        j = i // 2
+        src, nb = (lon_i, nlon) if i % 2 == 0 else (lat_i, nlat)
+        terms.append(f"((({src} >> {nb - 1 - j}) & 1) << {bits - 1 - i})")
+    h = " | ".join(terms)
+    chars = [
+        f"substr('{GEOHASH_ALPHABET}', "
+        f"CAST(((({h}) >> {5 * (precision - 1 - k)}) & 31) AS INT) + 1, 1)"
+        for k in range(precision)
+    ]
+    return " || ".join(chars)

@@ -744,6 +744,55 @@ ORDER BY win_id
 """
 
 
+_GH_P = 6
+
+
+def q_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash bucketing (the third cell system next to XYZ/quadkey and
+    Morton/Hilbert): encode each customer's derived point at precision 6
+    — pure Column algebra (functions/cells.py:geohash_encode) — and roll
+    up by the 3-char prefix (prefixes nest, so the rollup is one hash
+    aggregate, the classic cheap spatial histogram)."""
+    from ..functions.cells import geohash_encode
+
+    (cust,) = load(spark, sf_dir, "customer")
+    key = F.col("c_custkey")
+    pts = cust.select("c_custkey", lon_of(key), lat_of(key))
+    g = pts.select(
+        "c_custkey",
+        geohash_encode(F.col("lon"), F.col("lat"), _GH_P).alias("geohash"),
+    )
+    return (
+        g.groupBy(F.substring("geohash", 1, 3).alias("gh3"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("geohash").alias("min_gh"),
+            F.max("geohash").alias("max_gh"),
+        )
+        .orderBy("gh3")
+    )
+
+
+def _geohash_sql() -> str:
+    from ..functions.cells import geohash_sql
+
+    gh = geohash_sql("lon", "lat", _GH_P)
+    return f"""
+WITH pts AS (
+  SELECT c_custkey, {_sql_lon('c_custkey')} AS lon, {_sql_lat('c_custkey')} AS lat
+  FROM customer
+), g AS (
+  SELECT c_custkey, {gh} AS geohash FROM pts
+)
+SELECT substr(geohash, 1, 3) AS gh3, count(*) AS n,
+       min(geohash) AS min_gh, max(geohash) AS max_gh
+FROM g GROUP BY 1 ORDER BY gh3
+"""
+
+
+Q_GEOHASH_SQL = _geohash_sql()
+
+
 # ---------------- geo operators (SURVEY.md §2.D3, D5, D6) ----------------
 
 _Z = 6
