@@ -1042,8 +1042,13 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.size("grams2"),
         ).otherwise(F.lit(0.0)),
     )
+    # count by the WORD'S HASH, not the word: the shuffle then moves
+    # (doc_id, int64) rows instead of raw strings — same max-count unless
+    # xxhash64 collides within one doc (~n²/2^64, negligible); the oracle
+    # counts raw words, which is equal under the same no-collision fact
     top = (
-        base.select("doc_id", F.explode("toks").alias("w"))
+        base.select("doc_id", F.explode("toks").alias("__w"))
+        .select("doc_id", F.xxhash64("__w").alias("w"))
         .groupBy("doc_id", "w")
         .agg(F.count("*").alias("c"))
         .groupBy("doc_id")
