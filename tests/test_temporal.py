@@ -199,3 +199,44 @@ def test_interval_shared_column_raises(spark):
               "wid long, s timestamp, e timestamp, v double")
     with pytest.raises(ValueError, match="both sides"):
         interval_join(pdf, idf, ts_col="ts", start_col="s", end_col="e", bin_s=10)
+
+
+def test_asof_matches_pandas_merge_asof(spark):
+    """Differential against the canonical semantics implementation:
+    pandas merge_asof (backward, inclusive tolerance) on randomized data."""
+    import pandas as pd
+
+    rng = random.Random(99)
+    left = pd.DataFrame({
+        "id": range(200),
+        "k": [rng.randrange(5) for _ in range(200)],
+        "ts": [_ts(rng.randrange(0, 3000)) for _ in range(200)],
+    })
+    seen, rrows = set(), []
+    while len(rrows) < 80:
+        k, t = rng.randrange(5), rng.randrange(0, 3000)
+        if (k, t) not in seen:
+            seen.add((k, t))
+            rrows.append((k, _ts(t), float(rng.randrange(100))))
+    right = pd.DataFrame(rrows, columns=["k", "ts", "v"])
+
+    for tol in (None, 250):
+        want_df = pd.merge_asof(
+            left.sort_values("ts", kind="stable"),
+            right.sort_values("ts", kind="stable"),
+            on="ts", by="k",
+            tolerance=None if tol is None else pd.Timedelta(seconds=tol),
+        )
+        want = {
+            int(r.id): None if pd.isna(r.v) else float(r.v)
+            for r in want_df.itertuples()
+        }
+        got_rows = asof_join(
+            spark.createDataFrame(left), spark.createDataFrame(right),
+            on="ts", by=["k"], value_cols=["v"], tolerance_s=tol,
+        ).collect()
+        got = {
+            int(r.id): None if r.v_right is None else float(r.v_right)
+            for r in got_rows
+        }
+        assert got == want
