@@ -128,6 +128,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_chunk_dedup": QT.q_chunk_dedup,
         "q_phash_near_dups": QT.q_phash_near_dups,
         "q_corpus_pipeline": QT.q_corpus_pipeline,
+        "q_frequent_items": QT.q_frequent_items,
+        "q_weighted_sample": QT.q_weighted_sample,
         "q_simhash_buckets": QT.q_simhash_buckets,
         "q_rolling_fingerprint": QT.q_rolling_fingerprint,
         "q_token_bpe": QT.q_token_bpe,
@@ -234,6 +236,8 @@ def oracle_sql() -> dict[str, str]:
         "q_chunk_dedup": QT.Q_CHUNK_DEDUP_SQL,
         "q_phash_near_dups": QT.Q_PHASH_NEAR_DUPS_SQL,
         "q_corpus_pipeline": QT.Q_CORPUS_PIPELINE_SQL,
+        "q_frequent_items": QT.Q_FREQUENT_ITEMS_SQL,
+        "q_weighted_sample": QT.Q_WEIGHTED_SAMPLE_SQL,
         "q_simhash_buckets": QT.Q_SIMHASH_SQL,
         "q_rolling_fingerprint": QT.Q_ROLLING_FP_SQL,
         "q_token_bpe": QT.Q_TOKEN_BPE_SQL,

@@ -106,3 +106,63 @@ def test_read_tileset_missing_zoom_is_empty_not_error(spark, tmp_path):
     assert [f.name for f in read_tileset(spark, root).schema.fields] == [
         "tile_z", "tile_x", "tile_y", "mvt",
     ]
+
+
+# --------------------------- weighted_sample ---------------------------
+
+
+def _aes_replica(rows, k, seed):
+    """Pure-Python replica of weighted_sample's priority formula."""
+    import hashlib
+    import math
+
+    pri = {}
+    for rid, wgt in rows:
+        if wgt is None or wgt <= 0:
+            continue
+        h = int(hashlib.md5(f"{rid}#{seed}".encode()).hexdigest()[:15], 16)
+        u = (h + 1.0) / float(1 << 60)
+        pri[rid] = math.log(u) / wgt
+    return [r for r, _ in sorted(pri.items(), key=lambda t: (-t[1], t[0]))[:k]]
+
+
+def test_weighted_sample_matches_replica_and_is_partition_invariant(spark):
+    from vectortiles_spark.operators.sampling import weighted_sample
+
+    rows = [(i, float(1 + (i * 7) % 10)) for i in range(300)] + [(300, None), (301, 0.0)]
+    want = set(_aes_replica(rows, 20, seed=5))
+    for nparts in (1, 8):
+        df = spark.createDataFrame(rows, "id long, w double").repartition(nparts)
+        got = {r.id for r in weighted_sample(df, "w", 20, id_col="id", seed=5).collect()}
+        assert got == want, nparts
+    # a different seed redraws
+    got2 = {
+        r.id
+        for r in weighted_sample(
+            spark.createDataFrame(rows, "id long, w double"), "w", 20,
+            id_col="id", seed=6,
+        ).collect()
+    }
+    assert got2 != want
+
+
+def test_weighted_sample_bias_follows_weights():
+    """Statistical check of the formula itself (pure Python, no Spark):
+    one heavy item (w=9) among nine light (w=1) must win the k=1 draw
+    about 9/18 of the time across independent seeds."""
+    rows = [(0, 9.0)] + [(i, 1.0) for i in range(1, 10)]
+    wins = sum(1 for s in range(2000) if _aes_replica(rows, 1, seed=s)[0] == 0)
+    frac = wins / 2000
+    assert 0.42 <= frac <= 0.58, frac  # expect 0.5, ~3 sigma band ±0.033
+
+
+def test_weighted_sample_per_group(spark):
+    from vectortiles_spark.operators.sampling import weighted_sample
+
+    rows = [(g, i, 1.0 + i % 3) for g in ("a", "b") for i in range(50)]
+    df = spark.createDataFrame(rows, "g string, id long, w double")
+    got = weighted_sample(df, "w", 5, id_col="id", by=["g"], seed=1).collect()
+    from collections import Counter
+
+    per = Counter(r.g for r in got)
+    assert per == {"a": 5, "b": 5}

@@ -70,3 +70,47 @@ def hash_split(
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
         lo += wgt
     return df.withColumn(split_col, expr)
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str,
+    by: list[str] | None = None,
+    seed: int = 0,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis A-ES):
+    each row draws a deterministic uniform u from md5(id, seed) and gets
+    priority ln(u) / w; the k highest-priority rows per group are the
+    sample. Inclusion bias follows the weights (the first pick lands on
+    row i with probability w_i / sum(w)) while staying hash-deterministic:
+    reruns, retries, and repartitioning reproduce the SAME sample — the
+    reproducibility a curation pipeline needs when sampling by quality
+    score. Changing ``seed`` redraws independently.
+
+    Rows with NULL or non-positive weight are excluded (they cannot carry
+    sampling mass). ONE shuffle: the priority is map-side Column math,
+    the top-k is a per-group window. Output: the sampled rows plus their
+    ``__priority`` is dropped — schema == input schema.
+    """
+    if k < 1:
+        raise ValueError(f"weighted_sample k must be >= 1, got {k}")
+    by = by or []
+    # u in (0, 1]: (h + 1) / 2^60 with h uniform over [0, 2^60)
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f"#{seed}"))), 1, 15
+        ),
+        16, 10,
+    ).cast("long")
+    u = (h.cast("double") + F.lit(1.0)) / F.lit(float(1 << 60))
+    pri = F.log(u) / F.col(weight_col).cast("double")
+    src = df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+    keyed = src.withColumn("__priority", pri)
+    w = Window.partitionBy(*by).orderBy(F.desc("__priority"), F.asc(id_col))
+    return (
+        keyed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn", "__priority")
+    )

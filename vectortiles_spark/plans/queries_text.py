@@ -1379,3 +1379,95 @@ FROM gated GROUP BY source ORDER BY source
 
 
 Q_CORPUS_PIPELINE_SQL = _corpus_pipeline_sql()
+
+
+# ------------------- exact frequent items per group -------------------
+
+_FI_K = 3
+
+
+def q_frequent_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k frequent words per source (the heavy-hitters query):
+    count by (source, word-hash... no — the WORD itself must surface in
+    the output, so the exchange carries (source, word) count partials),
+    then one small window over the bounded per-source count relation.
+    Deterministic tiebreak: higher count first, then lexicographic word.
+
+    Scale note: map-side partial aggregation collapses each task to its
+    distinct (source, word) set before the exchange; the window runs on
+    count rows (bounded by vocabulary, not corpus size). For unbounded
+    vocabularies a count-min sketch is the next step; exact is right
+    whenever distinct words fit a shuffle, which holds for natural
+    language."""
+    (docs,) = load(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    counts = (
+        docs.select("source", F.explode(toks).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("n"), F.asc("word"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _FI_K)
+        .select("source", "rank", "word", "n")
+        .orderBy("source", "rank")
+    )
+
+
+Q_FREQUENT_ITEMS_SQL = rf"""
+WITH words AS (
+  SELECT source, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word
+  FROM documents
+), counts AS (
+  SELECT source, word, count(*) AS n FROM words GROUP BY 1, 2
+), ranked AS (
+  SELECT source, word, n,
+         row_number() OVER (PARTITION BY source ORDER BY n DESC, word ASC) AS rank
+  FROM counts
+)
+SELECT source, rank, word, n FROM ranked
+WHERE rank <= {_FI_K}
+ORDER BY source, rank
+"""
+
+
+# --------------------------- weighted sampling ---------------------------
+
+_WS_K = 5
+_WS_SEED = 11
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic A-ES weighted sampling (operators/sampling.py):
+    5 docs per source, weighted by n_chars — the 'sample by quality
+    score, reproducibly' curation op. The output is SELECTED ROWS only
+    (ids + weights, no computed floats), so the oracle replays the
+    identical md5-uniform + ln(u)/w priority and must pick the same
+    rows; priorities are spaced far beyond 1 ulp, so engine libm
+    differences cannot flip the order."""
+    from ..operators.sampling import weighted_sample
+
+    (docs,) = load(spark, sf_dir, "documents")
+    got = weighted_sample(
+        docs.select("doc_id", "source", "n_chars"),
+        "n_chars", _WS_K, id_col="doc_id", by=["source"], seed=_WS_SEED,
+    )
+    return got.select("source", "doc_id", "n_chars").orderBy("source", "doc_id")
+
+
+Q_WEIGHTED_SAMPLE_SQL = f"""
+WITH keyed AS (
+  SELECT source, doc_id, n_chars,
+         ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#{_WS_SEED}'), 1, 15))::BIGINT
+             ::DOUBLE + 1.0) / {float(1 << 60):.17e}) / n_chars::DOUBLE AS pri
+  FROM documents
+  WHERE n_chars IS NOT NULL AND n_chars > 0
+), ranked AS (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY pri DESC, doc_id ASC) AS rn
+  FROM keyed
+)
+SELECT source, doc_id, n_chars FROM ranked WHERE rn <= {_WS_K}
+ORDER BY source, doc_id
+"""
