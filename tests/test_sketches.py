@@ -195,3 +195,64 @@ def test_kmv_null_group_key_survives_partial(spark):
     got = {r.g: r.kmv_est for r in kmv_distinct(df, "x", ["g"], k=32).collect()}
     want = _brute_kmv(range(500), 32)
     assert got == {None: want, "a": want}
+
+
+# --------------------------- count-min sketch ---------------------------
+
+
+def _brute_cms(values, queries, d, w):
+    """Pure-Python CMS replica: build counters, answer point queries."""
+    counters = {}
+    for v in values:
+        for j in range(d):
+            b = _h60(f"{v}#cms{j}") % w
+            counters[(j, b)] = counters.get((j, b), 0) + 1
+    out = {}
+    for q in queries:
+        out[q] = min(
+            counters.get((j, _h60(f"{q}#cms{j}") % w), 0) for j in range(d)
+        )
+    return out
+
+
+def test_cms_matches_brute_force_and_guarantee(spark):
+    from collections import Counter
+
+    from vectortiles_spark.operators.sketches import cms_counts, cms_estimate
+
+    vals = [f"w{(i * 13) % 40}" for i in range(1000)]
+    truth = Counter(vals)
+    df = spark.createDataFrame([Row(g="a", x=v) for v in vals], "g string, x string")
+    sketch = cms_counts(df, "x", ["g"], d=3, w=16)
+    items = spark.createDataFrame(
+        [Row(g="a", x=q) for q in ["w0", "w7", "w39", "never-inserted"]],
+        "g string, x string",
+    )
+    got = {
+        r.x: r.cms_est
+        for r in cms_estimate(sketch, items, "x", ["g"], d=3, w=16).collect()
+    }
+    want = _brute_cms(vals, list(got), 3, 16)
+    assert got == want
+    for q, est in got.items():
+        assert est >= truth.get(q, 0)  # one-sided guarantee
+
+
+def test_cms_state_is_mergeable(spark):
+    """Sketch(union) == merge of shard sketches by adding counters."""
+    from vectortiles_spark.operators.sketches import cms_counts
+
+    a = [Row(g="a", x=f"v{i % 7}") for i in range(100)]
+    b = [Row(g="a", x=f"v{i % 11}") for i in range(80)]
+    df_all = spark.createDataFrame(a + b, "g string, x string")
+    whole = {
+        (r.cms_row, r.cms_bucket): r.cnt
+        for r in cms_counts(df_all, "x", ["g"], d=2, w=8).collect()
+    }
+    merged: dict = {}
+    for shard in (a, b):
+        sdf = spark.createDataFrame(shard, "g string, x string")
+        for r in cms_counts(sdf, "x", ["g"], d=2, w=8).collect():
+            k = (r.cms_row, r.cms_bucket)
+            merged[k] = merged.get(k, 0) + r.cnt
+    assert whole == merged

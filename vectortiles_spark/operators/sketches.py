@@ -346,3 +346,76 @@ WITH __b AS (
 )
 SELECT {", ".join(sel)} FROM __s
 """
+
+
+# --------------------------- count-min sketch ---------------------------
+
+
+def cms_counts(
+    df: DataFrame, col: str, by: list[str], d: int = 4, w: int = 1024
+) -> DataFrame:
+    """Count-min sketch per group: ``d`` md5-derived hash rows map each
+    value into ``w`` buckets; the sketch is the (row, bucket) -> count
+    table — bounded d*w INTEGER state per group, mergeable by adding
+    counts (map-side combinable, streamable), the classic bounded-memory
+    frequency structure for unbounded vocabularies (Cormode &
+    Muthukrishnan 2005).  Only non-empty buckets are materialized.
+
+    Output: ``by..., cms_row, cms_bucket, cnt``.
+    """
+    if d < 1 or w < 2:
+        raise ValueError(f"cms needs d >= 1, w >= 2; got d={d}, w={w}")
+    rows = []
+    v = F.col(col).cast("string")
+    for j in range(d):
+        rows.append(
+            F.struct(
+                F.lit(j).alias("cms_row"),
+                F.pmod(hash60(F.concat(v, F.lit(f"#cms{j}"))), F.lit(w)).alias(
+                    "cms_bucket"
+                ),
+            )
+        )
+    exploded = df.select(*by, F.explode(F.array(*rows)).alias("rb")).select(
+        *by, "rb.cms_row", "rb.cms_bucket"
+    )
+    return exploded.groupBy(*by, "cms_row", "cms_bucket").agg(
+        F.count("*").alias("cnt")
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame, items: DataFrame, col: str, by: list[str], d: int = 4, w: int = 1024
+) -> DataFrame:
+    """Point-query the sketch: for every (group, item) row in ``items``,
+    est = min over the d hash rows of that bucket's counter (absent
+    bucket = 0 — can only happen for items never inserted).  The CMS
+    guarantee est >= true always holds; collisions only ever inflate.
+    Integer arithmetic end-to-end, so estimates replay exactly in SQL.
+
+    Output: ``items.columns..., cms_est``.
+    """
+    rows = []
+    v = F.col(col).cast("string")
+    for j in range(d):
+        rows.append(
+            F.struct(
+                F.lit(j).alias("cms_row"),
+                F.pmod(hash60(F.concat(v, F.lit(f"#cms{j}"))), F.lit(w)).alias(
+                    "cms_bucket"
+                ),
+            )
+        )
+    probes = items.select(*items.columns, F.explode(F.array(*rows)).alias("rb")).select(
+        *items.columns, "rb.cms_row", "rb.cms_bucket"
+    )
+    joined = probes.join(sketch, [*by, "cms_row", "cms_bucket"], "left").withColumn(
+        "cnt", F.coalesce(F.col("cnt"), F.lit(0))
+    )
+    return joined.groupBy(*items.columns).agg(F.min("cnt").alias("cms_est"))
+
+
+def cms_sql_hash(value_expr: str, j: int, w: int) -> str:
+    """The DuckDB twin of one CMS bucket hash."""
+    inner = "CAST(" + value_expr + " AS VARCHAR) || '#cms" + str(j) + "'"
+    return f"({duck_hash60(inner)} % {w})"

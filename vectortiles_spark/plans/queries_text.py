@@ -1471,3 +1471,85 @@ WITH keyed AS (
 SELECT source, doc_id, n_chars FROM ranked WHERE rn <= {_WS_K}
 ORDER BY source, doc_id
 """
+
+
+# --------------------------- count-min sketch ---------------------------
+
+_CMS_D = 4
+_CMS_W = 32
+
+
+def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch point queries vs exact counts: build a d=4 x
+    w=32 CMS of words per source (bounded integer state, mergeable —
+    operators/sketches.py:cms_counts), then estimate each source's exact
+    top-3 words. Integer arithmetic end-to-end, so the ESTIMATES — and
+    the over_by inflation column exhibiting the one-sided CMS guarantee
+    est >= true — replay in DuckDB exactly."""
+    from ..operators.sketches import cms_counts, cms_estimate
+
+    (docs,) = load(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    words = docs.select("source", F.explode(toks).alias("word"))
+    sketch = cms_counts(words, "word", ["source"], d=_CMS_D, w=_CMS_W)
+    counts = words.groupBy("source", "word").agg(F.count("*").alias("n_exact"))
+    wnd = Window.partitionBy("source").orderBy(F.desc("n_exact"), F.asc("word"))
+    items = (
+        counts.withColumn("rank", F.row_number().over(wnd))
+        .filter(F.col("rank") <= 3)
+        .select("source", "rank", "word", "n_exact")
+    )
+    est = cms_estimate(sketch, items, "word", ["source"], d=_CMS_D, w=_CMS_W)
+    return est.select(
+        "source", "rank", "word", "n_exact", "cms_est",
+        (F.col("cms_est") - F.col("n_exact")).alias("over_by"),
+    ).orderBy("source", "rank")
+
+
+def _cms_sql() -> str:
+    from ..operators.sketches import cms_sql_hash
+
+    sketch_rows = "\n  UNION ALL\n".join(
+        f"  SELECT source, {j} AS cms_row, {cms_sql_hash('word', j, _CMS_W)} AS cms_bucket FROM words"
+        for j in range(_CMS_D)
+    )
+    probe_rows = "\n  UNION ALL\n".join(
+        f"  SELECT source, rank, word, n_exact, {j} AS cms_row, "
+        f"{cms_sql_hash('word', j, _CMS_W)} AS cms_bucket FROM items"
+        for j in range(_CMS_D)
+    )
+    return rf"""
+WITH words AS (
+  SELECT source, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word
+  FROM documents
+), hashed AS (
+{sketch_rows}
+), sketch AS (
+  SELECT source, cms_row, cms_bucket, count(*) AS cnt
+  FROM hashed GROUP BY 1, 2, 3
+), counts AS (
+  SELECT source, word, count(*) AS n_exact FROM words GROUP BY 1, 2
+), items AS (
+  SELECT source, rank, word, n_exact FROM (
+    SELECT source, word, n_exact,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY n_exact DESC, word ASC) AS rank
+    FROM counts
+  ) WHERE rank <= 3
+), probes AS (
+{probe_rows}
+), joined AS (
+  SELECT p.source, p.rank, p.word, p.n_exact,
+         coalesce(s.cnt, 0) AS cnt
+  FROM probes p LEFT JOIN sketch s
+    ON p.source = s.source AND p.cms_row = s.cms_row
+   AND p.cms_bucket = s.cms_bucket
+)
+SELECT source, rank, word, n_exact, min(cnt) AS cms_est,
+       min(cnt) - n_exact AS over_by
+FROM joined GROUP BY source, rank, word, n_exact
+ORDER BY source, rank
+"""
+
+
+Q_CMS_SQL = _cms_sql()
