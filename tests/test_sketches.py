@@ -256,3 +256,69 @@ def test_cms_state_is_mergeable(spark):
             k = (r.cms_row, r.cms_bucket)
             merged[k] = merged.get(k, 0) + r.cnt
     assert whole == merged
+
+
+# ------------------------- KMV set operations -------------------------
+
+
+def _brute_set_ops(va, vb, k):
+    """Pure-Python replica of kmv_set_ops over raw value lists."""
+    ha = sorted({_h60(v) for v in va})[:k]
+    hb = sorted({_h60(v) for v in vb})[:k]
+    uk = sorted(set(ha) | set(hb))[:k]
+    ku = len(uk)
+    n_both = sum(1 for h in uk if h in set(ha) and h in set(hb))
+    if ku < k:
+        union_est = float(ku)
+    else:
+        union_est = float(k - 1) / (uk[k - 1] / float(1 << HASH_BITS))
+    jac = n_both / ku
+    return ku, n_both, union_est, jac, jac * union_est
+
+
+def test_kmv_set_ops_matches_brute_force(spark):
+    from vectortiles_spark.operators.sketches import kmv_set_ops
+
+    va = [f"tok{i}" for i in range(600)]
+    vb = [f"tok{i}" for i in range(300, 900)]  # 50% overlap
+    a = spark.createDataFrame([Row(v=x) for x in va * 2])  # dup-insensitive
+    b = spark.createDataFrame([Row(v=x) for x in vb])
+    row = kmv_set_ops(a, b, "v", k=128).collect()[0]
+    ku, n_both, ue, je, ie = _brute_set_ops(va, vb, 128)
+    assert row["ku"] == ku == 128
+    assert row["n_both"] == n_both
+    assert row["union_est"] == ue
+    assert row["jaccard_est"] == je
+    assert row["intersect_est"] == ie
+    # accuracy sanity at k=128: truth is |U|=900, J=300/900
+    assert abs(row["union_est"] / 900.0 - 1.0) < 0.25
+    assert abs(row["jaccard_est"] - 1 / 3) < 0.15
+
+
+def test_kmv_set_ops_exact_below_k(spark):
+    """Union smaller than k => all three outputs are EXACT."""
+    from vectortiles_spark.operators.sketches import kmv_set_ops
+
+    va = [f"a{i}" for i in range(40)] + ["shared1", "shared2"]
+    vb = [f"b{i}" for i in range(30)] + ["shared1", "shared2"]
+    a = spark.createDataFrame([Row(v=x) for x in va])
+    b = spark.createDataFrame([Row(v=x) for x in vb])
+    row = kmv_set_ops(a, b, "v", k=256).collect()[0]
+    assert row["ku"] == 72 and row["n_both"] == 2
+    assert row["union_est"] == 72.0
+    assert row["jaccard_est"] == 2 / 72
+    assert row["intersect_est"] == (2 / 72) * 72.0
+
+
+def test_kmv_set_ops_partition_invariant(spark):
+    """The bounded per-partition partial is lossless: any repartitioning
+    yields the identical row."""
+    from vectortiles_spark.operators.sketches import kmv_set_ops
+
+    va = [f"x{i}" for i in range(500)]
+    vb = [f"x{i}" for i in range(250, 750)]
+    a = spark.createDataFrame([Row(v=x) for x in va])
+    b = spark.createDataFrame([Row(v=x) for x in vb])
+    r1 = kmv_set_ops(a.coalesce(1), b.coalesce(1), "v", k=64).collect()[0]
+    r2 = kmv_set_ops(a.repartition(13), b.repartition(7), "v", k=64).collect()[0]
+    assert r1 == r2

@@ -240,6 +240,139 @@ FROM __per
 """
 
 
+# ----------------------- KMV set operations -----------------------
+
+
+def _bottom_hashes(df: DataFrame, col: str, k: int) -> DataFrame:
+    """Global bottom-k distinct hash sketch of one relation's `col`
+    values: (__h BIGINT), at most k rows.  Per-partition partials keep
+    only k candidates each (the true bottom-k of a union is inside the
+    union of per-part bottom-ks), so the one global rank sees at most
+    k * n_partitions rows no matter how many input rows there are."""
+    src = df.select(hash60(F.col(col)).alias("__h"))
+
+    def _partial(batches):
+        import pandas as pd
+
+        acc: pd.DataFrame | None = None
+        for pdf in batches:
+            acc = pdf if acc is None else pd.concat((acc, pdf), ignore_index=True)
+            acc = acc.drop_duplicates().nsmallest(k, "__h")
+        if acc is not None and len(acc):
+            yield acc
+
+    cand = src.mapInPandas(_partial, "__h long").distinct()
+    w = Window.orderBy("__h")
+    return (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("__h")
+    )
+
+
+def kmv_set_ops(a: DataFrame, b: DataFrame, col: str, k: int = 256) -> DataFrame:
+    """KMV set-operation estimates between two corpora's distinct `col`
+    values (Beyer et al. 2007, "On Synopses for Distinct Value
+    Estimation"): ONE row (ku, n_both, union_est, jaccard_est,
+    intersect_est).
+
+    The union's bottom-k is exactly the bottom-k of the two sketches'
+    union (the k smallest of A∪B all live in bottomk(A) ∪ bottomk(B)),
+    so |A∪B| estimates like any KMV; the fraction of that bottom-k
+    present in BOTH sketches is an unbiased Jaccard estimator, and
+    |A∩B| ≈ jaccard * |A∪B|.  When the union holds fewer than k
+    distinct hashes every set is complete and all three outputs are
+    exact.
+
+    Scale shape — this is the contamination-check primitive: comparing
+    two 100 TB corpora moves <= 2k BIGINT hashes after the bounded
+    per-partition partials; no distinct-join, no value strings on the
+    wire.  Integer hash ranks end-to-end; the estimates are single
+    IEEE-754 ops over integer-derived doubles, so DuckDB replays the
+    VALUES bit-for-bit (kmv_set_ops_sql)."""
+    ska = _bottom_hashes(a, col, k)
+    skb = _bottom_hashes(b, col, k)
+    u = ska.unionByName(skb).distinct()
+    w = Window.orderBy("__h")
+    uk = (
+        u.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+    )
+    marked = uk.join(
+        ska.withColumn("__ina", F.lit(1)), "__h", "left"
+    ).join(skb.withColumn("__inb", F.lit(1)), "__h", "left")
+    agg = marked.agg(
+        F.count("*").alias("ku"),
+        F.max(F.when(F.col("__rn") == k, F.col("__h"))).alias("__hk"),
+        F.sum(
+            F.when(
+                F.col("__ina").isNotNull() & F.col("__inb").isNotNull(), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_both"),
+    )
+    union_est = F.when(F.col("ku") < k, F.col("ku").cast("double")).otherwise(
+        F.lit(float(k - 1)) / (F.col("__hk").cast("double") / F.lit(_HASH_SCALE))
+    )
+    jac = F.col("n_both").cast("double") / F.col("ku").cast("double")
+    est = agg.select(
+        "ku",
+        "n_both",
+        union_est.alias("union_est"),
+        jac.alias("jaccard_est"),
+    )
+    return est.select(
+        "ku",
+        "n_both",
+        "union_est",
+        "jaccard_est",
+        (F.col("jaccard_est") * F.col("union_est")).alias("intersect_est"),
+    )
+
+
+def kmv_set_ops_sql(a_expr: str, b_expr: str, col: str, k: int = 256) -> str:
+    """DuckDB replay of kmv_set_ops (the per-partition partial is an
+    optimization, not a semantic: the twin ranks full distinct sets)."""
+    h = duck_hash60(col)
+    return f"""
+WITH __ha AS (
+  SELECT DISTINCT {h} AS h FROM {a_expr}
+), __hb AS (
+  SELECT DISTINCT {h} AS h FROM {b_expr}
+), __ska AS (
+  SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM __ha)
+  WHERE rn <= {k}
+), __skb AS (
+  SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM __hb)
+  WHERE rn <= {k}
+), __u AS (
+  SELECT DISTINCT h FROM (SELECT h FROM __ska UNION ALL SELECT h FROM __skb)
+), __uk AS (
+  SELECT h, rn FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM __u)
+  WHERE rn <= {k}
+), __agg AS (
+  SELECT count(*) AS ku,
+         max(CASE WHEN rn = {k} THEN u.h END) AS hk,
+         CAST(sum(CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+  FROM __uk u
+  LEFT JOIN __ska a ON a.h = u.h
+  LEFT JOIN __skb b ON b.h = u.h
+), __est AS (
+  SELECT ku, n_both,
+         CASE WHEN ku < {k} THEN ku::DOUBLE
+              ELSE {_d(k - 1)} / (hk::DOUBLE / {_d(_HASH_SCALE)})
+         END AS union_est,
+         n_both::DOUBLE / ku::DOUBLE AS jaccard_est
+  FROM __agg
+)
+SELECT ku, n_both, union_est, jaccard_est,
+       jaccard_est * union_est AS intersect_est
+FROM __est
+"""
+
+
 # --------------------- histogram quantile sketch ---------------------
 
 

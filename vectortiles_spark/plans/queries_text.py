@@ -1553,3 +1553,109 @@ ORDER BY source, rank
 
 
 Q_CMS_SQL = _cms_sql()
+
+
+# ------------------- corpus overlap / contamination -------------------
+
+
+_KSO_K = 256
+
+
+def q_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-overlap (contamination) estimate between two document
+    corpora via KMV set operations over word-3-gram shingles
+    (operators/sketches.py:kmv_set_ops, Beyer et al. 2007): corpus A =
+    doc_id % 3 != 0, corpus B = doc_id % 2 != 0 (a real, large overlap
+    by construction). One row: the sketch's union / Jaccard /
+    intersection estimates next to the exact values and the union
+    relative error.
+
+    Scale shape: this is the train-vs-benchmark contamination check at
+    100 TB — each corpus collapses to <= k=256 hashes via bounded
+    per-partition bottom-k partials before anything joins; the exact
+    side (distinct-join) exists only as sf-scale evidence and would be
+    dropped at production scale."""
+    from ..operators.dedup import shingle_arrays
+    from ..operators.sketches import kmv_set_ops
+
+    (docs,) = load(spark, sf_dir, "documents")
+    sh = shingle_arrays(docs, k=3, distinct_in_array=True)
+    exploded = sh.select(
+        "doc_id", F.explode_outer("shingles").alias("shingle")
+    ).filter(F.col("shingle").isNotNull())
+    ca = exploded.filter(F.col("doc_id") % 3 != 0).select("shingle")
+    cb = exploded.filter(F.col("doc_id") % 2 != 0).select("shingle")
+    est = kmv_set_ops(ca, cb, "shingle", k=_KSO_K)
+    da = ca.distinct()
+    db = cb.distinct()
+    ex_u = da.unionByName(db).distinct().agg(
+        F.count("*").alias("exact_union")
+    )
+    ex_i = da.join(db, "shingle").agg(F.count("*").alias("exact_intersect"))
+    out = est.crossJoin(ex_u).crossJoin(ex_i)
+    return out.select(
+        "ku",
+        "n_both",
+        F.round("union_est", 4).alias("union_est"),
+        F.round("jaccard_est", 6).alias("jaccard_est"),
+        F.round("intersect_est", 4).alias("intersect_est"),
+        "exact_union",
+        "exact_intersect",
+        F.round(
+            F.col("exact_intersect").cast("double")
+            / F.col("exact_union").cast("double"),
+            6,
+        ).alias("exact_jaccard"),
+        F.round(
+            F.abs(
+                F.col("union_est") / F.col("exact_union").cast("double") - 1.0
+            ),
+            6,
+        ).alias("rel_err_union"),
+    )
+
+
+def _corpus_overlap_sql() -> str:
+    from ..operators.sketches import kmv_set_ops_sql
+
+    frag = kmv_set_ops_sql("__ca", "__cb", "shingle", k=_KSO_K)
+    return rf"""
+WITH __sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, len(regexp_split_to_array(lower(trim(text)), '\s+')) - 2),
+           i -> regexp_split_to_array(lower(trim(text)), '\s+')[i] || ' ' ||
+                regexp_split_to_array(lower(trim(text)), '\s+')[i+1] || ' ' ||
+                regexp_split_to_array(lower(trim(text)), '\s+')[i+2]
+         )) AS shingles
+  FROM documents
+), __expl AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM __sh WHERE len(shingles) > 0
+), __ca AS (
+  SELECT shingle FROM __expl WHERE doc_id % 3 <> 0
+), __cb AS (
+  SELECT shingle FROM __expl WHERE doc_id % 2 <> 0
+), __est AS (
+{frag}
+), __da AS (
+  SELECT DISTINCT shingle FROM __ca
+), __db AS (
+  SELECT DISTINCT shingle FROM __cb
+), __xu AS (
+  SELECT count(*) AS exact_union
+  FROM (SELECT shingle FROM __da UNION SELECT shingle FROM __db)
+), __xi AS (
+  SELECT count(*) AS exact_intersect FROM __da JOIN __db USING (shingle)
+)
+SELECT ku, n_both,
+       round(union_est, 4) AS union_est,
+       round(jaccard_est, 6) AS jaccard_est,
+       round(intersect_est, 4) AS intersect_est,
+       exact_union, exact_intersect,
+       round(exact_intersect::DOUBLE / exact_union::DOUBLE, 6) AS exact_jaccard,
+       round(abs(union_est / exact_union::DOUBLE - 1.0), 6) AS rel_err_union
+FROM __est, __xu, __xi
+"""
+
+
+Q_CORPUS_OVERLAP_SQL = _corpus_overlap_sql()
