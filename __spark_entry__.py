@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_geojson_roundtrip": Q.q_geojson_roundtrip,
         "q_pip_rect": Q.q_pip_rect,
         "q_knn_ring": Q.q_knn_ring,
+        "q_distance_join": Q.q_distance_join,
         "q_knn_exact": Q.q_knn_exact,
         "q_cell_colocate": Q.q_cell_colocate,
         # dedup / text / similarity
@@ -205,6 +206,7 @@ def oracle_sql() -> dict[str, str]:
         "q_geojson_roundtrip": Q.Q_GEOJSON_ROUNDTRIP_SQL,
         "q_pip_rect": Q.Q_PIP_RECT_SQL,
         "q_knn_ring": Q.Q_KNN_SQL,
+        "q_distance_join": Q.Q_DISTANCE_JOIN_SQL,
         "q_knn_exact": Q.Q_KNN_EXACT_SQL,
         "q_cell_colocate": Q.Q_CELL_COLOCATE_SQL,
         "q_mvt_roundtrip_geoms": Q.Q_MVT_ROUNDTRIP_GEOMS_SQL,

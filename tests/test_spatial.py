@@ -235,3 +235,107 @@ def test_raster_skips_corrupt_rows(spark):
     )
     out = raster_to_features(df).collect()
     assert {r.tile_y for r in out} == {0}
+
+
+# --------------------------------------------------------------- distance_join
+
+
+def _dj_frames(spark, seed=7, n_l=300, n_r=250):
+    """Deterministic point sets with polar and antimeridian bands."""
+    rng = np.random.default_rng(seed)
+    bl, br = min(40, n_l // 4), min(40, n_r // 4)
+    ll = np.concatenate(
+        [rng.uniform(-180, 180, n_l - 2 * bl), rng.uniform(176, 184, bl),
+         rng.uniform(-180, 180, bl)]
+    )
+    ll = np.where(ll >= 180, ll - 360, ll)
+    la = np.concatenate([rng.uniform(-85, 85, n_l - bl), rng.uniform(80, 84.9, bl)])
+    rl = np.concatenate(
+        [rng.uniform(-180, 180, n_r - 2 * br), rng.uniform(-184, -176, br),
+         rng.uniform(-180, 180, br)]
+    )
+    rl = np.where(rl < -180, rl + 360, rl)
+    ra = np.concatenate([rng.uniform(-85, 85, n_r - br), rng.uniform(80, 84.9, br)])
+    L = spark.createDataFrame(
+        [(int(i), float(ll[i]), float(la[i])) for i in range(n_l)],
+        "left_id long, lon double, lat double",
+    )
+    R = spark.createDataFrame(
+        [(int(j), float(rl[j]), float(ra[j])) for j in range(n_r)],
+        "right_id long, lon double, lat double",
+    )
+    return L, R, (ll, la, rl, ra)
+
+
+def test_distance_join_matches_brute_force(spark):
+    """Pair set == all-pairs haversine at radii spanning one cell to a
+    window that caps at the whole longitude circle near the poles."""
+    from vectortiles_spark.functions.geodesic import haversine_np
+    from vectortiles_spark.operators.spatial_join import distance_join
+
+    L, R, (ll, la, rl, ra) = _dj_frames(spark)
+    D = haversine_np(ll[:, None], la[:, None], rl[None, :], ra[None, :])
+    for radius in (50_000.0, 500_000.0, 2_000_000.0):
+        got = {
+            (r.left_id, r.right_id): r.dist_m
+            for r in distance_join(L, R, radius).collect()
+        }
+        want = {(int(i), int(j)): D[i, j] for i, j in zip(*np.where(D <= radius))}
+        assert set(got) == set(want), radius
+        for k, v in got.items():
+            assert abs(v - want[k]) < 1e-6
+
+
+def test_distance_join_no_cartesian_single_exchange_right(spark):
+    from vectortiles_spark.operators.spatial_join import distance_join
+
+    L, R, _ = _dj_frames(spark, n_l=10, n_r=10)
+    plan = distance_join(L, R, 100_000.0)
+    phys = plan._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in phys and "NestedLoop" not in phys, phys
+
+
+def test_distance_join_broadcast_left(spark):
+    from vectortiles_spark.operators.spatial_join import distance_join
+
+    L, R, _ = _dj_frames(spark, n_l=40, n_r=60)
+    base = {(r.left_id, r.right_id) for r in distance_join(L, R, 800_000.0).collect()}
+    bc = distance_join(L, R, 800_000.0, broadcast_left=True)
+    assert {(r.left_id, r.right_id) for r in bc.collect()} == base
+    assert "BroadcastHashJoin" in bc._jdf.queryExecution().executedPlan().toString()
+
+
+def test_distance_join_validation(spark):
+    import pytest as _pt
+
+    from vectortiles_spark.operators.spatial_join import distance_join
+
+    L, R, _ = _dj_frames(spark, n_l=2, n_r=2)
+    with _pt.raises(ValueError, match="positive"):
+        distance_join(L, R, 0)
+    with _pt.raises(ValueError, match="5000 km"):
+        distance_join(L, R, 6_000_000.0)
+
+
+def test_haversine_known_distances(spark):
+    """Column expression vs published great-circle city distances (sphere
+    model: tolerate 0.5%) and vs the NumPy twin bit-for-bit."""
+    from vectortiles_spark.functions.geodesic import haversine_m, haversine_np
+
+    # (lon1, lat1, lon2, lat2, approx_km): Paris-NYC, Sydney-London, 0-antipode
+    cases = [
+        (2.3522, 48.8566, -74.0060, 40.7128, 5837.0),
+        (151.2093, -33.8688, -0.1276, 51.5074, 16993.0),
+        (0.0, 0.0, 180.0, 0.0, 20015.1),
+    ]
+    df = spark.createDataFrame(
+        cases, "lon1 double, lat1 double, lon2 double, lat2 double, km double"
+    )
+    rows = df.select(
+        "km",
+        haversine_m(F.col("lon1"), F.col("lat1"), F.col("lon2"), F.col("lat2")).alias("m"),
+        "lon1", "lat1", "lon2", "lat2",
+    ).collect()
+    for r in rows:
+        assert abs(r.m / 1000.0 - r.km) / r.km < 0.005, (r.km, r.m)
+        assert r.m == float(haversine_np(r.lon1, r.lat1, r.lon2, r.lat2))

@@ -273,3 +273,111 @@ def knn_join_exact(
             break
         ring = min(ring * 2, max_ring)
     return results.select(query_id, cand_id, "dist2", "rank")
+
+
+def distance_join(
+    left: DataFrame,
+    right: DataFrame,
+    radius_m: float,
+    left_id: str = "left_id",
+    right_id: str = "right_id",
+    lon: str = "lon",
+    lat: str = "lat",
+    broadcast_left: bool = False,
+) -> DataFrame:
+    """All pairs (left, right) within ``radius_m`` meters on the SPHERE —
+    the geodesic distance-band join (geofence matching, station coverage,
+    POI conflation). Both inputs need ``(lon, lat)`` in degrees.
+
+    Shape: coarse equi-join on a latitude-banded degree grid, exact
+    haversine refinement (functions/geodesic.py) — the same
+    cell-join-then-refine pattern as pip_join/knn_join, never a cartesian.
+    Latitude cells are ``radius`` degrees tall, so a match spans at most
+    one cell vertically (great-circle distance >= meridian component).
+    Longitude is cut into an ODD number NX of uniform cells no wider than
+    that, and the left side probes a PER-ROW window of
+    ``ceil(needed / cell_width)`` cells where ``needed = radius_deg *
+    (pi/2) / cos(phi_max)`` and ``phi_max`` bounds both endpoints' |lat|
+    — from dist >= (2/pi) * R * cos(phi_max) * dlon, so the window
+    provably covers every true pair at ANY latitude, merely widening
+    toward the poles. The uniform circular grid makes the antimeridian a
+    plain pmod step, and odd NX makes any window of span <= NX injective
+    under pmod — no dedupe shuffle, no duplicate pairs, even when a
+    polar row's window caps out at the whole circle.
+
+    Scale shape: the right side shuffles ONCE on its single cell key; the
+    left side's explode is bounded by data latitude (~4 probe cells per
+    row at |lat|<=60, ~9 at 80) and carries only (id, lon, lat). Pass
+    ``broadcast_left=True`` when the left side is a small dim table.
+
+    Returns (left_id, right_id, dist_m) at full precision.
+    """
+    from ..functions.geodesic import M_PER_DEG_LAT, haversine_m
+
+    if radius_m <= 0:
+        raise ValueError(f"radius_m must be positive, got {radius_m}")
+    if radius_m > 5_000_000:
+        raise ValueError(
+            "radius_m > 5000 km degenerates the banded grid (cells span "
+            "hemispheres); use a brute-force cross join at that scale"
+        )
+    delta = radius_m / M_PER_DEG_LAT  # lat cell height, degrees
+    nx = int(np.ceil(360.0 / delta))
+    if nx % 2 == 0:
+        nx += 1  # odd => any pmod window of span <= NX is injective
+    delta_x = 360.0 / nx  # uniform lon cell width (<= delta)
+    ny_max = int(np.ceil(180.0 / delta)) - 1
+
+    def _cy(lat_col):
+        return F.least(
+            F.floor((lat_col + 90.0) / delta).cast("int"), F.lit(ny_max)
+        )
+
+    r = right.select(
+        F.col(right_id),
+        F.col(lon).alias("r_lon"),
+        F.col(lat).alias("r_lat"),
+        F.pmod(
+            F.floor((F.col(lon) + 180.0) / delta_x).cast("int"), F.lit(nx)
+        ).alias("cx"),
+        _cy(F.col(lat)).alias("cy"),
+    )
+    # per-row longitude window: phi_max bounds BOTH endpoints (the right
+    # point sits within radius => within delta degrees of latitude)
+    phi_max = F.least(F.abs(F.col(lat)) + F.lit(delta), F.lit(89.99))
+    needed_deg = F.lit(delta * np.pi / 2.0) / F.cos(F.radians(phi_max))
+    need = F.ceil(needed_deg / F.lit(delta_x)).cast("int")
+    half = F.least(need, F.lit((nx - 1) // 2))
+    l = (
+        left.select(
+            F.col(left_id),
+            F.col(lon).alias("l_lon"),
+            F.col(lat).alias("l_lat"),
+            F.floor((F.col(lon) + 180.0) / delta_x).cast("int").alias("cx0"),
+            _cy(F.col(lat)).alias("cy0"),
+            half.alias("__half"),
+        )
+        .withColumn("__dy", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .withColumn("cy", F.col("cy0") + F.col("__dy"))
+        .filter((F.col("cy") >= 0) & (F.col("cy") <= ny_max))
+        .withColumn(
+            "cx",
+            F.explode(
+                F.transform(
+                    F.sequence(-F.col("__half"), F.col("__half")),
+                    lambda dx: F.pmod(F.col("cx0") + dx, F.lit(nx)),
+                )
+            ),
+        )
+        .select(left_id, "l_lon", "l_lat", "cx", "cy")
+    )
+    probe = F.broadcast(l) if broadcast_left else l
+    joined = probe.join(r, ["cx", "cy"])
+    dist = haversine_m(
+        F.col("l_lon"), F.col("l_lat"), F.col("r_lon"), F.col("r_lat")
+    )
+    return (
+        joined.withColumn("dist_m", dist)
+        .filter(F.col("dist_m") <= F.lit(float(radius_m)))
+        .select(left_id, right_id, "dist_m")
+    )

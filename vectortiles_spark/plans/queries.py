@@ -2151,6 +2151,57 @@ ORDER BY s_suppkey, rank
 """
 
 
+def q_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geodesic distance-band join (operators/spatial_join.py:distance_join):
+    every (customer, supplier) pair within 500 km on the sphere, with the
+    haversine distance in meters. The production path prunes via the
+    latitude-banded cell grid + per-row longitude window; the oracle is the
+    brute-force cross join with the IDENTICAL haversine expression
+    (functions/geodesic.py emits both spellings), so the pair SET proves
+    the pruning lossless and the values prove the formula twin.
+
+    dist_m is rounded to 0.1 m: sin/cos/asin are the only non-correctly-
+    rounded IEEE ops in the formula, so engines agree to ~2 ulp (~1e-9 m
+    here) and one decimal absorbs it."""
+    from vectortiles_spark.operators.spatial_join import distance_join
+
+    cust, supp = load(spark, sf_dir, "customer", "supplier")
+    left = cust.select(
+        F.col("c_custkey"), lon_of(F.col("c_custkey")), lat_of(F.col("c_custkey"))
+    )
+    right = supp.select(
+        F.col("s_suppkey"), lon_of(F.col("s_suppkey")), lat_of(F.col("s_suppkey"))
+    )
+    out = distance_join(
+        left, right, 500_000.0, left_id="c_custkey", right_id="s_suppkey"
+    )
+    return out.select(
+        "c_custkey", "s_suppkey", F.round("dist_m", 1).alias("dist_m")
+    ).orderBy("c_custkey", "s_suppkey")
+
+
+def _distance_join_sql() -> str:
+    from vectortiles_spark.functions.geodesic import haversine_sql
+
+    hav = haversine_sql("l.lon", "l.lat", "r.lon", "r.lat")
+    return f"""
+WITH l AS (
+  SELECT c_custkey, {_sql_lon('c_custkey')} AS lon, {_sql_lat('c_custkey')} AS lat
+  FROM customer
+), r AS (
+  SELECT s_suppkey, {_sql_lon('s_suppkey')} AS lon, {_sql_lat('s_suppkey')} AS lat
+  FROM supplier
+)
+SELECT c_custkey, s_suppkey, round({hav}, 1) AS dist_m
+FROM l, r
+WHERE {hav} <= 500000.0
+ORDER BY c_custkey, s_suppkey
+"""
+
+
+Q_DISTANCE_JOIN_SQL = _distance_join_sql()
+
+
 def q_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window-function battery: lag/lead/rank/dense_rank/running sum over
     the events stream — one row per (user, event) with all five."""
