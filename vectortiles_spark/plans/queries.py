@@ -2202,6 +2202,130 @@ ORDER BY c_custkey, s_suppkey
 Q_DISTANCE_JOIN_SQL = _distance_join_sql()
 
 
+def q_merge_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line dissolve (operators/lines.py:merge_lines) under a closed-form
+    oracle. Construction: customer keys are cut into 8-segment chains
+    (chain r = key // 8, only COMPLETE chains kept, so every chain spans
+    x in [0, 16] at y = 2r on the lattice); odd keys flip their segment's
+    endpoint order to exercise orientation repair. Chains with r % 5 == 0
+    get a branch segment at the midpoint (8, 2r) -> (9, 2r+1), making
+    that node degree 3, so the merge provably splits there: two 5-vertex
+    halves plus the 2-vertex branch. Chains with r % 7 == 0 also get a
+    disjoint 3-segment triangle whose merge is a single closed 4-vertex
+    cycle rotated to its minimum vertex (100, 2r) and oriented through
+    (101, 2r+1) — every output row is a CASE expression in SQL.
+
+    Output: one row per merged part with its endpoints and vertex count;
+    feature_id is the per-tile minimum input key the operator contract
+    promises."""
+    from ..operators.lines import merge_lines
+
+    (cust,) = load(spark, sf_dir, "customer")
+    max_key = cust.agg(F.max("c_custkey")).collect()[0][0]
+    r_of = (F.col("c_custkey") / 8).cast("bigint")
+    i_of = F.pmod(F.col("c_custkey"), F.lit(8)).cast("double")
+    complete = cust.filter(
+        (r_of >= 1) & (r_of * 8 + 7 <= F.lit(int(max_key)))
+    ).select(
+        F.col("c_custkey"), r_of.alias("r"), i_of.alias("i")
+    )
+    y = (F.col("r") * 2).cast("double")
+    a = F.array(F.col("i") * 2.0, y)
+    b = F.array(F.col("i") * 2.0 + 2.0, y)
+    flip = F.pmod(F.col("c_custkey"), F.lit(2)) == 1
+    seg = F.when(flip, F.array(b, a)).otherwise(F.array(a, b))
+    segs = complete.select(
+        F.col("c_custkey").alias("feature_id"), "r", seg.alias("line")
+    )
+    chains = complete.select("r").distinct()
+    branch = chains.filter(F.col("r") % 5 == 0).select(
+        (F.col("r") * 8).alias("feature_id"),
+        "r",
+        F.array(
+            F.array(F.lit(8.0), F.col("r") * 2.0),
+            F.array(F.lit(9.0), F.col("r") * 2.0 + 1.0),
+        ).alias("line"),
+    )
+    tri_pts = [
+        (F.lit(100.0), F.col("r") * 2.0),
+        (F.lit(102.0), F.col("r") * 2.0),
+        (F.lit(101.0), F.col("r") * 2.0 + 1.0),
+    ]
+    tris = chains.filter(F.col("r") % 7 == 0)
+    tri_segs = [
+        tris.select(
+            (F.col("r") * 8).alias("feature_id"),
+            "r",
+            F.array(F.array(*tri_pts[j]), F.array(*tri_pts[(j + 1) % 3])).alias("line"),
+        )
+        for j in range(3)
+    ]
+    allsegs = segs.unionByName(branch)
+    for t in tri_segs:
+        allsegs = allsegs.unionByName(t)
+    feats = allsegs.select(
+        F.lit(0).cast("int").alias("tile_z"),
+        F.pmod(F.col("r"), F.lit(4)).cast("int").alias("tile_x"),
+        F.lit(0).cast("int").alias("tile_y"),
+        F.lit("roads").alias("layer"),
+        F.lit(2).cast("int").alias("geom_type"),
+        "feature_id",
+        F.array(F.array(F.col("line"))).alias("geom"),
+    )
+    merged = merge_lines(feats)
+    part = F.col("part")[0]
+    return (
+        merged.select(
+            "tile_x",
+            "feature_id",
+            F.explode("geom").alias("part"),
+        )
+        .select(
+            "tile_x",
+            "feature_id",
+            part[0][0].alias("start_x"),
+            part[0][1].alias("start_y"),
+            F.element_at(part, -1)[0].alias("end_x"),
+            F.element_at(part, -1)[1].alias("end_y"),
+            F.size(part).alias("n_vertices"),
+        )
+        .orderBy("tile_x", "start_y", "start_x", "end_x", "end_y")
+    )
+
+
+Q_MERGE_LINES_SQL = """
+WITH mx AS (SELECT max(c_custkey) AS m FROM customer),
+chains AS (
+  SELECT DISTINCT (c_custkey // 8) AS r
+  FROM customer, mx
+  WHERE (c_custkey // 8) >= 1 AND (c_custkey // 8) * 8 + 7 <= m
+),
+fid AS (  -- operator contract: feature_id = min input key per tile group
+  SELECT r % 4 AS tile_x, min(r * 8) AS feature_id FROM chains GROUP BY 1
+),
+parts AS (
+  -- plain chains: one merged 9-vertex line across x [0, 16]
+  SELECT r, 0.0 AS start_x, r * 2.0 AS start_y,
+         16.0 AS end_x, r * 2.0 AS end_y, 9 AS n_vertices
+  FROM chains WHERE r % 5 <> 0
+  UNION ALL
+  -- branched chains split at the degree-3 node (8, 2r)
+  SELECT r, 0.0, r * 2.0, 8.0, r * 2.0, 5 FROM chains WHERE r % 5 = 0
+  UNION ALL
+  SELECT r, 8.0, r * 2.0, 16.0, r * 2.0, 5 FROM chains WHERE r % 5 = 0
+  UNION ALL
+  SELECT r, 8.0, r * 2.0, 9.0, r * 2.0 + 1.0, 2 FROM chains WHERE r % 5 = 0
+  UNION ALL
+  -- triangles merge to one closed cycle rotated to the min vertex
+  SELECT r, 100.0, r * 2.0, 100.0, r * 2.0, 4 FROM chains WHERE r % 7 = 0
+)
+SELECT CAST(r % 4 AS INT) AS tile_x, feature_id,
+       start_x, start_y, end_x, end_y, n_vertices
+FROM parts JOIN fid ON fid.tile_x = r % 4
+ORDER BY tile_x, start_y, start_x, end_x, end_y
+"""
+
+
 def q_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window-function battery: lag/lead/rank/dense_rank/running sum over
     the events stream — one row per (user, event) with all five."""
