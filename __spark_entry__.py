@@ -76,6 +76,45 @@ SELECT TRUE AS decode_ok, TRUE AS psnr_ok, TRUE AS caption_preserved,
 """
 
 
+def _q_image_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deep-zoom tile pyramid over the deterministic synthetic image table
+    (operators/images.py:image_tiles): per pyramid level, how many images
+    still have tiles, the tile count, and the summed tile dims. The
+    seeded generator makes every aggregate a known constant — oracled by
+    the literal Q_IMAGE_PYRAMID_SQL (values verified partitioning-
+    independent at 3 and 32 partitions; tests/test_images_ops.py pins the
+    per-image ceil arithmetic and bit-exact stitch roundtrip)."""
+    from vectortiles_spark.operators.images import image_tiles
+    from vectortiles_spark.sources.synth import images_df
+
+    n = 2000 if "0.001" in sf_dir else 5000
+    imgs = images_df(spark, n, seed=42)
+    return (
+        image_tiles(imgs, tile=16)
+        .groupBy("level")
+        .agg(
+            F.countDistinct("image_id").alias("n_images"),
+            F.count("*").alias("n_tiles"),
+            F.sum("tw").alias("sum_tw"),
+            F.sum("th").alias("sum_th"),
+        )
+        .orderBy("level")
+    )
+
+
+# Literal-expected oracle (same contract as Q_IMAGE_INVARIANTS_SQL): the
+# query is a 3-row aggregate over images_df(5000, seed=42), constant by
+# construction. _SIZES caps at 64 px, so tile=16 yields exactly 3 levels.
+Q_IMAGE_PYRAMID_SQL = """
+SELECT * FROM (VALUES
+  (0, 5000, 23324, 343952, 343712),
+  (1, 4461,  8276, 101908, 102968),
+  (2, 2751,  2751,  28368,  28592)
+) AS t(level, n_images, n_tiles, sum_tw, sum_th)
+ORDER BY level
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from vectortiles_spark.plans import queries as Q
     from vectortiles_spark.plans import queries_text as QT
@@ -167,6 +206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cluster_points": Q.q_cluster_points,
         # image codec gate (literal-expected oracle — see Q_IMAGE_INVARIANTS_SQL)
         "q_image_invariants": _q_image_invariants,
+        "q_image_pyramid": _q_image_pyramid,
     }
 
 
@@ -257,4 +297,5 @@ def oracle_sql() -> dict[str, str]:
         "q_hash_split": QT.Q_HASH_SPLIT_SQL,
         "q_tfidf_topk": QT.Q_TFIDF_SQL,
         "q_image_invariants": Q_IMAGE_INVARIANTS_SQL,
+        "q_image_pyramid": Q_IMAGE_PYRAMID_SQL,
     }

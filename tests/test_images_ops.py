@@ -137,3 +137,76 @@ def test_phash_near_dups_complete_vs_brute_force(spark):
                 a, b = sorted((ids[i], ids[j]))
                 want.add((a, b, ham))
     assert got == want and len(want) >= 10
+
+
+# ------------------------------------------------------------- tile pyramid
+
+
+def test_image_tiles_roundtrip_and_counts(spark):
+    """Level-0 stitch == decoded original bit-for-bit; level-k stitch ==
+    the NumPy box_downsample twin; tile counts follow ceil arithmetic."""
+    from vectortiles_spark.images import codec as ic
+    from vectortiles_spark.operators.images import (
+        assemble_tiles, box_downsample, image_tiles, pyramid_levels,
+    )
+    from vectortiles_spark.sources.synth import images_df
+
+    imgs = images_df(spark, 40, seed=11)
+    src = {
+        r.image_id: ic.decode_image(bytes(r.bytes), r.fmt)
+        for r in imgs.collect()
+    }
+    tile = 16
+    tiles = image_tiles(imgs, tile=tile)
+    got = tiles.groupBy("image_id", "level").count().collect()
+    for r in got:
+        h, w = src[r.image_id].shape[:2]
+        lw = -((-w) // (1 << r.level))
+        lh = -((-h) // (1 << r.level))
+        expect = (-((-lw) // tile)) * (-((-lh) // tile))
+        assert r["count"] == expect, (r.image_id, r.level)
+    n_levels = {
+        i: pyramid_levels(img.shape[1], img.shape[0], tile)
+        for i, img in src.items()
+    }
+    per_img = {}
+    for r in got:
+        per_img.setdefault(r.image_id, set()).add(r.level)
+    assert {i: max(s) + 1 for i, s in per_img.items()} == n_levels
+
+    back = assemble_tiles(tiles).collect()
+    assert len(back) == sum(n_levels.values())
+    for r in back:
+        want = box_downsample(src[r.image_id], 1 << r.level)
+        gotpx = np.frombuffer(bytes(r.px), np.uint8).reshape(r.h, r.w, 3)
+        assert np.array_equal(gotpx, want), (r.image_id, r.level)
+
+
+def test_image_tiles_drops_corrupt_rows(spark):
+    from vectortiles_spark.operators.images import image_tiles
+
+    rows = [
+        ("good", bytearray(b"P6\n2 2\n255\n" + b"\x10" * 12), 2, 2, "ppm", "c", 0, 0.0, 0.0),
+        ("bad", bytearray(b"\xff\x00garbage"), 2, 2, "ppm", "c", 0, 0.0, 0.0),
+        ("nul", None, 2, 2, "ppm", "c", 0, 0.0, 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash long, lon double, lat double",
+    )
+    out = image_tiles(df, tile=8).collect()
+    assert {r.image_id for r in out} == {"good"}
+
+
+def test_image_tiles_validation(spark):
+    import pytest as _pt
+
+    from vectortiles_spark.operators.images import image_tiles
+    from vectortiles_spark.sources.synth import images_df
+
+    imgs = images_df(spark, 1, seed=1)
+    with _pt.raises(ValueError, match="tile"):
+        image_tiles(imgs, tile=0)
+    with _pt.raises(ValueError, match="levels"):
+        image_tiles(imgs, tile=8, levels=0)

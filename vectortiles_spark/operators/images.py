@@ -295,3 +295,144 @@ def phash_near_dups(
         id_col=id_col,
         fp_col=phash_col,
     )
+
+
+TILE_PYRAMID_SCHEMA = (
+    "image_id string, level int, tile_row int, tile_col int, "
+    "tw int, th int, px binary"
+)
+
+ASSEMBLE_SCHEMA = "image_id string, level int, w int, h int, px binary"
+
+
+def box_downsample(img: np.ndarray, f: int) -> np.ndarray:
+    """Mean-pool an (h, w, 3) uint8 image by integer factor ``f`` with
+    ceil output dims (edge blocks average only the pixels present), values
+    rounded half-to-even via np.rint — the deterministic twin the tests
+    replay."""
+    if f == 1:
+        return img
+    h, w, _ = img.shape
+    ys, xs = np.arange(0, h, f), np.arange(0, w, f)
+    acc = np.add.reduceat(np.add.reduceat(img.astype(np.float64), ys, 0), xs, 1)
+    cnt = np.outer(
+        np.diff(np.append(ys, h)), np.diff(np.append(xs, w))
+    ).astype(np.float64)
+    return np.rint(acc / cnt[:, :, None]).astype(np.uint8)
+
+
+def pyramid_levels(w: int, h: int, tile: int) -> int:
+    """Deep-zoom level count: halve until the whole image fits one tile."""
+    n = 1
+    while max(w, h) > tile * (1 << (n - 1)):
+        n += 1
+    return n
+
+
+def image_tiles(
+    images: DataFrame, tile: int = 256, levels: int | None = None
+) -> DataFrame:
+    """Cut every image into a deep-zoom tile pyramid: level 0 is the full
+    resolution split into ``tile`` x ``tile`` patches (edge tiles keep
+    their remainder dims), each higher level box-downsamples by 2x and
+    re-tiles, until the image fits a single tile (or ``levels`` caps it).
+    This is the gigapixel/WSI patching stage of an image training
+    pipeline: bounded-size patches with pyramid context, keyed for
+    shuffle-free downstream grouping.
+
+    Output: one row per (image_id, level, tile_row, tile_col) with raw
+    RGB bytes ``px`` (h*w*3, row-major) — the uncompressed exchange
+    format ``raster.raster_to_features``-style consumers read directly.
+    Rows that fail to decode are DROPPED (the loud alternative lives in
+    verify_invariants; this operator mirrors raster_to_features'
+    skip-corrupt contract).
+
+    Scale shape: one mapInArrow pass, no shuffle; per-row output is
+    <= 4/3 * pixel count across all levels (geometric series), so
+    executor memory is bounded by batch pixel volume, not row count.
+    """
+    if tile < 1:
+        raise ValueError(f"tile must be >= 1, got {tile}")
+    if levels is not None and levels < 1:
+        raise ValueError(f"levels must be >= 1, got {levels}")
+
+    def run(batches):
+        for b in batches:
+            out = {k: [] for k in (
+                "image_id", "level", "tile_row", "tile_col", "tw", "th", "px"
+            )}
+            for iid, raw, fmt in zip(
+                b["image_id"].to_pylist(), b["bytes"].to_pylist(),
+                b["fmt"].to_pylist(),
+            ):
+                try:
+                    img = ic.decode_image(raw, fmt)
+                except Exception:
+                    continue
+                h, w = img.shape[:2]
+                n_levels = pyramid_levels(w, h, tile)
+                if levels is not None:
+                    n_levels = min(n_levels, levels)
+                cur = img
+                for lv in range(n_levels):
+                    if lv:
+                        cur = box_downsample(img, 1 << lv)
+                    lh, lw = cur.shape[:2]
+                    for tr in range(0, lh, tile):
+                        for tc in range(0, lw, tile):
+                            patch = cur[tr : tr + tile, tc : tc + tile]
+                            out["image_id"].append(iid)
+                            out["level"].append(lv)
+                            out["tile_row"].append(tr // tile)
+                            out["tile_col"].append(tc // tile)
+                            out["tw"].append(patch.shape[1])
+                            out["th"].append(patch.shape[0])
+                            out["px"].append(patch.tobytes())
+            yield pa.record_batch(
+                {
+                    "image_id": pa.array(out["image_id"], pa.string()),
+                    "level": pa.array(out["level"], pa.int32()),
+                    "tile_row": pa.array(out["tile_row"], pa.int32()),
+                    "tile_col": pa.array(out["tile_col"], pa.int32()),
+                    "tw": pa.array(out["tw"], pa.int32()),
+                    "th": pa.array(out["th"], pa.int32()),
+                    "px": pa.array(out["px"], pa.binary()),
+                }
+            )
+
+    return images.select("image_id", "bytes", "fmt").mapInArrow(
+        run, TILE_PYRAMID_SCHEMA
+    )
+
+
+def assemble_tiles(tiles: DataFrame) -> DataFrame:
+    """Inverse of :func:`image_tiles` for one pyramid level: stitch a
+    level's patches back into the full image (raw RGB ``px``). One
+    shuffle on (image_id, level); group size is one image's pixels."""
+    import pandas as pd
+
+    def fn(key, pdf):
+        pdf = pdf.sort_values(["tile_row", "tile_col"])
+        n_rows = int(pdf["tile_row"].max()) + 1
+        rows = []
+        for tr in range(n_rows):
+            band = pdf[pdf["tile_row"] == tr]
+            rows.append(
+                np.concatenate(
+                    [
+                        np.frombuffer(r.px, np.uint8).reshape(r.th, r.tw, 3)
+                        for r in band.itertuples()
+                    ],
+                    axis=1,
+                )
+            )
+        full = np.concatenate(rows, axis=0)
+        return pd.DataFrame(
+            {
+                "image_id": [key[0]], "level": [int(key[1])],
+                "w": [full.shape[1]], "h": [full.shape[0]],
+                "px": [full.tobytes()],
+            }
+        )
+
+    return tiles.groupBy("image_id", "level").applyInPandas(fn, ASSEMBLE_SCHEMA)
