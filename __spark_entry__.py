@@ -3,7 +3,7 @@
 ``entry`` runs the flagship pipeline (point features -> groupBy(z,x,y) ->
 applyInArrow MVT encode) on sf0.001. ``queries``/``oracle_sql`` pair every
 implemented operator family from SURVEY.md §2 with a DuckDB-checkable oracle
-(75 queries, 75 value-checked — including byte-exact MVT blob sizes, the
+(83 queries, 83 value-checked — including byte-exact MVT blob sizes, the
 tileset/MBTiles/PMTiles ingest circles, the multi-zoom pyramid builder,
 trained-IVF and PQ/ADC ANN, as-of/interval joins, HLL/KMV/histogram-quantile
 sketches whose ESTIMATES replay in DuckDB bit-for-bit, the composed corpus
