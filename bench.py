@@ -452,6 +452,9 @@ def main():
     except Exception:  # noqa: BLE001
         pass
     sidecar = {
+        # which scale factor produced this sidecar (it is rewritten by
+        # EVERY bench run, including sf0.01 dev runs — readers must check)
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "attribution": attribution,
         "sf_large": extras.get("sf_large"),
         "mvt": extras.get("mvt"),
