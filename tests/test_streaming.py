@@ -179,3 +179,62 @@ def test_dedup_stream_drops_in_horizon_duplicates(spark, tmp_path):
     dupes = got.filter("c > 1").count()
     assert dupes == 0
     assert got.count() == 500
+
+
+def test_geofence_stream_equals_batch(spark, tmp_path):
+    """Stream-static geodesic geofence == batch distance_join on the same
+    rows (the stateless plan makes this an exact-equality contract, not a
+    watermark-tail one)."""
+    import numpy as np
+
+    from vectortiles_spark.operators.spatial_join import distance_join
+    from vectortiles_spark.streaming.geofence import geofence_stream
+
+    rng = np.random.default_rng(5)
+    pts = [
+        (int(i), float(lo), float(la))
+        for i, (lo, la) in enumerate(
+            zip(rng.uniform(-180, 180, 300), rng.uniform(-85, 85, 300))
+        )
+    ]
+    fences = [
+        (int(j), float(lo), float(la))
+        for j, (lo, la) in enumerate(
+            zip(rng.uniform(-180, 180, 40), rng.uniform(-85, 85, 40))
+        )
+    ]
+    pdf = spark.createDataFrame(pts, "point_id long, lon double, lat double")
+    fdf = spark.createDataFrame(fences, "fence_id long, lon double, lat double")
+    src = str(tmp_path / "geofence_pts")
+    pdf.repartition(4).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema("point_id long, lon double, lat double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = geofence_stream(stream, fdf, 1_500_000.0)
+    ev.run_stream_to_memory(out, "geofence_out", output_mode="append")
+    got = {
+        (r.point_id, r.fence_id): r.dist_m
+        for r in spark.sql("SELECT * FROM geofence_out").collect()
+    }
+    want = {
+        (r.left_id, r.right_id): r.dist_m
+        for r in distance_join(
+            pdf.withColumnRenamed("point_id", "left_id"),
+            fdf.withColumnRenamed("fence_id", "right_id"),
+            1_500_000.0,
+        ).collect()
+    }
+    assert got == want and got, "stream != batch"
+
+
+def test_geofence_stream_rejects_misuse(spark, tmp_path):
+    from vectortiles_spark.streaming.geofence import geofence_stream
+
+    static = spark.createDataFrame(
+        [(1, 0.0, 0.0)], "point_id long, lon double, lat double"
+    )
+    with pytest.raises(ValueError, match="streaming"):
+        geofence_stream(static, static, 1000.0)
