@@ -155,6 +155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_knn_ring": Q.q_knn_ring,
         "q_distance_join": Q.q_distance_join,
         "q_merge_lines": Q.q_merge_lines,
+        "q_knn_geodesic": Q.q_knn_geodesic,
         "q_knn_exact": Q.q_knn_exact,
         "q_cell_colocate": Q.q_cell_colocate,
         # dedup / text / similarity
@@ -249,6 +250,7 @@ def oracle_sql() -> dict[str, str]:
         "q_knn_ring": Q.Q_KNN_SQL,
         "q_distance_join": Q.Q_DISTANCE_JOIN_SQL,
         "q_merge_lines": Q.Q_MERGE_LINES_SQL,
+        "q_knn_geodesic": Q.Q_KNN_GEODESIC_SQL,
         "q_knn_exact": Q.Q_KNN_EXACT_SQL,
         "q_cell_colocate": Q.Q_CELL_COLOCATE_SQL,
         "q_mvt_roundtrip_geoms": Q.Q_MVT_ROUNDTRIP_GEOMS_SQL,

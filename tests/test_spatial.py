@@ -339,3 +339,60 @@ def test_haversine_known_distances(spark):
     for r in rows:
         assert abs(r.m / 1000.0 - r.km) / r.km < 0.005, (r.km, r.m)
         assert r.m == float(haversine_np(r.lon1, r.lat1, r.lon2, r.lat2))
+
+
+def test_knn_geodesic_matches_brute_force(spark):
+    """Expanding-radius geodesic kNN == brute-force haversine ranking,
+    from a deliberately tiny r0 so several doubling rounds run."""
+    from vectortiles_spark.functions.geodesic import haversine_np
+    from vectortiles_spark.operators.spatial_join import knn_join_geodesic
+
+    rng = np.random.default_rng(9)
+    nq, nc = 60, 200
+    ql, qa = rng.uniform(-180, 180, nq), rng.uniform(-85, 85, nq)
+    cl, ca = rng.uniform(-180, 180, nc), rng.uniform(-85, 85, nc)
+    Q = spark.createDataFrame(
+        [(int(i), float(ql[i]), float(qa[i])) for i in range(nq)],
+        "query_id long, lon double, lat double",
+    )
+    C = spark.createDataFrame(
+        [(int(j), float(cl[j]), float(ca[j])) for j in range(nc)],
+        "cand_id long, lon double, lat double",
+    )
+    got = {}
+    for r in knn_join_geodesic(Q, C, k=3, r0_m=100_000.0).collect():
+        got.setdefault(r.query_id, []).append((r.rank, r.cand_id))
+    D = haversine_np(ql[:, None], qa[:, None], cl[None, :], ca[None, :])
+    for i in range(nq):
+        order = sorted(range(nc), key=lambda j: (D[i, j], j))
+        want = [
+            (rk + 1, order[rk]) for rk in range(3)
+            if D[i, order[rk]] <= 5_000_000.0
+        ]
+        assert sorted(got.get(i, [])) == want, i
+
+
+def test_knn_geodesic_bounded_radius_tail(spark):
+    """A query whose k-th neighbor lies beyond max_r_m returns only the
+    in-radius hits (bounded-radius semantics)."""
+    from vectortiles_spark.operators.spatial_join import knn_join_geodesic
+
+    Q = spark.createDataFrame(
+        [(1, 0.0, 0.0)], "query_id long, lon double, lat double"
+    )
+    C = spark.createDataFrame(
+        [(1, 0.1, 0.0), (2, 179.0, 0.0), (3, 0.2, 0.0)],
+        "cand_id long, lon double, lat double",
+    )
+    out = knn_join_geodesic(Q, C, k=3, r0_m=10_000.0, max_r_m=1_000_000.0).collect()
+    assert sorted((r.rank, r.cand_id) for r in out) == [(1, 1), (2, 3)]
+
+
+def test_knn_geodesic_validation(spark):
+    import pytest as _pt
+
+    from vectortiles_spark.operators.spatial_join import knn_join_geodesic
+
+    Q = spark.createDataFrame([(1, 0.0, 0.0)], "query_id long, lon double, lat double")
+    with _pt.raises(ValueError, match="r0_m"):
+        knn_join_geodesic(Q, Q.withColumnRenamed("query_id", "cand_id"), r0_m=0)

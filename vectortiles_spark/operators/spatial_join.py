@@ -381,3 +381,65 @@ def distance_join(
         .filter(F.col("dist_m") <= F.lit(float(radius_m)))
         .select(left_id, right_id, "dist_m")
     )
+
+
+def knn_join_geodesic(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    r0_m: float = 50_000.0,
+    max_r_m: float = 5_000_000.0,
+    query_id: str = "query_id",
+    cand_id: str = "cand_id",
+) -> DataFrame:
+    """TRUE kNN under the geodesic (haversine) metric via expanding-radius
+    search over distance_join's banded grid: start at ``r0_m``, double for
+    queries that found fewer than k candidates, stop at ``max_r_m``.
+
+    Resolution needs NO covered-radius bookkeeping (unlike the tile-ring
+    variant): distance_join returns EVERY candidate within the searched
+    radius, so any unseen candidate is strictly farther than radius >= the
+    worst kept hit — k hits means the top-k is exact. Queries still
+    unresolved at ``max_r_m`` return their best-effort hits within it
+    (bounded-radius semantics, documented; the DuckDB oracle applies the
+    same bound).
+
+    Driver loop: O(log(max_r/r0)) bounded Spark jobs, each re-probing only
+    the unresolved queries (a shrinking tail after round one); per-round
+    lineage truncated by localCheckpoint like knn_join_exact.
+    """
+    if not 0 < r0_m <= max_r_m:
+        raise ValueError(f"need 0 < r0_m <= max_r_m, got {r0_m}, {max_r_m}")
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("dist_m").asc(), F.col(cand_id).asc()
+    )
+    remaining = queries
+    results = None
+    r = float(r0_m)
+    while True:
+        found = (
+            distance_join(
+                remaining, candidates, r, left_id=query_id, right_id=cand_id
+            )
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .localCheckpoint(eager=True)
+        )
+        if r >= max_r_m:
+            results = found if results is None else results.unionAll(found)
+            break
+        resolved_keys = (
+            found.groupBy(query_id)
+            .agg(F.count("*").alias("__n"))
+            .filter(F.col("__n") >= k)
+            .select(query_id)
+        )
+        resolved = found.join(F.broadcast(resolved_keys), query_id, "left_semi")
+        results = resolved if results is None else results.unionAll(resolved)
+        remaining = remaining.join(
+            F.broadcast(resolved_keys), query_id, "left_anti"
+        ).localCheckpoint(eager=True)
+        if remaining.isEmpty():
+            break
+        r = min(r * 2.0, float(max_r_m))
+    return results.select(query_id, cand_id, "dist_m", "rank")

@@ -2326,6 +2326,60 @@ ORDER BY tile_x, start_y, start_x, end_x, end_y
 """
 
 
+def q_knn_geodesic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE kNN under the geodesic metric
+    (operators/spatial_join.py:knn_join_geodesic): each supplier's 5
+    nearest customers by haversine distance, found by expanding-radius
+    search from a deliberately small 200 km start so several doubling
+    rounds execute at oracle scale. The DuckDB oracle is the brute-force
+    cross join ranked by the identical haversine expression with the same
+    (distance, id) tie-break and the same 5000 km outer bound."""
+    from ..operators.spatial_join import knn_join_geodesic
+
+    cust, supp = load(spark, sf_dir, "customer", "supplier")
+    queries = supp.select(
+        F.col("s_suppkey"), lon_of(F.col("s_suppkey")), lat_of(F.col("s_suppkey"))
+    )
+    cands = cust.select(
+        F.col("c_custkey"), lon_of(F.col("c_custkey")), lat_of(F.col("c_custkey"))
+    )
+    out = knn_join_geodesic(
+        queries, cands, k=5, r0_m=200_000.0,
+        query_id="s_suppkey", cand_id="c_custkey",
+    )
+    return out.select(
+        "s_suppkey", "c_custkey", F.round("dist_m", 1).alias("dist_m"), "rank"
+    ).orderBy("s_suppkey", "rank")
+
+
+def _knn_geodesic_sql() -> str:
+    from vectortiles_spark.functions.geodesic import haversine_sql
+
+    hav = haversine_sql("q.lon", "q.lat", "c.lon", "c.lat")
+    return f"""
+WITH q AS (
+  SELECT s_suppkey, {_sql_lon('s_suppkey')} AS lon, {_sql_lat('s_suppkey')} AS lat
+  FROM supplier
+), c AS (
+  SELECT c_custkey, {_sql_lon('c_custkey')} AS lon, {_sql_lat('c_custkey')} AS lat
+  FROM customer
+), ranked AS (
+  SELECT s_suppkey, c_custkey, {hav} AS d,
+         row_number() OVER (
+           PARTITION BY s_suppkey ORDER BY {hav} ASC, c_custkey ASC
+         ) AS rank
+  FROM q, c
+  WHERE {hav} <= 5000000.0
+)
+SELECT s_suppkey, c_custkey, round(d, 1) AS dist_m, rank
+FROM ranked WHERE rank <= 5
+ORDER BY s_suppkey, rank
+"""
+
+
+Q_KNN_GEODESIC_SQL = _knn_geodesic_sql()
+
+
 def q_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window-function battery: lag/lead/rank/dense_rank/running sum over
     the events stream — one row per (user, event) with all five."""
