@@ -174,6 +174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_weighted_sample": QT.q_weighted_sample,
         "q_cms_counts": QT.q_cms_counts,
         "q_corpus_overlap": QT.q_corpus_overlap,
+        "q_pii_scrub": QT.q_pii_scrub,
         "q_simhash_buckets": QT.q_simhash_buckets,
         "q_rolling_fingerprint": QT.q_rolling_fingerprint,
         "q_token_bpe": QT.q_token_bpe,
@@ -288,6 +289,7 @@ def oracle_sql() -> dict[str, str]:
         "q_weighted_sample": QT.Q_WEIGHTED_SAMPLE_SQL,
         "q_cms_counts": QT.Q_CMS_SQL,
         "q_corpus_overlap": QT.Q_CORPUS_OVERLAP_SQL,
+        "q_pii_scrub": QT.Q_PII_SCRUB_SQL,
         "q_simhash_buckets": QT.Q_SIMHASH_SQL,
         "q_rolling_fingerprint": QT.Q_ROLLING_FP_SQL,
         "q_token_bpe": QT.Q_TOKEN_BPE_SQL,

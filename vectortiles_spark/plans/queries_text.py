@@ -1659,3 +1659,95 @@ FROM __est, __xu, __xi
 
 
 Q_CORPUS_OVERLAP_SQL = _corpus_overlap_sql()
+
+
+# ----------------------------- PII scrubbing -----------------------------
+
+# One pattern table shared by the Spark Columns and the DuckDB twin. All
+# three are RE2-safe (no backreferences/lookaround), so Java regex and
+# DuckDB's RE2 match identical spans; Spark's regexp_replace is global by
+# default and the SQL twin passes the 'g' flag.
+PII_PATTERNS = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    # match IPs before phones would matter if the charsets overlapped;
+    # they don't (the phone body [\d -] excludes dots), so order is free
+    "ip": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    "phone": (r"\+?\d[\d -]{7,}\d", "<PHONE>"),
+}
+
+
+def scrub_pii(col):
+    """Redact emails, IPv4s, and phone-shaped digit runs from a string
+    Column — the PII-masking stage of a training-corpus pipeline. Pure
+    Column regexp algebra (JVM, whole-stage codegen); at 100 TB this is a
+    map-only pass with zero shuffle."""
+    out = col
+    for pat, token in PII_PATTERNS.values():
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub under the value oracle: deterministic synthetic PII is
+    injected into each document (an email for doc_id%3==0, a phone for
+    %4==0, an IPv4 for %5==0 — plus every doc keeps its original text),
+    then scrubbed with the shared PII_PATTERNS. Output per doc: the
+    pattern hit counts on the injected text and the md5 of the scrubbed
+    text, so the oracle checks both detection and the exact replacement
+    byte-for-byte."""
+    (docs,) = load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    injected = F.concat(
+        F.col("text"),
+        F.when(did % 3 == 0,
+               F.concat(F.lit(" contact user"), did, F.lit("@example.com")))
+        .otherwise(F.lit("")),
+        F.when(did % 4 == 0,
+               F.concat(F.lit(" call +1 555 000 "),
+                        F.lpad(F.pmod(did, F.lit(10000)), 4, "0")))
+        .otherwise(F.lit("")),
+        F.when(did % 5 == 0,
+               F.concat(F.lit(" from 10.0."), F.pmod(did, F.lit(256)),
+                        F.lit("."), F.pmod(did, F.lit(100))))
+        .otherwise(F.lit("")),
+    )
+    with_pii = docs.select("doc_id", injected.alias("t"))
+    counts = [
+        F.regexp_count(F.col("t"), F.lit(pat)).alias(f"n_{name}")
+        for name, (pat, _) in PII_PATTERNS.items()
+    ]
+    return (
+        with_pii.select("doc_id", *counts, F.md5(scrub_pii(F.col("t"))).alias("scrubbed_md5"))
+        .orderBy("doc_id")
+    )
+
+
+def _pii_sql() -> str:
+    inj = """
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+         || CASE WHEN doc_id % 4 = 0
+                 THEN ' call +1 555 000 ' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' from 10.0.' || (doc_id % 256) || '.' || (doc_id % 100)
+                 ELSE '' END AS t
+  FROM documents
+"""
+    count_cols = ", ".join(
+        f"len(regexp_extract_all(t, '{pat}')) AS n_{name}"
+        for name, (pat, _) in PII_PATTERNS.items()
+    )
+    scrub = "t"
+    for pat, token in PII_PATTERNS.values():
+        scrub = f"regexp_replace({scrub}, '{pat}', '{token}', 'g')"
+    return f"""
+WITH inj AS ({inj})
+SELECT doc_id, {count_cols}, md5({scrub}) AS scrubbed_md5
+FROM inj ORDER BY doc_id
+"""
+
+
+Q_PII_SCRUB_SQL = _pii_sql()
