@@ -175,6 +175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cms_counts": QT.q_cms_counts,
         "q_corpus_overlap": QT.q_corpus_overlap,
         "q_pii_scrub": QT.q_pii_scrub,
+        "q_semantic_dedup": QT.q_semantic_dedup,
         "q_simhash_buckets": QT.q_simhash_buckets,
         "q_rolling_fingerprint": QT.q_rolling_fingerprint,
         "q_token_bpe": QT.q_token_bpe,
@@ -290,6 +291,7 @@ def oracle_sql() -> dict[str, str]:
         "q_cms_counts": QT.Q_CMS_SQL,
         "q_corpus_overlap": QT.Q_CORPUS_OVERLAP_SQL,
         "q_pii_scrub": QT.Q_PII_SCRUB_SQL,
+        "q_semantic_dedup": QT.Q_SEMANTIC_DEDUP_SQL,
         "q_simhash_buckets": QT.Q_SIMHASH_SQL,
         "q_rolling_fingerprint": QT.Q_ROLLING_FP_SQL,
         "q_token_bpe": QT.Q_TOKEN_BPE_SQL,

@@ -289,3 +289,74 @@ def test_pq_train_rejects_bad_dim(spark):
     pdf = _vecs(20)
     with pytest.raises(ValueError, match="divisible"):
         similarity.pq_train(spark.createDataFrame(pdf), m=5)
+
+
+# -------------------------------------------------------------- semantic dedup
+
+
+def test_semantic_dedup_planted_copies(spark):
+    """Exact copies are marked dup_of their original at cosine 1.0;
+    organic vectors stay (random 64-dim cosines are far below tau)."""
+    import numpy as np
+
+    from vectortiles_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.default_rng(2)
+    vecs = rng.normal(size=(80, 16)).astype(np.float32)
+    rows = [(int(i), [float(x) for x in vecs[i]]) for i in range(80)]
+    rows += [(int(i + 1000), [float(x) for x in vecs[i]]) for i in range(0, 80, 7)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r for r in semantic_dedup(df, n_cells=8, tau=0.95).collect()}
+    assert len(out) == len(rows)
+    for i in range(0, 80, 7):
+        assert out[i + 1000].is_dup and out[i + 1000].dup_of == i
+        assert abs(out[i + 1000].max_sim - 1.0) < 1e-9
+    assert not any(out[i].is_dup for i in range(80))
+
+
+def test_semantic_dedup_dominated_by_earlier_chain(spark):
+    """Chain a-b-c with sim(a,b), sim(b,c) > tau but sim(a,c) < tau: the
+    dominated-by-earlier rule marks BOTH b and c (c's dominator b is
+    itself a dup — documented divergence from the greedy sweep)."""
+    from vectortiles_spark.operators.similarity import semantic_dedup
+
+    a = [1.0, 0.0, 0.0]
+    b = [0.9, 0.436, 0.0]   # cos(a,b) ~ 0.9 / 1.0006 ~ 0.899... tune below
+    import numpy as np
+
+    theta = np.arccos(0.93)
+    b = [float(np.cos(theta)), float(np.sin(theta)), 0.0]
+    c = [float(np.cos(2 * theta)), float(np.sin(2 * theta)), 0.0]
+    assert np.dot(a, c) < 0.9 < np.dot(a, b)
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "vec_id long, embedding array<float>"
+    )
+    out = {r.vec_id: r for r in semantic_dedup(df, n_cells=1, tau=0.9).collect()}
+    assert not out[1].is_dup
+    assert out[2].is_dup and out[2].dup_of == 1
+    assert out[3].is_dup and out[3].dup_of == 2
+
+
+def test_semantic_dedup_partition_invariant(spark):
+    import numpy as np
+
+    from vectortiles_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(60, 8)).astype(np.float32)
+    rows = [(int(i), [float(x) for x in vecs[i]]) for i in range(60)]
+    rows += [(int(i + 500), [float(x) for x in vecs[i]]) for i in range(0, 60, 5)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    r1 = sorted(map(tuple, semantic_dedup(df.coalesce(1), n_cells=4, tau=0.95).collect()))
+    r2 = sorted(map(tuple, semantic_dedup(df.repartition(13), n_cells=4, tau=0.95).collect()))
+    assert r1 == r2
+
+
+def test_semantic_dedup_validation(spark):
+    import pytest as _pt
+
+    from vectortiles_spark.operators.similarity import semantic_dedup
+
+    df = spark.createDataFrame([(1, [1.0])], "vec_id long, embedding array<float>")
+    with _pt.raises(ValueError, match="tau"):
+        semantic_dedup(df, tau=1.5)

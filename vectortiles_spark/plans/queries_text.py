@@ -1751,3 +1751,66 @@ FROM inj ORDER BY doc_id
 
 
 Q_PII_SCRUB_SQL = _pii_sql()
+
+
+# --------------------------- semantic dedup ---------------------------
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup under the value oracle
+    (operators/similarity.py:semantic_dedup): the corpus is the
+    embeddings table plus planted exact copies (vec_id + 100000 for every
+    vec_id % 10 == 0), so the expected dup set is known — copies dominate
+    at cosine 1.0 while the organic max pairwise cosine on this table is
+    ~0.51, far from tau=0.9 (no flip risk). The oracle replays the seed
+    assignment (same argmax-margin argument as q_ivf_assign) and the
+    within-cell dominance rule with sequential-fold cosines that match the
+    engine's zip_with folds bit-for-bit."""
+    from ..operators.similarity import semantic_dedup
+
+    (emb,) = load(spark, sf_dir, "embeddings")
+    copies = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(copies)
+    out = semantic_dedup(corpus, n_cells=16, tau=0.9)
+    return out.select(
+        "vec_id", "cell", "is_dup", "dup_of", F.round("max_sim", 6).alias("max_sim")
+    ).orderBy("vec_id")
+
+
+Q_SEMANTIC_DEDUP_SQL = """
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 10 = 0
+), cent AS (
+  SELECT vec_id AS centroid_id, embedding AS c_emb
+  FROM corpus ORDER BY vec_id LIMIT 16
+), assigned AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id AS cell,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.embedding::DOUBLE[], c.c_emb::DOUBLE[]) /
+                      (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+                       sqrt(list_dot_product(c.c_emb::DOUBLE[], c.c_emb::DOUBLE[]))) DESC,
+                      c.centroid_id ASC) AS rn
+    FROM corpus e CROSS JOIN cent c
+  ) WHERE rn = 1
+), sims AS (
+  SELECT b.vec_id AS j, a.vec_id AS i,
+         list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+         (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+          sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS sim
+  FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+), dom AS (
+  SELECT j, max(sim) AS max_sim,
+         min(CASE WHEN sim > 0.9 THEN i END) AS dup_of
+  FROM sims GROUP BY j
+)
+SELECT a.vec_id, a.cell,
+       (dup_of IS NOT NULL) AS is_dup,
+       dup_of, round(max_sim, 6) AS max_sim
+FROM assigned a LEFT JOIN dom ON dom.j = a.vec_id
+ORDER BY a.vec_id
+"""
