@@ -101,3 +101,38 @@ def test_merge_lines_rejects_non_linestring(spark):
     df = spark.createDataFrame(rows, _SCHEMA)
     with pytest.raises(Exception, match="non-linestring"):
         merge_lines(df).collect()
+
+
+def test_merge_lines_feeds_simplify_and_encode(spark):
+    """Integration: merged chains flow through simplify_geoms ->
+    geom_features -> encode_tiles -> decode_tiles and come back as the
+    same vertex sequences (collinear interiors removed by DP)."""
+    from vectortiles_spark.operators.simplify import simplify_geoms
+    from vectortiles_spark.operators.tiling import decode_tiles, encode_tiles, geom_features
+
+    # two chains per tile on an integer lattice; interiors collinear
+    segs = []
+    fid = 0
+    for tx in range(2):
+        for chain in range(2):
+            y = 10.0 * chain + 2
+            for i in range(4):
+                segs.append((tx, fid, [(2.0 * i, y), (2.0 * i + 2, y)]))
+                fid += 1
+    df = spark.createDataFrame(_seg_rows(segs), _SCHEMA)
+    merged = merge_lines(df)
+    simp = simplify_geoms(merged, tolerance=0.5)
+    feats = geom_features(simp)
+    tiles = encode_tiles(feats)
+    back = decode_tiles(tiles)
+    got = {}
+    for r in back.collect():
+        got.setdefault((r.tile_x, r.feature_id), 0)
+        got[(r.tile_x, r.feature_id)] += 1
+    # one decoded feature per tile (the merged multilinestring), fid = min
+    assert set(got) == {(0, 0), (1, 8)}
+    # and the decoded command stream length matches 2 parts x 2 vertices
+    # (DP collapses the collinear interiors): MoveTo(1)+1pt, LineTo(1)+1pt
+    # per part = 2 * (1 + 2 + 1 + 2) = 12 command-stream integers
+    for r in back.collect():
+        assert len(r.geom_cmds) == 12, r
