@@ -200,6 +200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tile_refresh": Q.q_tile_refresh,
         "q_tile_merge": Q.q_tile_merge,
         "q_tile_diff": Q.q_tile_diff,
+        "q_tile_rescale": Q.q_tile_rescale,
         "q_overzoom": Q.q_overzoom,
         "q_downzoom": Q.q_downzoom,
         "q_tilestats": Q.q_tilestats,
@@ -264,6 +265,7 @@ def oracle_sql() -> dict[str, str]:
         "q_tile_refresh": Q.Q_TILE_REFRESH_SQL,
         "q_tile_merge": Q.Q_TILE_MERGE_SQL,
         "q_tile_diff": Q.Q_TILE_DIFF_SQL,
+        "q_tile_rescale": Q.Q_TILE_RESCALE_SQL,
         "q_overzoom": Q.Q_OVERZOOM_SQL,
         "q_downzoom": Q.Q_DOWNZOOM_SQL,
         "q_tilestats": Q.Q_TILESTATS_SQL,

@@ -134,3 +134,74 @@ def test_enrich_overwrite_and_errors(spark):
     assert "CLOBBERED" in grades(
         enrich_tile_features(df, clobber, on="segment", overwrite=True).collect()
     )
+
+
+# ------------------------------------------------------------ rescale_tiles
+
+
+def _mix_tiles(spark):
+    from vectortiles_spark.operators import tiling
+
+    rows = [
+        (0, 0, 0, "mix", 2, 1, [[[[0.0, 0.0], [1000.0, 2000.0], [4095.0, 4095.0]]]]),
+        (0, 0, 0, "mix", 3, 2, [[
+            [[0.0, 0.0], [4000.0, 0.0], [4000.0, 4000.0], [0.0, 4000.0], [0.0, 0.0]],
+            [[1000.0, 1000.0], [1000.0, 2000.0], [2000.0, 2000.0], [1000.0, 1000.0]],
+        ]]),
+        (0, 0, 0, "mix", 1, 3, [[[[5.0, 7.0], [4090.0, 17.0]]]]),
+        (0, 0, 0, "mix", 2, 4, [[[[10.0, 10.0], [11.0, 10.0]]]]),  # collapses
+    ]
+    schema = (
+        "tile_z int, tile_x int, tile_y int, layer string, geom_type int, "
+        "feature_id bigint, geom array<array<array<array<double>>>>"
+    )
+    feats = tiling.geom_features(spark.createDataFrame(rows, schema))
+    return tiling.encode_tiles(feats)
+
+
+def test_rescale_tiles_exact_floor_scaling_and_extent(spark):
+    from vectortiles_spark.mvt import codec
+    from vectortiles_spark.operators.transform import rescale_tiles
+
+    tiles = _mix_tiles(spark)
+    out = rescale_tiles(tiles, 1024).collect()
+    assert len(out) == 1 and out[0].n_features == 3  # feature 4 collapsed
+    lay = codec.decode_tile(bytes(out[0].mvt))["mix"]
+    assert lay.extent == 1024
+    by_id = {f.feature_id: f for f in lay.features}
+    assert by_id[1].geom[0].tolist() == [[0, 0], [250, 500], [1023, 1023]]
+    assert by_id[2].geom[0][0].tolist() == [
+        [0, 0], [1000, 0], [1000, 1000], [0, 1000], [0, 0]
+    ]
+    assert by_id[2].geom[0][1].tolist() == [
+        [250, 250], [250, 500], [500, 500], [250, 250]
+    ]
+    assert by_id[3].geom.tolist() == [[1, 1], [1022, 4]]
+    assert 4 not in by_id
+
+
+def test_rescale_tiles_collapse_policy(spark):
+    """Extreme downscale: hole ring dies (area 0), exterior survives; the
+    short line dedupes to one point and its feature drops."""
+    from vectortiles_spark.mvt import codec
+    from vectortiles_spark.operators.transform import rescale_tiles
+
+    tiles = _mix_tiles(spark)
+    out = rescale_tiles(tiles, 2).collect()
+    lay = codec.decode_tile(bytes(out[0].mvt))["mix"]
+    by_id = {f.feature_id: f for f in lay.features}
+    assert set(by_id) == {1, 2, 3}
+    assert len(by_id[2].geom[0]) == 1  # hole dropped, exterior kept
+
+
+def test_rescale_tiles_identity_and_validation(spark):
+    import pytest as _pt
+
+    from vectortiles_spark.operators.transform import rescale_tiles
+
+    tiles = _mix_tiles(spark)
+    src = {r.tile_x: bytes(r.mvt) for r in tiles.collect()}
+    same = {r.tile_x: bytes(r.mvt) for r in rescale_tiles(tiles, 4096).collect()}
+    assert src == same  # identity rescale is byte-stable
+    with _pt.raises(ValueError, match="new_extent"):
+        rescale_tiles(tiles, 0)

@@ -29,10 +29,11 @@ from ..mvt import codec
 from .tiling import TILE_SCHEMA
 
 
-def _rewrite_rows(batch, rewrite_layer):
+def _rewrite_rows(batch, rewrite_layer, new_extent=None):
     """Shared mapInArrow body: decode each tile, run ``rewrite_layer``
     (name, Layer) -> list[Feature] on every layer, re-encode non-empty
-    results. Returns the output-column lists."""
+    results (with ``new_extent`` stamped when given). Returns the
+    output-column lists."""
     out = {k: [] for k in ("tile_z", "tile_x", "tile_y", "mvt", "n_features", "n_layers")}
     for z, x, y, data in zip(
         batch.column("tile_z").to_pylist(),
@@ -44,7 +45,9 @@ def _rewrite_rows(batch, rewrite_layer):
         for name, lay in codec.decode_tile(bytes(data)).items():
             kept = rewrite_layer(name, lay)
             if kept:
-                layers.append(codec.Layer(name, lay.version, lay.extent, kept))
+                layers.append(
+                    codec.Layer(name, lay.version, new_extent or lay.extent, kept)
+                )
         if not layers:
             continue  # a tile with no surviving features leaves the set
         nf = sum(len(l.features) for l in layers)
@@ -161,6 +164,96 @@ def enrich_tile_features(
     def run(batches):
         for batch in batches:
             rb = _emit(_rewrite_rows(batch, rewrite))
+            if rb is not None:
+                yield rb
+
+    return tiles.select("tile_z", "tile_x", "tile_y", "mvt").mapInArrow(
+        run, schema=TILE_SCHEMA
+    )
+
+
+def rescale_tiles(tiles: DataFrame, new_extent: int) -> DataFrame:
+    """Requantize every tile to a new layer extent (tile-join's
+    ``--extent`` rewrite): each coordinate maps ``x -> x * new // old``
+    in exact int64 arithmetic (floor division, negatives included — seam
+    buffers stay consistent), and the layer header's extent field is
+    restamped. Zero shuffle, same blob-in-place pass as the other
+    transforms.
+
+    Downscaling can collapse geometry below the MVT minimums; the drop
+    policy mirrors simplify_geoms: consecutive duplicate vertices dedupe,
+    line parts below 2 points drop, rings re-close and drop when fewer
+    than 3 distinct vertices remain or their scaled area hits 0 (a
+    zero-area ring has no winding sign for decode's exterior/hole
+    grouping), and a polygon part goes when its exterior goes. Points
+    keep duplicates (a multipoint's multiplicity is data). Features whose
+    geometry empties drop; tiles left featureless leave the relation.
+    """
+    import numpy as np
+
+    from ..mvt.geometry import (
+        GEOM_LINESTRING, GEOM_POINT, GEOM_POLYGON, surveyor,
+    )
+
+    if new_extent < 1:
+        raise ValueError(f"new_extent must be >= 1, got {new_extent}")
+
+    def _dedupe(pts: np.ndarray) -> np.ndarray:
+        if len(pts) < 2:
+            return pts
+        keep = np.ones(len(pts), bool)
+        keep[1:] = (pts[1:] != pts[:-1]).any(axis=1)
+        return pts[keep]
+
+    def _scale(a: np.ndarray, old: int) -> np.ndarray:
+        if old == new_extent:
+            return np.asarray(a, np.int64)
+        return (np.asarray(a, np.int64) * new_extent) // old
+
+    def rewrite(name, lay):
+        old = lay.extent
+        out = []
+        for f in lay.features:
+            if f.geom_type == GEOM_POINT:
+                g = _scale(f.geom, old)
+                if len(g) == 0:
+                    continue
+            elif f.geom_type == GEOM_LINESTRING:
+                g = []
+                for part in f.geom:
+                    p = _dedupe(_scale(part, old))
+                    if len(p) >= 2:
+                        g.append(p)
+                if not g:
+                    continue
+            elif f.geom_type == GEOM_POLYGON:
+                g = []
+                for part in f.geom:
+                    rings = []
+                    dead_exterior = False
+                    for ri, ring in enumerate(part):
+                        r = _dedupe(_scale(ring, old))
+                        # re-close after dedupe collapsed the closure pair
+                        if len(r) and (r[0] != r[-1]).any():
+                            r = np.concatenate([r, r[:1]])
+                        bad = len(r) < 4 or surveyor(r) == 0.0
+                        if bad and ri == 0:
+                            dead_exterior = True
+                            break
+                        if not bad:
+                            rings.append(r)
+                    if not dead_exterior and rings:
+                        g.append(rings)
+                if not g:
+                    continue
+            else:  # pragma: no cover - decode_tile already rejects UNKNOWN
+                continue
+            out.append(codec.Feature(f.feature_id, f.metadata, f.geom_type, g))
+        return out
+
+    def run(batches):
+        for batch in batches:
+            rb = _emit(_rewrite_rows(batch, rewrite, new_extent=new_extent))
             if rb is not None:
                 yield rb
 

@@ -981,6 +981,69 @@ ORDER BY a.tile_x, a.tile_y
 Q_MVT_TILES_SQL = _mvt_tiles_sql()
 
 
+def q_tile_rescale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extent requantization under the value oracle
+    (operators/transform.py:rescale_tiles): the flagship customer point
+    tiles are rewritten from extent 4096 to 512 blob-to-blob, decoded
+    back, and checked on per-tile feature counts plus the SUMS of the
+    decoded zigzag coordinate words — which the oracle recomputes in
+    closed form (px' = px * 512 // 4096 = px // 8, zig = 2*px' for the
+    non-negative pixel range), so a single mis-scaled or mis-framed
+    coordinate anywhere fails the hash."""
+    from vectortiles_spark.operators import tiling
+    from vectortiles_spark.operators.transform import rescale_tiles
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    pts = cust.select("c_custkey", lon_of(F.col("c_custkey")), lat_of(F.col("c_custkey")))
+    feats = tiling.point_features(
+        pts, z=_MERC_Z, layer="customers", feature_id=F.col("c_custkey")
+    )
+    tiles = tiling.encode_tiles(feats)
+    decoded = tiling.decode_tiles(rescale_tiles(tiles, 512), extent=512)
+    return (
+        decoded.groupBy("tile_x", "tile_y")
+        .agg(
+            F.count("*").alias("n_features"),
+            F.sum(F.element_at("geom_cmds", 2)).alias("sum_zx"),
+            F.sum(F.element_at("geom_cmds", 3)).alias("sum_zy"),
+        )
+        .orderBy("tile_x", "tile_y")
+    )
+
+
+def _tile_rescale_sql() -> str:
+    import math as _m
+
+    n = float(1 << _MERC_Z)
+    clamp = repr(_m.nextafter(n, 0.0))
+    return f"""
+WITH pts AS (
+  SELECT c_custkey, {_sql_lon('c_custkey')} AS lon, {_sql_lat('c_custkey')} AS lat
+  FROM customer
+), m AS (
+  SELECT c_custkey,
+         (lon + 180.0) / 360.0 * {n} AS fx,
+         (1.0 - ln(tan(radians(lat)) + sqrt(tan(radians(lat)) * tan(radians(lat)) + 1.0)) / pi()) / 2.0 * {n} AS fy
+  FROM pts
+), g AS (
+  SELECT c_custkey,
+         cast(least(floor(fx), {int(n) - 1}) AS INT) AS tile_x,
+         cast(greatest(0, least(floor(fy), {int(n) - 1})) AS INT) AS tile_y,
+         least(floor((least(fx, {clamp}) - floor(least(fx, {clamp}))) * 4096.0), 4095)::BIGINT AS px,
+         least(floor((greatest(0.0, least(fy, {clamp})) - floor(greatest(0.0, least(fy, {clamp})))) * 4096.0), 4095)::BIGINT AS py
+  FROM m
+)
+SELECT tile_x, tile_y, count(*) AS n_features,
+       sum(2 * (px // 8))::BIGINT AS sum_zx,
+       sum(2 * (py // 8))::BIGINT AS sum_zy
+FROM g GROUP BY 1, 2
+ORDER BY tile_x, tile_y
+"""
+
+
+Q_TILE_RESCALE_SQL = _tile_rescale_sql()
+
+
 def q_tile_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental tile maintenance under the FULL byte oracle: a previous
     tile set built from orders minus the (o_orderkey % 97 == 0) slice, an
