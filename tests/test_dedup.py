@@ -273,3 +273,23 @@ def test_dedup_clusters_unconverged_raises(spark):
     edges = [(i, i + 1) for i in range(40)]
     with pytest.raises(RuntimeError, match="max_iters"):
         dedup.dedup_clusters(_cluster_df(spark, edges), max_iters=2)
+
+
+def test_dedup_clusters_string_ids(spark):
+    """String/UUID doc ids: the old convergence probe cast labels to
+    DECIMAL (NULL for strings), so sum==NULL tied on round 1 and the loop
+    exited with silently-partial clusters. A path long enough to need >1
+    round plus a union-find oracle pins the fix."""
+    n = 12
+    names = [f"doc-{chr(97 + i)}" for i in range(n)]
+    edges = [(i, i + 1) for i in range(n - 1)] + [(0, 5)]
+    sedges = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_a": [names[a] for a, _ in edges],
+             "doc_b": [names[b] for _, b in edges]}
+        )
+    )
+    got = {r.doc_id: r.cluster_id for r in dedup.dedup_clusters(sedges).collect()}
+    want_int = _brute_components(n, edges)
+    want = {names[v]: names[c] for v, c in want_int.items()}
+    assert got == want

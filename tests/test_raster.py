@@ -137,6 +137,33 @@ def test_rasterize_points_matches_numpy_twin(spark):
     assert max(per_tile.values()) <= 64
 
 
+def test_rasterize_points_non_pow2_cells(spark):
+    """cells need not divide extent into a power-of-two cell size: the
+    old bit-shift binning silently produced 64-px cells for cells=10 /
+    extent=1000 (cell ids 0..15 instead of 0..9). Floor-division twin
+    pins the fix."""
+    from vectortiles_spark.functions.tiles import tile_pixel_np, tile_xy_np
+    from vectortiles_spark.operators.raster import rasterize_points
+
+    rng = np.random.default_rng(23)
+    n = 1500
+    lon = rng.uniform(-179.9, 179.9, n)
+    lat = rng.uniform(-84.9, 84.9, n)
+    df = spark.createDataFrame(pd.DataFrame({"lon": lon, "lat": lat}))
+    got = {
+        (r.tile_x, r.tile_y, r.cell_x, r.cell_y): r.n
+        for r in rasterize_points(df, z=3, cells=10, extent=1000).collect()
+    }
+    tx, ty = tile_xy_np(lon, lat, 3)
+    px, py = tile_pixel_np(lon, lat, 3, extent=1000)
+    want: dict = {}
+    for i in range(n):
+        k = (int(tx[i]), int(ty[i]), int(px[i]) // 100, int(py[i]) // 100)
+        want[k] = want.get(k, 0) + 1
+    assert got == want
+    assert all(0 <= k[2] <= 9 and 0 <= k[3] <= 9 for k in got)
+
+
 def test_rasterize_points_single_aggregate_plan(spark):
     """ONE hash aggregate with a map-side partial: exactly one Exchange,
     keyed on the full (tile, cell) grain, two HashAggregate spans."""

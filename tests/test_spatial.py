@@ -317,6 +317,39 @@ def test_distance_join_validation(spark):
         distance_join(L, R, 6_000_000.0)
 
 
+def test_distance_join_polar_cap_full_circle(spark):
+    """Rows within ~0.01 deg of a pole must take the full-circle window:
+    the old 89.99-deg angle clamp SHRANK the window there and silently
+    dropped true pairs (e.g. two points ~80 m apart at lat 89.9995 but 90
+    deg of longitude apart). Brute force over a polar cluster at a small
+    radius pins the recall."""
+    from vectortiles_spark.functions.geodesic import haversine_np
+    from vectortiles_spark.operators.spatial_join import distance_join
+
+    lons_l = [0.0, 90.0, -180.0, 45.0]
+    lats_l = [89.9995, 89.9995, 89.999, -89.9995]
+    lons_r = [90.0, -135.0, 10.0, -135.0]
+    lats_r = [89.9995, 89.9993, 89.9992, -89.9994]
+    L = spark.createDataFrame(
+        [(i, lons_l[i], lats_l[i]) for i in range(len(lons_l))],
+        "left_id long, lon double, lat double",
+    )
+    R = spark.createDataFrame(
+        [(j, lons_r[j], lats_r[j]) for j in range(len(lons_r))],
+        "right_id long, lon double, lat double",
+    )
+    ll, la = np.array(lons_l), np.array(lats_l)
+    rl, ra = np.array(lons_r), np.array(lats_r)
+    D = haversine_np(ll[:, None], la[:, None], rl[None, :], ra[None, :])
+    for radius in (1_000.0, 300.0):
+        got = {
+            (r.left_id, r.right_id) for r in distance_join(L, R, radius).collect()
+        }
+        want = {(int(i), int(j)) for i, j in zip(*np.where(D <= radius))}
+        assert got == want, (radius, got, want)
+    assert len({(i, j) for i, j in zip(*np.where(D <= 1000.0))}) >= 2
+
+
 def test_haversine_known_distances(spark):
     """Column expression vs published great-circle city distances (sphere
     model: tolerate 0.5%) and vs the NumPy twin bit-for-bit."""

@@ -612,6 +612,19 @@ def test_diff_tile_sets_identical_all_unchanged(spark):
     assert d.count() == 0  # default filters unchanged; encode is deterministic
 
 
+def test_diff_tile_sets_null_blob_reads_changed(spark):
+    """A NULL mvt on one side of a shared key is 'changed', never 'added':
+    presence comes from an explicit marker, not from xxhash64(mvt) (which
+    is NULL on NULL input and used to misclassify the row)."""
+    schema = "tile_z int, tile_x int, tile_y int, mvt binary, n_features bigint, n_layers int"
+    a = spark.createDataFrame([(0, 1, 1, bytearray(b"\x1a\x00"), 1, 1)], schema)
+    b = spark.createDataFrame([(0, 1, 1, None, 0, 0)], schema)
+    rows = tiling.diff_tile_sets(a, b, include_unchanged=True).collect()
+    assert [(r.status, r.mvt_bytes_new) for r in rows] == [("changed", None)]
+    both_null = tiling.diff_tile_sets(b, b, include_unchanged=True).collect()
+    assert [r.status for r in both_null] == ["unchanged"]
+
+
 def test_diff_tile_sets_plan_slims_before_join(spark):
     """The full-outer exchange must move (key, counts, length, hash) — the
     mvt binary itself must be projected away BEFORE the join on both

@@ -85,6 +85,48 @@ def with_tile(df, lon="lon", lat="lat", z: int = 12, extent: int = DEFAULT_EXTEN
     )
 
 
+def projected_tile_pixel(
+    lon_c: Column,
+    lat_c: Column,
+    z: int,
+    extent: int = DEFAULT_EXTENT,
+    projection: str = "webmercator",
+) -> tuple[Column, Column, Column, Column]:
+    """(tile_x, tile_y, px, py) Columns for a point row under either grid.
+
+    'webmercator' routes through the engine's tile grid above; 'equirect'
+    is the pure-arithmetic twin that the DuckDB oracles replay bit-for-bit
+    (lat in [-85, 85] mapped linearly, east/south edges clamped to the
+    last tile/pixel exactly like tile_px). The SINGLE home for these
+    clamp-sensitive expressions: cluster_points and rasterize_points both
+    project through here, so the operators and their shared oracle
+    arithmetic cannot drift."""
+    if projection == "webmercator":
+        return (
+            tile_x(lon_c, z),
+            tile_y(lat_c, z),
+            tile_px(lon_c, z, extent),
+            tile_py(lat_c, z, extent),
+        )
+    if projection != "equirect":
+        raise ValueError(f"unknown projection {projection!r}")
+    n = float(1 << z)
+    top = float((1 << z) - 1)
+    fx = (lon_c + 180.0) / 360.0 * n
+    fy = (85.0 - lat_c) / 170.0 * n
+    tx = F.least(F.floor(fx), F.lit(top)).cast("int")
+    ty = F.least(F.floor(fy), F.lit(top)).cast("int")
+    fx0 = F.least(fx, F.lit(top))
+    fy0 = F.least(fy, F.lit(top))
+    px = F.least(
+        F.floor((fx - F.floor(fx0)) * float(extent)), F.lit(float(extent - 1))
+    ).cast("int")
+    py = F.least(
+        F.floor((fy - F.floor(fy0)) * float(extent)), F.lit(float(extent - 1))
+    ).cast("int")
+    return tx, ty, px, py
+
+
 def quadkey(z: int, x: Column, y: Column) -> Column:
     """Bing/Azure-style quadkey string for an XYZ tile: z base-4 digits,
     digit i = 2*bit(y, z-1-i) + bit(x, z-1-i). Quadkeys nest by prefix —

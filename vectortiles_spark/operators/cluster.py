@@ -46,40 +46,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.tiles import tile_px, tile_py, tile_x, tile_y, zigzag
+from ..functions.tiles import projected_tile_pixel, zigzag
 from ..mvt import codec
 
 _AGG_FNS = ("sum", "min", "max", "avg", "count")
 
 
 def _projected(df, z, lon, lat, projection, extent):
-    """(tile_x, tile_y, px, py) Columns for one point row — webmercator
-    through the engine's tile grid (functions.tiles), equirect as the
-    pure-arithmetic twin the DuckDB oracle replays (the SAME expressions
-    rasterize_points uses; the two operators must never drift)."""
-    lon_c, lat_c = F.col(lon), F.col(lat)
-    if projection == "webmercator":
-        return (
-            tile_x(lon_c, z),
-            tile_y(lat_c, z),
-            tile_px(lon_c, z, extent),
-            tile_py(lat_c, z, extent),
-        )
-    n = float(1 << z)
-    top = float((1 << z) - 1)
-    fx = (lon_c + 180.0) / 360.0 * n
-    fy = (85.0 - lat_c) / 170.0 * n
-    tx = F.least(F.floor(fx), F.lit(top)).cast("int")
-    ty = F.least(F.floor(fy), F.lit(top)).cast("int")
-    fx0 = F.least(fx, F.lit(top))
-    fy0 = F.least(fy, F.lit(top))
-    px = F.least(
-        F.floor((fx - F.floor(fx0)) * float(extent)), F.lit(float(extent - 1))
-    ).cast("int")
-    py = F.least(
-        F.floor((fy - F.floor(fy0)) * float(extent)), F.lit(float(extent - 1))
-    ).cast("int")
-    return tx, ty, px, py
+    """(tile_x, tile_y, px, py) Columns for one point row — the shared
+    projection home (functions.tiles.projected_tile_pixel), so this
+    operator, rasterize_points, and the DuckDB oracle arithmetic cannot
+    drift."""
+    return projected_tile_pixel(F.col(lon), F.col(lat), z, extent, projection)
 
 
 def cluster_points(

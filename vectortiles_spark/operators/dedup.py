@@ -317,12 +317,36 @@ def dedup_clusters(
         (col,) = nodes.columns
         ids = nodes.select(F.col(col).alias("id")).distinct()
     labels = ids.select("id", F.col("id").alias("lbl")).cache()
-    # DECIMAL(38,0) sum: id magnitudes at 10^12-row scale would overflow a
-    # BIGINT sum (ANSI mode makes that a job-killing error, silently-wrong
-    # elsewhere)
-    probe = lambda df: df.agg(
-        F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
-    ).collect()[0]["s"]
+    # Convergence probe. Numeric ids: exact DECIMAL(38,0) label sum —
+    # labels only ever decrease, so the sum strictly decreases until
+    # fixpoint, and DECIMAL(38) holds 10^12 rows of int64 sums (a BIGINT
+    # sum would overflow: job-killing under ANSI, silently wrong
+    # elsewhere). Non-numeric ids (string/UUID): casting to decimal
+    # yields NULL, so sum a 64-bit row hash of (id,lbl) instead — and
+    # because a hash-sum tie is only probabilistic evidence, an apparent
+    # fixpoint is CONFIRMED with one exact changed-row count (runs once,
+    # at convergence), keeping the 'never silently-partial' contract.
+    from pyspark.sql.types import NumericType
+
+    exact_probe = isinstance(labels.schema["lbl"].dataType, NumericType)
+    if exact_probe:
+        probe_col = F.sum(F.col("lbl").cast("decimal(38,0)"))
+    else:
+        probe_col = F.sum(
+            F.xxhash64(F.col("id"), F.col("lbl")).cast("decimal(38,0)")
+        )
+    probe = lambda df: df.agg(probe_col.alias("s")).collect()[0]["s"]
+
+    def _confirmed(old, new) -> bool:
+        if exact_probe:
+            return True
+        changed = (
+            new.alias("n")
+            .join(old.alias("o"), "id")
+            .filter(~F.col("n.lbl").eqNullSafe(F.col("o.lbl")))
+        )
+        return changed.limit(1).count() == 0
+
     prev = probe(labels)
     for _ in range(max_iters):
         nbr = (
@@ -341,13 +365,14 @@ def dedup_clusters(
             .localCheckpoint(eager=False)
         )
         cur = probe(jumped)
-        labels.unpersist()
-        labels = jumped
-        if cur == prev:
+        if cur == prev and _confirmed(labels, jumped):
+            labels.unpersist()
             e.unpersist()
-            return labels.select(
+            return jumped.select(
                 F.col("id").alias(id_col), F.col("lbl").alias(cluster_col)
             )
+        labels.unpersist()
+        labels = jumped
         prev = cur
     e.unpersist()
     raise RuntimeError(

@@ -242,33 +242,19 @@ def rasterize_points(
         raise ValueError(f"cells={cells} must divide extent={extent}")
     if projection not in ("webmercator", "equirect"):
         raise ValueError(f"unknown projection {projection!r}")
-    lon_c, lat_c = F.col(lon), F.col(lat)
-    if projection == "webmercator":
-        tx, ty = T.tile_x(lon_c, z), T.tile_y(lat_c, z)
-        px, py = T.tile_px(lon_c, z, extent), T.tile_py(lat_c, z, extent)
-    else:
-        n = float(1 << z)
-        fx = (lon_c + 180.0) / 360.0 * n
-        fy = (85.0 - lat_c) / 170.0 * n
-        tx = F.least(F.floor(fx), F.lit(float((1 << z) - 1))).cast("int")
-        ty = F.least(F.floor(fy), F.lit(float((1 << z) - 1))).cast("int")
-        # px on the clamped-to-last-tile fraction, mirroring tile_px's
-        # east/south edge behavior: frac relative to the CLAMPED tile
-        fx0 = F.least(fx, F.lit(float((1 << z) - 1)))
-        fy0 = F.least(fy, F.lit(float((1 << z) - 1)))
-        px = F.least(
-            F.floor((fx - F.floor(fx0)) * float(extent)), F.lit(float(extent - 1))
-        ).cast("int")
-        py = F.least(
-            F.floor((fy - F.floor(fy0)) * float(extent)), F.lit(float(extent - 1))
-        ).cast("int")
-    shift = (extent // cells).bit_length() - 1
+    tx, ty, px, py = T.projected_tile_pixel(
+        F.col(lon), F.col(lat), z, extent, projection
+    )
+    # integer floor division, NOT a bit shift: extent//cells need not be a
+    # power of two (e.g. cells=10, extent=1000), and px/py are >= 0 so
+    # floor == truncate; the DuckDB oracle's `px // size` replays exactly
+    size = extent // cells
     binned = df.select(
         F.lit(z).alias("tile_z"),
         tx.alias("tile_x"),
         ty.alias("tile_y"),
-        F.shiftright(px, shift).alias("cell_x"),
-        F.shiftright(py, shift).alias("cell_y"),
+        F.floor(px / F.lit(size)).cast("int").alias("cell_x"),
+        F.floor(py / F.lit(size)).cast("int").alias("cell_y"),
         *([F.col(weight).alias("_w")] if weight else []),
     )
     aggs = [F.count("*").alias("n")]

@@ -343,11 +343,20 @@ def distance_join(
         _cy(F.col(lat)).alias("cy"),
     )
     # per-row longitude window: phi_max bounds BOTH endpoints (the right
-    # point sits within radius => within delta degrees of latitude)
-    phi_max = F.least(F.abs(F.col(lat)) + F.lit(delta), F.lit(89.99))
-    needed_deg = F.lit(delta * np.pi / 2.0) / F.cos(F.radians(phi_max))
-    need = F.ceil(needed_deg / F.lit(delta_x)).cast("int")
-    half = F.least(need, F.lit((nx - 1) // 2))
+    # point sits within radius => within delta degrees of latitude). A row
+    # whose band touches the polar cap (phi_max >= 89.99) takes the FULL
+    # circle: cos(phi) -> 0 there, so no finite widening factor is provably
+    # sufficient — clamping the angle instead would SHRINK the window and
+    # silently drop true pairs near the poles.
+    phi_max = F.abs(F.col(lat)) + F.lit(delta)
+    needed_deg = F.lit(delta * np.pi / 2.0) / F.cos(
+        F.radians(F.least(phi_max, F.lit(89.99)))
+    )
+    full = F.lit((nx - 1) // 2)
+    need = F.when(phi_max >= F.lit(89.99), full).otherwise(
+        F.ceil(needed_deg / F.lit(delta_x)).cast("int")
+    )
+    half = F.least(need, full)
     l = (
         left.select(
             F.col(left_id),

@@ -1174,15 +1174,18 @@ def diff_tile_sets(
 
     Output: one row per tile key present in either input, with
     ``status`` in {'added','removed','changed','unchanged'}, both sides'
-    n_features and blob byte counts (NULL on the absent side). 'changed'
-    means the blobs differ byte-for-byte — the engine's encode is
-    deterministic in the feature multiset, so byte equality IS semantic
-    equality here, and a spurious 'changed' on identical inputs would
-    expose encode nondeterminism (the oracle exploits exactly that).
+    n_features and blob byte counts (NULL on the absent side). Equality
+    is decided on (byte length, two independently-seeded 64-bit content
+    hashes) — ~128 bits of discrimination, so a changed blob reading
+    'unchanged' needs a simultaneous 2^-128 double collision at equal
+    length; a spurious 'changed' on identical inputs is impossible (the
+    engine's encode is deterministic in the feature multiset, which the
+    oracle exploits). Presence is tracked with an explicit marker, so a
+    NULL blob on one side reads 'changed', never 'added'.
 
     Scale shape: each side is pre-projected to (key, n_features,
-    byte-length, xxhash64(blob)) BEFORE the join — the full-outer
-    sort-merge exchange moves 3 ints + a hash per tile, never the blobs
+    byte-length, hashes) BEFORE the join — the full-outer sort-merge
+    exchange moves 3 ints + two hashes per tile, never the blobs
     themselves. include_unchanged=False (default) filters the typically
     ~99% unchanged mass right after the join, before anything downstream.
     """
@@ -1191,14 +1194,23 @@ def diff_tile_sets(
             *TILE_KEY,
             F.col("n_features").cast("bigint").alias(f"n_features_{side}"),
             F.length("mvt").cast("bigint").alias(f"mvt_bytes_{side}"),
-            F.xxhash64("mvt").alias(f"_h_{side}"),
+            F.xxhash64("mvt").alias(f"_h1_{side}"),
+            # second independent hash: different arity => different seed
+            # mixing, giving a combined ~128-bit discriminator
+            F.xxhash64("mvt", F.lit(0x9E3779B9)).alias(f"_h2_{side}"),
+            F.lit(True).alias(f"_present_{side}"),
         )
     a, b = slim(old, "old"), slim(new, "new")
     j = a.join(b, list(TILE_KEY), "full_outer")
+    same = (
+        F.col("mvt_bytes_old").eqNullSafe(F.col("mvt_bytes_new"))
+        & F.col("_h1_old").eqNullSafe(F.col("_h1_new"))
+        & F.col("_h2_old").eqNullSafe(F.col("_h2_new"))
+    )
     status = (
-        F.when(F.col("_h_old").isNull(), F.lit("added"))
-        .when(F.col("_h_new").isNull(), F.lit("removed"))
-        .when(F.col("_h_old") == F.col("_h_new"), F.lit("unchanged"))
+        F.when(F.col("_present_old").isNull(), F.lit("added"))
+        .when(F.col("_present_new").isNull(), F.lit("removed"))
+        .when(same, F.lit("unchanged"))
         .otherwise(F.lit("changed"))
     )
     out = j.select(
