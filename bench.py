@@ -110,6 +110,29 @@ def _cpu_sentinel_sec() -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+def _parallel_sentinel_sec(workers: int = 32) -> float:
+    """All-cores pure-CPU control: the same fixed integer loop on every
+    worker of a fresh process pool, wall-clocked end-to-end. A quiet
+    32-vCPU host finishes near the single-thread time; multi-tenant CPU
+    contention inflates THIS number while leaving the single-thread
+    sentinel untouched (observed: executor CPU 2.6x with a clean 1-thread
+    control), so recording both tiers lets a fat suite wall be attributed
+    to the window instead of the code."""
+    import concurrent.futures as _cf
+
+    t0 = time.perf_counter()
+    with _cf.ProcessPoolExecutor(max_workers=workers) as pool:
+        list(pool.map(_sentinel_unit, range(workers)))
+    return round(time.perf_counter() - t0, 3)
+
+
+def _sentinel_unit(_seed: int) -> int:
+    x = 0
+    for i in range(3_000_000):
+        x += i * i
+    return x
+
+
 def _parse_rest_time(s: str | None) -> float | None:
     if not s:
         return None
@@ -205,6 +228,7 @@ def main():
     timings: dict[str, float] = {}
     extras: dict[str, object] = {}
     sentinel_pre = _cpu_sentinel_sec()
+    sentinel_par_pre = _parallel_sentinel_sec()
 
     # flagship MVT encode first (its own synthetic input; materialize the
     # input table BEFORE the clock so generation cost isn't measured, and
@@ -363,6 +387,7 @@ def main():
             (N_LINES, LINES_CACHE) = small["lines"]
     sc.setJobGroup("", "")
     sentinel_post = _cpu_sentinel_sec()
+    sentinel_par_post = _parallel_sentinel_sec()
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
@@ -464,10 +489,16 @@ def main():
         "encode_roads_ms": encode_ms,
         "overzoom_roads_ms": overzoom_roads_ms,
         "overzoom_pts_kfeat_per_sec_core": overzoom_pts_kfeat_s,
-        # contention sentinel: identical pure-CPU control before/after the
-        # suite. Quiet host: both ~equal and small; a contended window shows
-        # an inflated value — the suite walls then carry that caveat.
+        # contention sentinels: identical pure-CPU controls before/after
+        # the suite, at TWO parallelism tiers. Quiet host: both ~equal and
+        # small. The 1-thread tier catches runnable-queue contention; the
+        # all-cores tier additionally catches multi-tenant CPU pressure
+        # that leaves a single thread unaffected but inflates 32-way
+        # executor CPU (the signature behind r4's minhash mystery).
         "sentinel_cpu_sec": {"pre": sentinel_pre, "post": sentinel_post},
+        "sentinel_par_cpu_sec": {
+            "pre": sentinel_par_pre, "post": sentinel_par_post
+        },
         # q_minhash_xxh64 is reported in queries but excluded from the
         # suite total (kept comparable to earlier rounds' 10-query set)
     }
@@ -492,6 +523,8 @@ def main():
         "overzoom_roads_ms": overzoom_roads_ms,
         "sentinel_pre_sec": sentinel_pre,
         "sentinel_post_sec": sentinel_post,
+        "sentinel_par_pre_sec": sentinel_par_pre,
+        "sentinel_par_post_sec": sentinel_par_post,
     }
     large = extras.get("sf_large") or {}
     if large and "error" not in large:
