@@ -201,6 +201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tile_merge": Q.q_tile_merge,
         "q_tile_diff": Q.q_tile_diff,
         "q_tile_rescale": Q.q_tile_rescale,
+        "q_rasterize_polygons": Q.q_rasterize_polygons,
         "q_overzoom": Q.q_overzoom,
         "q_downzoom": Q.q_downzoom,
         "q_tilestats": Q.q_tilestats,
@@ -266,6 +267,7 @@ def oracle_sql() -> dict[str, str]:
         "q_tile_merge": Q.Q_TILE_MERGE_SQL,
         "q_tile_diff": Q.Q_TILE_DIFF_SQL,
         "q_tile_rescale": Q.Q_TILE_RESCALE_SQL,
+        "q_rasterize_polygons": Q.Q_RASTERIZE_POLYGONS_SQL,
         "q_overzoom": Q.Q_OVERZOOM_SQL,
         "q_downzoom": Q.Q_DOWNZOOM_SQL,
         "q_tilestats": Q.Q_TILESTATS_SQL,

@@ -190,3 +190,164 @@ def test_rasterize_points_validation(spark):
         rasterize_points(df, z=3, cells=100)
     with pytest.raises(ValueError, match="projection"):
         rasterize_points(df, z=3, cells=16, projection="sinusoidal")
+
+
+# --------------------------------------------------------- rasterize_polygons
+
+
+def _brute_fill(rings, w, h, extent):
+    """Independent per-pixel even-odd twin of fill_polygons_mask: same
+    half-open center rule, naive per-pixel crossing count."""
+    sx, sy = extent / w, extent / h
+    mask = np.zeros((h, w), dtype=bool)
+    edges = []
+    for ring in rings:
+        r = np.asarray(ring, dtype=np.float64)
+        if (r[0] != r[-1]).any():
+            r = np.concatenate([r, r[:1]])
+        edges.extend(zip(r[:-1], r[1:]))
+    for row in range(h):
+        cy = (row + 0.5) * sy
+        for col in range(w):
+            cx = (col + 0.5) * sx
+            n = 0
+            for a, b in edges:
+                (x1, y1), (x2, y2) = a, b
+                if y1 == y2:
+                    continue
+                if min(y1, y2) <= cy < max(y1, y2):
+                    xs = x1 + (cy - y1) * (x2 - x1) / (y2 - y1)
+                    if xs <= cx:
+                        n += 1
+            mask[row, col] = bool(n & 1)
+    return mask
+
+
+def _rect_ring(x0, y0, x1, y1):
+    return [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]]
+
+
+def _poly_feats(spark, rows):
+    """rows: (tile_x, feature_id, polys) with polys =
+    [[ring, ...], ...] in extent coords."""
+    from vectortiles_spark.operators import tiling
+
+    data = [
+        (0, tx, 0, "p", 3, fid, [[[ [float(c[0]), float(c[1])] for c in ring]
+                                   for ring in poly] for poly in polys])
+        for tx, fid, polys in rows
+    ]
+    schema = (
+        "tile_z int, tile_x int, tile_y int, layer string, geom_type int, "
+        "feature_id bigint, geom array<array<array<array<double>>>>"
+    )
+    return tiling.geom_features(spark.createDataFrame(data, schema))
+
+
+def test_rasterize_polygons_rect_closed_form(spark):
+    """Axis-aligned rect [x0,x1)x[y0,y1): covered centers are exactly
+    x0 <= 64c+32 < x1 per axis at w=h=64/extent=4096 — integer-exact."""
+    from vectortiles_spark.operators.raster import rasterize_polygons
+
+    x0, y0, x1, y1 = 100, 250, 2345, 3900
+    feats = _poly_feats(spark, [(1, 7, [[_rect_ring(x0, y0, x1, y1)]])])
+    got = {
+        (r.cell_x, r.cell_y)
+        for r in rasterize_polygons(feats, w=64, h=64, output="cells").collect()
+    }
+    want = {
+        (c, r)
+        for c in range(64) for r in range(64)
+        if x0 <= 64 * c + 32 < x1 and y0 <= 64 * r + 32 < y1
+    }
+    assert got == want
+
+
+def test_rasterize_polygons_hole_and_multifeature_union(spark):
+    """A holed polygon plus a second overlapping feature: holes toggle
+    parity off, separate features union — pinned against the independent
+    per-pixel brute twin."""
+    from vectortiles_spark.operators.raster import (
+        fill_polygons_mask, rasterize_polygons,
+    )
+
+    outer = _rect_ring(0, 0, 3000, 3000)
+    hole = _rect_ring(800, 800, 2200, 2200)
+    tri = [[1500, 1500], [4000, 1800], [2600, 3900], [1500, 1500]]
+    feats = _poly_feats(
+        spark, [(2, 1, [[outer, hole]]), (2, 2, [[tri]])]
+    )
+    out = rasterize_polygons(feats, w=32, h=32, output="raster").collect()
+    assert len(out) == 1 and out[0].w == 32
+    got = np.frombuffer(bytes(out[0].px), np.uint8).reshape(32, 32) > 0
+    want = _brute_fill([outer, hole], 32, 32, 4096) | _brute_fill(
+        [tri], 32, 32, 4096
+    )
+    assert (got == want).all()
+    # kernel twin agrees with itself too (same rings, one call)
+    assert (
+        fill_polygons_mask(
+            [np.array(r) for r in (outer, hole)], 32, 32, 4096
+        )
+        == _brute_fill([outer, hole], 32, 32, 4096)
+    ).all()
+
+
+def test_rasterize_polygons_roundtrip_through_raster_to_features(spark):
+    """Grid-aligned rect -> rasterize -> raster_to_features recovers the
+    same single ring (the D7 inverse pairing)."""
+    from vectortiles_spark.mvt.geometry import GEOM_POLYGON, geom_from_stream
+    from vectortiles_spark.operators.raster import (
+        raster_to_features, rasterize_polygons,
+    )
+
+    from vectortiles_spark.mvt.geometry import surveyor
+
+    x0, y0, x1, y1 = 256, 512, 2048, 3072  # multiples of 4096/64=64
+    feats = _poly_feats(spark, [(3, 1, [[_rect_ring(x0, y0, x1, y1)]])])
+    rast = rasterize_polygons(feats, w=64, h=64, output="raster")
+    out = rast.collect()
+    back = raster_to_features(rast, extent=4096).collect()
+    assert len(back) == 1
+    polys = geom_from_stream(
+        GEOM_POLYGON, np.asarray(back[0].geom_cmds, np.uint32)
+    )
+    assert len(polys) == 1 and len(polys[0]) == 1
+    ring = polys[0][0]
+    # the trace emits unit lattice edges, so compare shape invariants:
+    # exact shoelace area, exact bounding box, and a bit-exact mask when
+    # the traced polygon is rasterized again (the inverse pairing)
+    # trace coords are scaled back to extent units, so area is exact there
+    assert surveyor(ring) == float((x1 - x0) * (y1 - y0))
+    assert (ring.min(0).tolist(), ring.max(0).tolist()) == (
+        [x0, y0], [x1, y1]
+    )
+    refeat = _poly_feats(
+        spark, [(3, 1, [[ring.astype(float).tolist()]])]
+    )
+    again = rasterize_polygons(refeat, w=64, h=64, output="raster").collect()
+    assert bytes(again[0].px) == bytes(out[0].px)
+
+
+def test_rasterize_polygons_validation(spark):
+    from vectortiles_spark.operators import tiling
+    from vectortiles_spark.operators.raster import rasterize_polygons
+
+    feats = _poly_feats(spark, [(1, 1, [[_rect_ring(0, 0, 100, 100)]])])
+    with pytest.raises(ValueError, match="divide"):
+        rasterize_polygons(feats, w=60)
+    with pytest.raises(ValueError, match="output"):
+        rasterize_polygons(feats, output="sparse")
+    with pytest.raises(ValueError, match="value"):
+        rasterize_polygons(feats, value=0)
+    pts = tiling.geom_features(
+        spark.createDataFrame(
+            [(0, 1, 0, "p", 1, 9, [[[[5.0, 7.0]]]])],
+            "tile_z int, tile_x int, tile_y int, layer string, geom_type int, "
+            "feature_id bigint, geom array<array<array<array<double>>>>",
+        )
+    )
+    import py4j.protocol
+
+    with pytest.raises(Exception, match="non-polygon"):
+        rasterize_polygons(pts, output="cells").collect()

@@ -261,3 +261,139 @@ def rasterize_points(
     if weight:
         aggs.append(F.round(F.sum("_w"), 2).alias("w_sum"))
     return binned.groupBy("tile_z", "tile_x", "tile_y", "cell_x", "cell_y").agg(*aggs)
+
+
+# --------------- vector -> raster (polygon scanline fill, D7 inverse) -------
+
+
+def fill_polygons_mask(
+    rings: list[np.ndarray], w: int, h: int, extent: int
+) -> np.ndarray:
+    """Even-odd scanline fill of ``rings`` (extent-coord closed rings, any
+    mix of exteriors and holes — holes toggle parity back off) into an
+    (h, w) boolean mask sampled at pixel CENTERS with half-open edge
+    rules: center (cx, cy) is covered iff the count of edge crossings at
+    x <= cx on the scanline [ymin <= cy < ymax) is odd. For an
+    axis-aligned rectangle [x0,x1)x[y0,y1) that is exactly
+    x0 <= cx < x1 and y0 <= cy < y1 — integer-exact when extent divides
+    by w/h (vertical edges cross at x = x1 with no division), which is
+    what the DuckDB oracle replays.
+
+    Vectorized: one edge-by-scanline crossing pass, one np.add.at column
+    scatter, one cumsum-parity — no per-pixel Python. O(E*h/|y-span|)
+    crossings + O(h*w) fill per tile."""
+    mask_delta = np.zeros((h, w + 1), dtype=np.int32)
+    sy = extent / h
+    sx = extent / w
+    ys = (np.arange(h, dtype=np.float64) + 0.5) * sy
+    for ring in rings:
+        r = np.asarray(ring, dtype=np.float64)
+        if len(r) < 2:
+            continue
+        if (r[0] != r[-1]).any():  # defensive: decode emits closed rings
+            r = np.concatenate([r, r[:1]])
+        x1, y1 = r[:-1, 0], r[:-1, 1]
+        x2, y2 = r[1:, 0], r[1:, 1]
+        keep = y1 != y2  # horizontal edges never cross a scanline
+        if not keep.any():
+            continue
+        x1, y1, x2, y2 = x1[keep], y1[keep], x2[keep], y2[keep]
+        ymin = np.minimum(y1, y2)
+        ymax = np.maximum(y1, y2)
+        # (E, h) crossing matrix: scanline j crosses edge i iff
+        # ymin_i <= ys_j < ymax_i (half-open ==> shared vertices count once)
+        hit = (ymin[:, None] <= ys[None, :]) & (ys[None, :] < ymax[:, None])
+        ei, yj = np.nonzero(hit)
+        if len(ei) == 0:
+            continue
+        xs = x1[ei] + (ys[yj] - y1[ei]) * (x2[ei] - x1[ei]) / (y2[ei] - y1[ei])
+        # crossing toggles every center with cx >= xs: activate from column
+        # c0 = ceil(xs/sx - 0.5); c0 > w-1 never lands, c0 < 0 clamps to 0
+        c0 = np.ceil(xs / sx - 0.5).astype(np.int64)
+        inb = c0 <= w - 1
+        np.add.at(mask_delta, (yj[inb], np.maximum(c0[inb], 0)), 1)
+    return (np.cumsum(mask_delta[:, :-1], axis=1) & 1).astype(bool)
+
+
+def rasterize_polygons(
+    feats: DataFrame,
+    w: int = 256,
+    h: int = 256,
+    extent: int = 4096,
+    value: int = 255,
+    output: str = "raster",
+) -> DataFrame:
+    """Polygon features -> raster tiles: the exact inverse stage of
+    raster_to_features (D7). Canonical FEATURE_SCHEMA rows (geom_cmds
+    command streams, extent coords) are grouped per tile and scanline-
+    filled (even-odd, pixel-center sampling — fill_polygons_mask) into a
+    single-band uint8 grid; grid-aligned shapes roundtrip bit-exactly
+    through raster_to_features.
+
+    ``output='raster'`` emits (tile_z, tile_x, tile_y, w, h, px BINARY)
+    — the same shape raster_to_features consumes. ``output='cells'``
+    emits one sparse row per covered pixel (tile key + cell_x, cell_y),
+    the join/oracle-friendly twin.
+
+    Scale shape: ONE shuffle on the tile key (groupBy + applyInPandas);
+    per-task memory is h*w + the tile's vertex count, independent of
+    relation size. Raises on non-polygon rows (callers filter first —
+    same loud contract as merge_lines) and on w/h not dividing extent
+    (pixel-center arithmetic must stay integer-exact for the oracle).
+    """
+    import pandas as pd
+
+    from ..mvt.geometry import geom_from_stream
+
+    if extent % w or extent % h:
+        raise ValueError(
+            f"w={w} and h={h} must divide extent={extent} "
+            "(pixel centers must land on exact grid coordinates)"
+        )
+    if output not in ("raster", "cells"):
+        raise ValueError(f"unknown output {output!r}")
+    if not 0 < value < 256:
+        raise ValueError(f"value must be a uint8 byte, got {value}")
+
+    key = ["tile_z", "tile_x", "tile_y"]
+
+    def fill(pdf: pd.DataFrame) -> pd.DataFrame:
+        bad = pdf[pdf["geom_type"] != GEOM_POLYGON]
+        if len(bad):
+            raise ValueError(
+                "rasterize_polygons: non-polygon feature "
+                f"(geom_type={int(bad['geom_type'].iloc[0])}, "
+                f"feature_id={int(bad['feature_id'].iloc[0])}) — filter "
+                "to polygons first"
+            )
+        # even-odd WITHIN a feature (holes cancel), UNION ACROSS features
+        # (two overlapping features must not xor each other out)
+        mask = np.zeros((h, w), dtype=bool)
+        for stream in pdf["geom_cmds"]:
+            rings = [
+                ring
+                for poly in geom_from_stream(
+                    GEOM_POLYGON, np.asarray(stream, dtype=np.uint32)
+                )
+                for ring in poly
+            ]
+            mask |= fill_polygons_mask(rings, w, h, extent)
+        z, x, y = (int(pdf[k].iloc[0]) for k in key)
+        if output == "raster":
+            px = (mask * np.uint8(value)).tobytes()
+            return pd.DataFrame(
+                {"tile_z": [z], "tile_x": [x], "tile_y": [y],
+                 "w": [w], "h": [h], "px": [px]}
+            )
+        cy, cx = np.nonzero(mask)
+        return pd.DataFrame(
+            {"tile_z": z, "tile_x": x, "tile_y": y,
+             "cell_x": cx.astype(np.int32), "cell_y": cy.astype(np.int32)}
+        )
+
+    schema = (
+        "tile_z int, tile_x int, tile_y int, w int, h int, px binary"
+        if output == "raster"
+        else "tile_z int, tile_x int, tile_y int, cell_x int, cell_y int"
+    )
+    return feats.groupBy(*key).applyInPandas(fill, schema=schema)

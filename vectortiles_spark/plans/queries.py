@@ -1704,6 +1704,71 @@ ORDER BY tile_x, tile_y, cell_x, cell_y
 Q_RASTERIZE_DENSITY_SQL = _rasterize_sql()
 
 
+def q_rasterize_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygon scanline fill under the value oracle
+    (operators/raster.py:rasterize_polygons — the D7 inverse): one
+    deterministic axis-aligned rectangle per customer, rasterized per
+    tile at 64x64 with even-odd pixel-center sampling, aggregated to
+    per-tile covered-cell count + index sum. The oracle replays coverage
+    in closed form — a rect covers center (cx, cy) iff
+    x0 <= 64*cx + 32 < x1 (integer-exact: vertical edges cross with no
+    division) — and unions overlapping rects with DISTINCT, exactly the
+    operator's union-across-features rule."""
+    from vectortiles_spark.operators import tiling
+    from vectortiles_spark.operators.raster import rasterize_polygons
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    k = F.col("c_custkey")
+    x0 = (k * 131 % 3000).cast("double")
+    y0 = (k * 197 % 3000).cast("double")
+    x1 = x0 + (k * 89 % 900).cast("double") + 64.0
+    y1 = y0 + (k * 53 % 900).cast("double") + 64.0
+    ring = F.array(
+        F.array(x0, y0), F.array(x1, y0), F.array(x1, y1),
+        F.array(x0, y1), F.array(x0, y0),
+    )
+    feats = tiling.geom_features(
+        cust.select(
+            F.lit(3).alias("tile_z"),
+            (k * 3 % 8).cast("int").alias("tile_x"),
+            (k * 5 % 8).cast("int").alias("tile_y"),
+            F.lit("rects").alias("layer"),
+            F.lit(3).alias("geom_type"),
+            k.alias("feature_id"),
+            F.array(F.array(ring)).alias("geom"),
+        )
+    )
+    cells = rasterize_polygons(feats, w=64, h=64, output="cells")
+    return (
+        cells.groupBy("tile_x", "tile_y")
+        .agg(
+            F.count("*").alias("n_cells"),
+            F.sum(F.col("cell_y") * 64 + F.col("cell_x")).alias("sum_idx"),
+        )
+        .orderBy("tile_x", "tile_y")
+    )
+
+
+Q_RASTERIZE_POLYGONS_SQL = """
+WITH r AS (
+  SELECT (c_custkey * 3) % 8 AS tile_x, (c_custkey * 5) % 8 AS tile_y,
+         (c_custkey * 131) % 3000 AS x0, (c_custkey * 197) % 3000 AS y0,
+         (c_custkey * 131) % 3000 + (c_custkey * 89) % 900 + 64 AS x1,
+         (c_custkey * 197) % 3000 + (c_custkey * 53) % 900 + 64 AS y1
+  FROM customer
+), cov AS (
+  SELECT DISTINCT r.tile_x, r.tile_y, cx.range AS cx, cy.range AS cy
+  FROM r, range(64) cx, range(64) cy
+  WHERE x0 <= 64 * cx.range + 32 AND 64 * cx.range + 32 < x1
+    AND y0 <= 64 * cy.range + 32 AND 64 * cy.range + 32 < y1
+)
+SELECT tile_x::INT AS tile_x, tile_y::INT AS tile_y,
+       count(*) AS n_cells, sum(cy * 64 + cx)::BIGINT AS sum_idx
+FROM cov GROUP BY 1, 2
+ORDER BY tile_x, tile_y
+"""
+
+
 def q_cluster_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point clustering under the value oracle: customers grid-clustered
     at z=4 equirectangular tiles with 256px bins — one representative
