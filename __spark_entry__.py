@@ -3,7 +3,7 @@
 ``entry`` runs the flagship pipeline (point features -> groupBy(z,x,y) ->
 applyInArrow MVT encode) on sf0.001. ``queries``/``oracle_sql`` pair every
 implemented operator family from SURVEY.md §2 with a DuckDB-checkable oracle
-(83 queries, 83 value-checked — including byte-exact MVT blob sizes, the
+(89 queries, 89 value-checked — including byte-exact MVT blob sizes, the
 tileset/MBTiles/PMTiles ingest circles, the multi-zoom pyramid builder,
 trained-IVF and PQ/ADC ANN, as-of/interval joins, HLL/KMV/histogram-quantile
 sketches whose ESTIMATES replay in DuckDB bit-for-bit, the composed corpus
@@ -73,6 +73,61 @@ def _q_image_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q_IMAGE_INVARIANTS_SQL = """
 SELECT TRUE AS decode_ok, TRUE AS psnr_ok, TRUE AS caption_preserved,
        5000 AS n, 22 AS max_phash_hamming
+"""
+
+
+def _q_image_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic augmentation algebra over the seeded image table
+    (operators/images.py:augment_images): double-hflip and rot90^4 chains
+    must equal the identity re-encode lane byte-for-byte, gray must be
+    idempotent, and every op row must decode ok. The 1-row aggregate is a
+    known constant — oracled by the literal Q_IMAGE_AUGMENT_SQL."""
+    from vectortiles_spark.operators.images import augment_images
+    from vectortiles_spark.sources.synth import images_df
+
+    n = 500 if "0.001" in sf_dir else 1200
+    imgs = images_df(spark, n, seed=42).select("image_id", "bytes", "fmt")
+    ident = augment_images(imgs, ops=("identity",)).select(
+        "image_id", F.md5(F.hex("bytes")).alias("h0")
+    )
+    h2 = augment_images(augment_images(imgs, ops=("hflip",)), ops=("hflip",))
+    r2 = augment_images(augment_images(imgs, ops=("rot90",)), ops=("rot90",))
+    r4 = augment_images(augment_images(r2, ops=("rot90",)), ops=("rot90",))
+    g1 = augment_images(imgs, ops=("gray",))
+    g2 = augment_images(g1, ops=("gray",))
+
+    def hashed(df, name):
+        return df.select("image_id", F.md5(F.hex("bytes")).alias(name))
+
+    j = (
+        ident.join(hashed(h2, "hh"), "image_id")
+        .join(hashed(r4, "hr"), "image_id")
+        .join(hashed(g1, "hg1"), "image_id")
+        .join(hashed(g2, "hg2"), "image_id")
+    )
+    return j.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("hh") != F.col("h0"), 1).otherwise(0)).alias(
+            "hflip2_mismatch"
+        ),
+        F.sum(F.when(F.col("hr") != F.col("h0"), 1).otherwise(0)).alias(
+            "rot4_mismatch"
+        ),
+        F.sum(F.when(F.col("hg2") != F.col("hg1"), 1).otherwise(0)).alias(
+            "gray_idem_mismatch"
+        ),
+    )
+
+
+# Literal-expected oracle: the augmentation ops are exact integer
+# arithmetic on losslessly re-encoded pixels (ppm), so the involution /
+# order-4 / idempotence identities hold for EVERY row of the seeded
+# deterministic corpus by construction; n mirrors queries()'s sizing at
+# the driver's oracle scale (sf0.01 -> 1200). DuckDB cannot replay the
+# image codec, but it can state the constant.
+Q_IMAGE_AUGMENT_SQL = """
+SELECT 1200 AS n, 0 AS hflip2_mismatch, 0 AS rot4_mismatch,
+       0 AS gray_idem_mismatch
 """
 
 
@@ -211,6 +266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cluster_points": Q.q_cluster_points,
         # image codec gate (literal-expected oracle — see Q_IMAGE_INVARIANTS_SQL)
         "q_image_invariants": _q_image_invariants,
+        "q_image_augment": _q_image_augment,
         "q_image_pyramid": _q_image_pyramid,
     }
 
@@ -307,5 +363,6 @@ def oracle_sql() -> dict[str, str]:
         "q_hash_split": QT.Q_HASH_SPLIT_SQL,
         "q_tfidf_topk": QT.Q_TFIDF_SQL,
         "q_image_invariants": Q_IMAGE_INVARIANTS_SQL,
+        "q_image_augment": Q_IMAGE_AUGMENT_SQL,
         "q_image_pyramid": Q_IMAGE_PYRAMID_SQL,
     }

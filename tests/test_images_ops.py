@@ -210,3 +210,68 @@ def test_image_tiles_validation(spark):
         image_tiles(imgs, tile=0)
     with _pt.raises(ValueError, match="levels"):
         image_tiles(imgs, tile=8, levels=0)
+
+
+# ------------------------------------------------------------ augment_images
+
+
+def test_augment_np_algebra():
+    """Exact integer algebra of every op: involutions, rot90 order 4,
+    gray idempotence, crop slice arithmetic."""
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (13, 17, 3), dtype=np.uint8)
+    A = iops.augment_np
+    for op in ("hflip", "vflip", "rot180", "invert"):
+        assert (A(A(img, op), op) == img).all(), op
+    r = img
+    for _ in range(4):
+        r = A(r, "rot90")
+    assert (r == img).all()
+    assert (A(A(img, "rot90"), "rot270") == img).all()
+    assert A(img, "rot90").shape == (17, 13, 3)
+    g = A(img, "gray")
+    assert (g[..., 0] == g[..., 1]).all() and (g[..., 1] == g[..., 2]).all()
+    assert (A(g, "gray") == g).all()  # (1000y)//1000 == y
+    c = A(img, "crop_center")
+    assert (c == img[3:3 + 6, 4:4 + 8]).all()
+    with pytest.raises(ValueError, match="unknown"):
+        A(img, "blur")
+
+
+def test_augment_images_chain_and_identity(spark, imgs):
+    """Spark path: double-hflip bytes == identity-lane bytes for every
+    image (including the lossy-DCT-source rows — both chains re-encode
+    through lossless ppm after ONE decode of the original), dims swap
+    under rot90, corrupt payloads degrade to ok=False."""
+    base = imgs.limit(60)
+    ident = {
+        r.image_id: bytes(r.bytes)
+        for r in iops.augment_images(base, ops=("identity",)).collect()
+    }
+    h1 = iops.augment_images(base, ops=("hflip",))
+    h2 = {
+        r.image_id: bytes(r.bytes)
+        for r in iops.augment_images(h1, ops=("hflip",)).collect()
+    }
+    assert h2 == ident
+    dims = {
+        (r.image_id, r.op): (r.w, r.h)
+        for r in iops.augment_images(base, ops=("identity", "rot90")).collect()
+    }
+    for (iid, op), (w, h) in dims.items():
+        if op == "rot90":
+            assert (w, h) == dims[(iid, "identity")][::-1]
+    src = {r.image_id: r for r in base.collect()}
+    for (iid, op), (w, h) in dims.items():
+        if op == "identity":
+            assert (w, h) == (src[iid].w, src[iid].h)
+    # corrupt payload: ok=False rows, one per op, job survives
+    bad = spark.createDataFrame(
+        pd.DataFrame({"image_id": ["x"], "bytes": [b"nope"], "fmt": ["ppm"]})
+    )
+    rows = iops.augment_images(bad, ops=("hflip", "invert")).collect()
+    assert [(r.ok, r.bytes) for r in rows] == [(False, None), (False, None)]
+    with pytest.raises(ValueError, match="unknown augmentation"):
+        iops.augment_images(base, ops=("hflip", "sharpen"))
+    with pytest.raises(ValueError, match="at least one"):
+        iops.augment_images(base, ops=())

@@ -436,3 +436,111 @@ def assemble_tiles(tiles: DataFrame) -> DataFrame:
         )
 
     return tiles.groupBy("image_id", "level").applyInPandas(fn, ASSEMBLE_SCHEMA)
+
+
+# ---------------- deterministic augmentation (training-data transforms) -----
+
+AUG_OPS = (
+    "identity", "hflip", "vflip", "rot90", "rot180", "rot270",
+    "invert", "gray", "crop_center",
+)
+
+
+def augment_np(img: np.ndarray, op: str) -> np.ndarray:
+    """One augmentation on an (h, w, 3) uint8 array. Every op is exact
+    integer arithmetic, so the algebra is bit-testable: hflip/vflip/
+    rot180/invert are involutions, rot90 has order 4, gray is idempotent
+    ((299r+587g+114b)//1000 of a gray pixel is (1000y)//1000 = y), and
+    identity is decode->re-encode only (the lossless-normalization lane
+    the equality chains compare against)."""
+    if op == "identity":
+        return img
+    if op == "hflip":
+        return img[:, ::-1]
+    if op == "vflip":
+        return img[::-1]
+    if op == "rot90":  # clockwise
+        return np.rot90(img, k=-1)
+    if op == "rot180":
+        return img[::-1, ::-1]
+    if op == "rot270":
+        return np.rot90(img, k=1)
+    if op == "invert":
+        return 255 - img
+    if op == "gray":
+        y = (
+            299 * img[..., 0].astype(np.int64)
+            + 587 * img[..., 1].astype(np.int64)
+            + 114 * img[..., 2].astype(np.int64)
+        ) // 1000
+        return np.repeat(y[..., None], 3, axis=-1).astype(np.uint8)
+    if op == "crop_center":
+        h, w = img.shape[:2]
+        ch, cw = max(h // 2, 1), max(w // 2, 1)
+        return img[h // 4:h // 4 + ch, w // 4:w // 4 + cw]
+    raise ValueError(f"unknown augmentation {op!r}")
+
+
+AUG_SCHEMA = (
+    "image_id string, op string, bytes binary, w int, h int, "
+    "fmt string, ok boolean"
+)
+
+
+def augment_images(
+    images: DataFrame, ops: tuple = AUG_OPS, out_fmt: str = "ppm"
+) -> DataFrame:
+    """Deterministic augmentation fan-out: one output row per (image, op)
+    — the geometric/photometric expansion stage of an image-training
+    pipeline. Chainable: output columns are valid input columns, so
+    augment(augment(df, ('hflip',)), ('hflip',)) composes (and is
+    byte-identical to the 'identity' lane — pinned in tests).
+
+    Zero shuffle (mapInArrow); output cardinality is a fixed len(ops)
+    multiple of the input, never data-dependent. Corrupt payloads degrade
+    to ok=False rows like the sibling operators — one bad object in a
+    billion must not fail the job."""
+    bad = [op for op in ops if op not in AUG_OPS]
+    if bad:
+        raise ValueError(f"unknown augmentation(s) {bad} — pick from {AUG_OPS}")
+    if not ops:
+        raise ValueError("ops must name at least one augmentation")
+
+    def run(batches):
+        for b in batches:
+            ids = b["image_id"].to_pylist()
+            payloads = b["bytes"].to_pylist()
+            fmts = b["fmt"].to_pylist()
+            out = {k: [] for k in ("image_id", "op", "bytes", "w", "h", "fmt", "ok")}
+            for iid, raw, fmt in zip(ids, payloads, fmts):
+                try:
+                    img = ic.decode_image(raw, fmt)
+                except Exception:
+                    img = None
+                for op in ops:
+                    if img is None:
+                        payload, w, h, ok = None, None, None, False
+                    else:
+                        a = augment_np(img, op)
+                        payload = ic.encode_image(np.ascontiguousarray(a), out_fmt)
+                        h, w, ok = int(a.shape[0]), int(a.shape[1]), True
+                    out["image_id"].append(iid)
+                    out["op"].append(op)
+                    out["bytes"].append(payload)
+                    out["w"].append(w)
+                    out["h"].append(h)
+                    out["fmt"].append(out_fmt)
+                    out["ok"].append(ok)
+            yield pa.record_batch(
+                {
+                    "image_id": pa.array(out["image_id"], pa.string()),
+                    "op": pa.array(out["op"], pa.string()),
+                    "bytes": pa.array(out["bytes"], pa.binary()),
+                    "w": pa.array(out["w"], pa.int32()),
+                    "h": pa.array(out["h"], pa.int32()),
+                    "fmt": pa.array(out["fmt"], pa.string()),
+                    "ok": pa.array(out["ok"], pa.bool_()),
+                }
+            )
+
+    return images.select("image_id", "bytes", "fmt").mapInArrow(run, AUG_SCHEMA)
