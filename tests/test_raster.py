@@ -351,3 +351,71 @@ def test_rasterize_polygons_validation(spark):
 
     with pytest.raises(Exception, match="non-polygon"):
         rasterize_polygons(pts, output="cells").collect()
+
+
+# ------------------------------------------------------------------ zonal_stats
+
+
+def test_zonal_stats_matches_brute_twin(spark):
+    """Per-feature stats over a deterministic raster == the per-pixel
+    brute mask + NumPy aggregation, including a feature with holes and
+    one whose mask is empty."""
+    from vectortiles_spark.operators.raster import zonal_stats
+
+    w = h = 32
+    grid = ((np.arange(h)[:, None] * 17 + np.arange(w)[None, :] * 13) % 251).astype(
+        np.uint8
+    )
+    rasters = spark.createDataFrame(
+        pd.DataFrame(
+            {"tile_z": [0], "tile_x": [5], "tile_y": [0],
+             "w": [w], "h": [h], "px": [grid.tobytes()]}
+        )
+    )
+    outer = _rect_ring(0, 0, 3000, 3000)
+    hole = _rect_ring(800, 800, 2200, 2200)
+    sliver = _rect_ring(10, 10, 30, 30)  # thinner than one 128px cell
+    feats = _poly_feats(
+        spark,
+        [(5, 1, [[outer, hole]]), (5, 2, [[sliver]]),
+         (9, 3, [[_rect_ring(0, 0, 4096, 4096)]])],  # tile 9 has no raster
+    )
+    got = {r.feature_id: r for r in zonal_stats(feats, rasters).collect()}
+    assert set(got) == {1, 2}  # inner-join: tile 9 emits nothing
+    m = _brute_fill([outer, hole], w, h, 4096)
+    vals = grid[m]
+    r1 = got[1]
+    assert (r1.n_px, r1.sum_val, r1.min_val, r1.max_val) == (
+        int(vals.size), int(vals.sum()), int(vals.min()), int(vals.max())
+    )
+    assert r1.mean_val == float(vals.sum()) / vals.size
+    r2 = got[2]
+    assert (r2.n_px, r2.sum_val, r2.min_val, r2.max_val, r2.mean_val) == (
+        0, 0, None, None, None
+    )
+
+
+def test_zonal_stats_validation(spark):
+    from vectortiles_spark.operators.raster import zonal_stats
+
+    raster_row = {"tile_z": 0, "tile_x": 1, "tile_y": 0, "w": 32, "h": 32,
+                  "px": bytes(32 * 32)}
+    feats = _poly_feats(spark, [(1, 1, [[_rect_ring(0, 0, 100, 100)]])])
+    dup = spark.createDataFrame(pd.DataFrame([raster_row, raster_row]))
+    with pytest.raises(Exception, match="2 rasters"):
+        zonal_stats(feats, dup).collect()
+    one = spark.createDataFrame(pd.DataFrame([raster_row]))
+    pts = tiling.geom_features(
+        spark.createDataFrame(
+            [(0, 1, 0, "p", 1, 9, [[[[5.0, 7.0]]]])],
+            "tile_z int, tile_x int, tile_y int, layer string, geom_type int, "
+            "feature_id bigint, geom array<array<array<array<double>>>>",
+        )
+    )
+    with pytest.raises(Exception, match="non-polygon"):
+        zonal_stats(pts, one).collect()
+    bad = spark.createDataFrame(
+        pd.DataFrame([{**raster_row, "w": 60, "h": 60, "px": bytes(3600)}])
+    )
+    with pytest.raises(Exception, match="divide"):
+        zonal_stats(feats.filter("tile_x = 1"), bad).collect()

@@ -397,3 +397,97 @@ def rasterize_polygons(
         else "tile_z int, tile_x int, tile_y int, cell_x int, cell_y int"
     )
     return feats.groupBy(*key).applyInPandas(fill, schema=schema)
+
+
+ZONAL_SCHEMA = (
+    "tile_z int, tile_x int, tile_y int, feature_id bigint, "
+    "n_px bigint, sum_val bigint, min_val int, max_val int, mean_val double"
+)
+
+
+def zonal_stats(
+    feats: DataFrame, rasters: DataFrame, extent: int = 4096
+) -> DataFrame:
+    """Zonal statistics: for every polygon feature, aggregate the raster
+    pixels under its even-odd mask (fill_polygons_mask pixel-center rule)
+    — count, integer-exact sum, min/max, and mean (sum/count, so the
+    DuckDB oracle replays it as exact integer arithmetic + one division).
+
+    ``feats`` is the canonical FEATURE_SCHEMA relation (polygons only —
+    loud error otherwise); ``rasters`` the (tile key, w, h, px BINARY)
+    relation raster_to_features consumes. Inner-join semantics: a feature
+    whose tile has no raster emits no row; a feature whose mask covers no
+    pixel emits n_px=0 with NULL min/max/mean. Two rasters for one tile
+    key raise (an upstream dedup bug should stop a stats job, not
+    silently double-count).
+
+    Scale shape: ONE cogroup shuffle on the tile key for each side; the
+    raster is decoded once per tile and every feature's mask is filled
+    against it; per-task memory is h*w + the tile's vertex count.
+    """
+    import pandas as pd
+
+    from ..mvt.geometry import geom_from_stream
+
+    key = ["tile_z", "tile_x", "tile_y"]
+
+    def stats(fpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if len(fpdf) == 0 or len(rpdf) == 0:
+            return pd.DataFrame(
+                {c: [] for c in (
+                    "tile_z", "tile_x", "tile_y", "feature_id",
+                    "n_px", "sum_val", "min_val", "max_val", "mean_val",
+                )}
+            )
+        if len(rpdf) > 1:
+            z, x, y = (int(rpdf[k].iloc[0]) for k in key)
+            raise ValueError(
+                f"zonal_stats: {len(rpdf)} rasters for tile "
+                f"({z},{x},{y}) — dedupe the raster relation first"
+            )
+        bad = fpdf[fpdf["geom_type"] != GEOM_POLYGON]
+        if len(bad):
+            raise ValueError(
+                "zonal_stats: non-polygon feature (geom_type="
+                f"{int(bad['geom_type'].iloc[0])}) — filter to polygons first"
+            )
+        w, h = int(rpdf["w"].iloc[0]), int(rpdf["h"].iloc[0])
+        raw = rpdf["px"].iloc[0]
+        if extent % w or extent % h:
+            raise ValueError(
+                f"raster {w}x{h} must divide extent={extent} "
+                "(pixel centers must land on exact grid coordinates)"
+            )
+        grid = np.frombuffer(raw, dtype=np.uint8, count=w * h).reshape(h, w)
+        out = {c: [] for c in (
+            "feature_id", "n_px", "sum_val", "min_val", "max_val", "mean_val",
+        )}
+        for fid, stream in zip(fpdf["feature_id"], fpdf["geom_cmds"]):
+            rings = [
+                ring
+                for poly in geom_from_stream(
+                    GEOM_POLYGON, np.asarray(stream, dtype=np.uint32)
+                )
+                for ring in poly
+            ]
+            mask = fill_polygons_mask(rings, w, h, extent)
+            vals = grid[mask]
+            n = int(vals.size)
+            out["feature_id"].append(int(fid))
+            out["n_px"].append(n)
+            out["sum_val"].append(int(vals.sum()) if n else 0)
+            out["min_val"].append(int(vals.min()) if n else None)
+            out["max_val"].append(int(vals.max()) if n else None)
+            out["mean_val"].append(float(vals.sum()) / n if n else None)
+        z, x, y = (int(rpdf[k].iloc[0]) for k in key)
+        res = pd.DataFrame(out)
+        res.insert(0, "tile_z", z)
+        res.insert(1, "tile_x", x)
+        res.insert(2, "tile_y", y)
+        return res
+
+    return (
+        feats.groupBy(*key)
+        .cogroup(rasters.groupBy(*key))
+        .applyInPandas(stats, schema=ZONAL_SCHEMA)
+    )

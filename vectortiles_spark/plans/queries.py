@@ -1769,6 +1769,88 @@ ORDER BY tile_x, tile_y
 """
 
 
+def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal statistics under the value oracle
+    (operators/raster.py:zonal_stats): one deterministic rectangle per
+    customer (same arithmetic as q_rasterize_polygons) against a
+    deterministic 64x64 raster per tile whose pixel value is the closed
+    form (tile_x*31 + row*17 + col*13) % 251 — so count/sum/min/max and
+    the one-division mean all replay exactly in SQL."""
+    import numpy as np
+    import pandas as pd
+
+    from vectortiles_spark.operators import tiling
+    from vectortiles_spark.operators.raster import zonal_stats
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    k = F.col("c_custkey")
+    x0 = (k * 131 % 3000).cast("double")
+    y0 = (k * 197 % 3000).cast("double")
+    x1 = x0 + (k * 89 % 900).cast("double") + 64.0
+    y1 = y0 + (k * 53 % 900).cast("double") + 64.0
+    ring = F.array(
+        F.array(x0, y0), F.array(x1, y0), F.array(x1, y1),
+        F.array(x0, y1), F.array(x0, y0),
+    )
+    feats = tiling.geom_features(
+        cust.select(
+            F.lit(3).alias("tile_z"),
+            (k * 3 % 8).cast("int").alias("tile_x"),
+            (k * 5 % 8).cast("int").alias("tile_y"),
+            F.lit("rects").alias("layer"),
+            F.lit(3).alias("geom_type"),
+            k.alias("feature_id"),
+            F.array(F.array(ring)).alias("geom"),
+        )
+    )
+    rows, cols = np.arange(64)[:, None], np.arange(64)[None, :]
+    rasters = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {"tile_z": 3, "tile_x": tx, "tile_y": ty, "w": 64, "h": 64,
+                 "px": ((tx * 31 + rows * 17 + cols * 13) % 251)
+                 .astype(np.uint8).tobytes()}
+                for tx in range(8) for ty in range(8)
+            ]
+        )
+    )
+    return (
+        zonal_stats(feats, rasters)
+        .select("feature_id", "n_px", "sum_val", "min_val", "max_val", "mean_val")
+        .orderBy("feature_id")
+    )
+
+
+Q_ZONAL_STATS_SQL = """
+WITH r AS (
+  SELECT c_custkey AS feature_id,
+         (c_custkey * 3) % 8 AS tile_x,
+         (c_custkey * 131) % 3000 AS x0, (c_custkey * 197) % 3000 AS y0,
+         (c_custkey * 131) % 3000 + (c_custkey * 89) % 900 + 64 AS x1,
+         (c_custkey * 197) % 3000 + (c_custkey * 53) % 900 + 64 AS y1
+  FROM customer
+), cov AS (
+  SELECT feature_id,
+         (tile_x * 31 + cy.range * 17 + cx.range * 13) % 251 AS val
+  FROM r, range(64) cx, range(64) cy
+  WHERE x0 <= 64 * cx.range + 32 AND 64 * cx.range + 32 < x1
+    AND y0 <= 64 * cy.range + 32 AND 64 * cy.range + 32 < y1
+)
+SELECT r.feature_id,
+       coalesce(c.n_px, 0) AS n_px,
+       coalesce(c.sum_val, 0) AS sum_val,
+       c.min_val::INT AS min_val, c.max_val::INT AS max_val,
+       c.mean_val AS mean_val
+FROM r LEFT JOIN (
+  SELECT feature_id, count(*) AS n_px, sum(val)::BIGINT AS sum_val,
+         min(val) AS min_val, max(val) AS max_val,
+         sum(val)::DOUBLE / count(*) AS mean_val
+  FROM cov GROUP BY feature_id
+) c USING (feature_id)
+ORDER BY r.feature_id
+"""
+
+
 def q_cluster_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point clustering under the value oracle: customers grid-clustered
     at z=4 equirectangular tiles with 256px bins — one representative
