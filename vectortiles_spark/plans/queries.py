@@ -1769,6 +1769,69 @@ ORDER BY tile_x, tile_y
 """
 
 
+def q_trajectory_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trajectory segmentation under the value oracle
+    (operators/trajectory.py:segment_trajectories): events become pings
+    (user, ts, deterministic lon/lat from the event id), split at 900 s
+    gaps, aggregated to per-segment ping counts, exact fractional-epoch
+    durations, and cm-rounded haversine distances. The DuckDB twin spells
+    the identical window + haversine arithmetic."""
+    from vectortiles_spark.operators.trajectory import segment_trajectories
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pings = ev.select(
+        "user_id", "ts", "event_id",
+        lon_of(F.col("event_id")), lat_of(F.col("event_id")),
+    )
+    return (
+        segment_trajectories(
+            pings, gap_s=900.0, id_col="user_id", order_col="event_id"
+        )
+        .orderBy("user_id", "segment")
+    )
+
+
+def _trajectory_sql() -> str:
+    from vectortiles_spark.functions.geodesic import haversine_sql
+
+    hav = haversine_sql("plon", "plat", "lon", "lat")
+    return f"""
+WITH p AS (
+  SELECT user_id, ts, event_id,
+         {_sql_lon('event_id')} AS lon, {_sql_lat('event_id')} AS lat
+  FROM events
+), g AS (
+  SELECT user_id, ts, event_id, lon, lat,
+         lag(ts) OVER w AS pts,
+         lag(lon) OVER w AS plon, lag(lat) OVER w AS plat
+  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), f AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN pts IS NULL OR epoch(ts) - epoch(pts) > 900.0
+              THEN 1 ELSE 0 END AS new_seg,
+         CASE WHEN pts IS NULL OR epoch(ts) - epoch(pts) > 900.0
+              THEN 0.0 ELSE {hav} END AS leg
+  FROM g
+), s AS (
+  SELECT user_id, ts, leg,
+         sum(new_seg) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING
+         ) AS segment
+  FROM f
+)
+SELECT user_id, segment::BIGINT AS segment, count(*) AS n_pings,
+       min(ts) AS start_ts, max(ts) AS end_ts,
+       epoch(max(ts)) - epoch(min(ts)) AS duration_s,
+       round(sum(leg), 2) AS dist_m
+FROM s GROUP BY user_id, segment
+ORDER BY user_id, segment
+"""
+
+
+Q_TRAJECTORY_SEGMENTS_SQL = _trajectory_sql()
+
+
 def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zonal statistics under the value oracle
     (operators/raster.py:zonal_stats): one deterministic rectangle per
