@@ -419,3 +419,55 @@ def test_zonal_stats_validation(spark):
     )
     with pytest.raises(Exception, match="divide"):
         zonal_stats(feats.filter("tile_x = 1"), bad).collect()
+
+
+# ------------------------------------------------------------ composite_rasters
+
+
+def test_composite_rasters_methods_match_numpy(spark):
+    from vectortiles_spark.operators.raster import composite_rasters
+
+    rng = np.random.default_rng(11)
+    grids = [rng.integers(0, 256, (16, 16), dtype=np.uint8) for _ in range(5)]
+    rows = [
+        {"tile_z": 2, "tile_x": 1, "tile_y": 1, "w": 16, "h": 16,
+         "px": g.tobytes()} for g in grids
+    ]
+    # a second tile with one snapshot, plus a fully-corrupt tile
+    solo = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    rows.append({"tile_z": 2, "tile_x": 2, "tile_y": 1, "w": 16, "h": 16,
+                 "px": solo.tobytes()})
+    rows.append({"tile_z": 2, "tile_x": 3, "tile_y": 1, "w": 16, "h": 16,
+                 "px": b"short"})
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    for method, want in (
+        ("max", np.maximum.reduce(grids)),
+        ("min", np.minimum.reduce(grids)),
+        ("mean", (np.sum([g.astype(np.int64) for g in grids], axis=0) // 5).astype(np.uint8)),
+    ):
+        out = {r.tile_x: r for r in composite_rasters(df, method).collect()}
+        assert set(out) == {1, 2}  # corrupt-only tile 3 leaves the relation
+        got = np.frombuffer(bytes(out[1].px), np.uint8).reshape(16, 16)
+        assert (got == want).all(), method
+        got2 = np.frombuffer(bytes(out[2].px), np.uint8).reshape(16, 16)
+        assert (got2 == solo).all(), method
+
+
+def test_composite_rasters_corrupt_row_dropped_mixed_dims_raise(spark):
+    from vectortiles_spark.operators.raster import composite_rasters
+
+    a = np.full((8, 8), 10, np.uint8)
+    b = np.full((8, 8), 200, np.uint8)
+    rows = [
+        {"tile_z": 0, "tile_x": 0, "tile_y": 0, "w": 8, "h": 8, "px": a.tobytes()},
+        {"tile_z": 0, "tile_x": 0, "tile_y": 0, "w": 8, "h": 8, "px": None},
+        {"tile_z": 0, "tile_x": 0, "tile_y": 0, "w": 8, "h": 8, "px": b.tobytes()},
+    ]
+    out = composite_rasters(spark.createDataFrame(pd.DataFrame(rows))).collect()
+    assert np.frombuffer(bytes(out[0].px), np.uint8).max() == 200
+    rows[1] = {"tile_z": 0, "tile_x": 0, "tile_y": 0, "w": 4, "h": 4,
+               "px": bytes(16)}
+    with pytest.raises(Exception, match="mixed dims"):
+        composite_rasters(spark.createDataFrame(pd.DataFrame(rows))).collect()
+    with pytest.raises(ValueError, match="method"):
+        composite_rasters(spark.createDataFrame(pd.DataFrame(rows)), "median")

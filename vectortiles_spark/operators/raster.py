@@ -491,3 +491,69 @@ def zonal_stats(
         .cogroup(rasters.groupBy(*key))
         .applyInPandas(stats, schema=ZONAL_SCHEMA)
     )
+
+
+RASTER_SCHEMA = "tile_z int, tile_x int, tile_y int, w int, h int, px binary"
+
+
+def composite_rasters(
+    rasters: DataFrame, method: str = "max"
+) -> DataFrame:
+    """Mosaic overlapping raster tiles: every (tile key) group's grids are
+    reduced per-pixel to one composite — ``max`` (brightest-pixel mosaic,
+    the satellite-imagery classic), ``min``, or ``mean`` (floor of the
+    integer mean, exact: sum // n). One shuffle on the tile key; per-task
+    memory is one h*w accumulator regardless of how many snapshots
+    overlap.
+
+    Corrupt rows (NULL/short payloads, bad dims) drop like
+    raster_to_features — one bad object must not kill the mosaic job; a
+    tile whose every row is corrupt leaves the relation. Mixed dimensions
+    within one tile raise (that is an upstream grid bug, not noise).
+    """
+    import pandas as pd
+
+    if method not in ("max", "min", "mean"):
+        raise ValueError(f"unknown method {method!r}")
+    key = ["tile_z", "tile_x", "tile_y"]
+
+    def reduce_tile(pdf: pd.DataFrame) -> pd.DataFrame:
+        grids = []
+        dims = None
+        for w, h, raw in zip(pdf["w"], pdf["h"], pdf["px"]):
+            if raw is None or w is None or h is None or w <= 0 or h <= 0:
+                continue
+            w, h = int(w), int(h)
+            if len(raw) < w * h:
+                continue
+            if dims is None:
+                dims = (w, h)
+            elif dims != (w, h):
+                z, x, y = (int(pdf[k].iloc[0]) for k in key)
+                raise ValueError(
+                    f"composite_rasters: mixed dims {dims} vs {(w, h)} in "
+                    f"tile ({z},{x},{y}) — resample to one grid first"
+                )
+            grids.append(
+                np.frombuffer(raw, dtype=np.uint8, count=w * h).reshape(h, w)
+            )
+        if not grids:
+            return pd.DataFrame({c: [] for c in (
+                "tile_z", "tile_x", "tile_y", "w", "h", "px",
+            )})
+        if method == "max":
+            out = np.maximum.reduce(grids)
+        elif method == "min":
+            out = np.minimum.reduce(grids)
+        else:  # mean: exact integer floor, immune to float fold order
+            acc = np.zeros(grids[0].shape, dtype=np.int64)
+            for g in grids:
+                acc += g
+            out = (acc // len(grids)).astype(np.uint8)
+        z, x, y = (int(pdf[k].iloc[0]) for k in key)
+        return pd.DataFrame(
+            {"tile_z": [z], "tile_x": [x], "tile_y": [y],
+             "w": [dims[0]], "h": [dims[1]], "px": [out.tobytes()]}
+        )
+
+    return rasters.groupBy(*key).applyInPandas(reduce_tile, schema=RASTER_SCHEMA)

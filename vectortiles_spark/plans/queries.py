@@ -1914,6 +1914,74 @@ ORDER BY r.feature_id
 """
 
 
+def q_raster_mosaic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster mosaicking under the value oracle
+    (operators/raster.py:composite_rasters + zonal_stats composed): each
+    tile of an 8x8 grid carries 1-3 deterministic 64x64 snapshots with
+    pixel value (tile_x*31 + snap*59 + row*17 + col*13) % 251; the
+    brightest-pixel (max) composite is then aggregated through
+    zonal_stats with a full-tile rectangle. The oracle replays the
+    per-pixel max and the stats in closed form."""
+    import numpy as np
+    import pandas as pd
+
+    from vectortiles_spark.operators import tiling
+    from vectortiles_spark.operators.raster import composite_rasters, zonal_stats
+
+    rows_i, cols_i = np.arange(64)[:, None], np.arange(64)[None, :]
+    snaps = []
+    for tx in range(8):
+        for ty in range(8):
+            for i in range(1 + (tx + ty) % 3):
+                snaps.append(
+                    {"tile_z": 3, "tile_x": tx, "tile_y": ty, "w": 64, "h": 64,
+                     "px": ((tx * 31 + i * 59 + rows_i * 17 + cols_i * 13) % 251)
+                     .astype(np.uint8).tobytes()}
+                )
+    rasters = spark.createDataFrame(pd.DataFrame(snaps))
+    comp = composite_rasters(rasters, method="max")
+    grid = spark.range(64).select(
+        F.lit(3).alias("tile_z"),
+        (F.col("id") % 8).cast("int").alias("tile_x"),
+        (F.col("id") / 8).cast("int").alias("tile_y"),
+        F.lit("full").alias("layer"),
+        F.lit(3).alias("geom_type"),
+        F.col("id").alias("feature_id"),
+        F.array(F.array(F.array(
+            F.array(F.lit(0.0), F.lit(0.0)), F.array(F.lit(4096.0), F.lit(0.0)),
+            F.array(F.lit(4096.0), F.lit(4096.0)), F.array(F.lit(0.0), F.lit(4096.0)),
+            F.array(F.lit(0.0), F.lit(0.0)),
+        ))).alias("geom"),
+    )
+    feats = tiling.geom_features(grid)
+    return (
+        zonal_stats(feats, comp)
+        .select("tile_x", "tile_y", "n_px", "sum_val", "min_val", "max_val",
+                "mean_val")
+        .orderBy("tile_x", "tile_y")
+    )
+
+
+Q_RASTER_MOSAIC_SQL = """
+WITH t AS (
+  SELECT tx.range AS tile_x, ty.range AS tile_y FROM range(8) tx, range(8) ty
+), px AS (
+  SELECT tile_x, tile_y, r.range AS r, c.range AS c,
+         max((tile_x * 31 + i.range * 59 + r.range * 17 + c.range * 13) % 251)
+           AS val
+  FROM t, range(64) r, range(64) c, range(3) i
+  WHERE i.range < 1 + (tile_x + tile_y) % 3
+  GROUP BY 1, 2, 3, 4
+)
+SELECT tile_x::INT AS tile_x, tile_y::INT AS tile_y,
+       count(*) AS n_px, sum(val)::BIGINT AS sum_val,
+       min(val)::INT AS min_val, max(val)::INT AS max_val,
+       sum(val)::DOUBLE / count(*) AS mean_val
+FROM px GROUP BY 1, 2
+ORDER BY tile_x, tile_y
+"""
+
+
 def q_cluster_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point clustering under the value oracle: customers grid-clustered
     at z=4 equirectangular tiles with 256px bins — one representative
