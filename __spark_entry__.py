@@ -105,8 +105,16 @@ def _q_image_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(hashed(g1, "hg1"), "image_id")
         .join(hashed(g2, "hg2"), "image_id")
     )
+    # a decode failure anywhere NULLs that lane's md5 (bytes=NULL, ok=False),
+    # and NULL != NULL is not true — so the mismatch counters alone would
+    # read 0 under a fully broken codec. n_failed pins every lane non-NULL.
+    any_null = (
+        F.col("h0").isNull() | F.col("hh").isNull() | F.col("hr").isNull()
+        | F.col("hg1").isNull() | F.col("hg2").isNull()
+    )
     return j.agg(
         F.count("*").alias("n"),
+        F.sum(F.when(any_null, 1).otherwise(0)).alias("n_failed"),
         F.sum(F.when(F.col("hh") != F.col("h0"), 1).otherwise(0)).alias(
             "hflip2_mismatch"
         ),
@@ -126,7 +134,7 @@ def _q_image_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the driver's oracle scale (sf0.01 -> 1200). DuckDB cannot replay the
 # image codec, but it can state the constant.
 Q_IMAGE_AUGMENT_SQL = """
-SELECT 1200 AS n, 0 AS hflip2_mismatch, 0 AS rot4_mismatch,
+SELECT 1200 AS n, 0 AS n_failed, 0 AS hflip2_mismatch, 0 AS rot4_mismatch,
        0 AS gray_idem_mismatch
 """
 

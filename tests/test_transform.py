@@ -194,6 +194,40 @@ def test_rescale_tiles_collapse_policy(spark):
     assert len(by_id[2].geom[0]) == 1  # hole dropped, exterior kept
 
 
+def test_rescale_tiles_drops_winding_flipped_rings(spark):
+    """Floor scaling can FLIP a thin ring's shoelace sign (hole
+    (0,0),(2,3),(5,7) is -0.5; scaled by //2 it becomes +0.5). Decode
+    groups rings into polygons by sign, so a flipped hole would start a
+    bogus new exterior — the rescale must drop sign-flipped rings, and a
+    flipped EXTERIOR must take its part with it."""
+    from vectortiles_spark.mvt import codec
+    from vectortiles_spark.operators import tiling
+    from vectortiles_spark.operators.transform import rescale_tiles
+
+    outer = [[0.0, 0.0], [4000.0, 0.0], [4000.0, 4000.0], [0.0, 4000.0], [0.0, 0.0]]
+    sliver_hole = [[0.0, 0.0], [2.0, 3.0], [5.0, 7.0], [0.0, 0.0]]
+    # exterior sliver with +0.5 area that flips negative under //2:
+    # reverse of the hole above, placed as its own single-ring part
+    sliver_ext = [[0.0, 0.0], [5.0, 7.0], [2.0, 3.0], [0.0, 0.0]]
+    rows = [
+        (0, 0, 0, "mix", 3, 1, [[outer, sliver_hole]]),
+        (0, 0, 0, "mix", 3, 2, [[sliver_ext]]),
+    ]
+    schema = (
+        "tile_z int, tile_x int, tile_y int, layer string, geom_type int, "
+        "feature_id bigint, geom array<array<array<array<double>>>>"
+    )
+    feats = tiling.geom_features(spark.createDataFrame(rows, schema))
+    out = rescale_tiles(tiling.encode_tiles(feats), 2048).collect()
+    lay = codec.decode_tile(bytes(out[0].mvt))["mix"]
+    by_id = {f.feature_id: f for f in lay.features}
+    assert set(by_id) == {1}  # flipped-exterior feature 2 dropped entirely
+    assert len(by_id[1].geom) == 1 and len(by_id[1].geom[0]) == 1  # hole gone
+    from vectortiles_spark.mvt.geometry import surveyor
+
+    assert surveyor(by_id[1].geom[0][0]) == 2000.0 * 2000.0
+
+
 def test_rescale_tiles_identity_and_validation(spark):
     import pytest as _pt
 

@@ -279,9 +279,14 @@ def fill_polygons_mask(
     by w/h (vertical edges cross at x = x1 with no division), which is
     what the DuckDB oracle replays.
 
-    Vectorized: one edge-by-scanline crossing pass, one np.add.at column
-    scatter, one cumsum-parity — no per-pixel Python. O(E*h/|y-span|)
-    crossings + O(h*w) fill per tile."""
+    Vectorized: per-edge scanline ranges via two searchsorted calls on the
+    exact center array (same float comparisons as a dense matrix would
+    make, so boundary semantics are identical), expanded with
+    repeat/arange — O(E log h + actual crossings) time and O(E +
+    crossings) memory, never a dense (E, h) matrix (a 200k-edge coastline
+    at h=1024 would otherwise allocate ~200 MB of booleans per task);
+    then one np.add.at column scatter and one cumsum-parity — no
+    per-pixel Python. O(h*w) fill per tile."""
     mask_delta = np.zeros((h, w + 1), dtype=np.int32)
     sy = extent / h
     sx = extent / w
@@ -300,12 +305,18 @@ def fill_polygons_mask(
         x1, y1, x2, y2 = x1[keep], y1[keep], x2[keep], y2[keep]
         ymin = np.minimum(y1, y2)
         ymax = np.maximum(y1, y2)
-        # (E, h) crossing matrix: scanline j crosses edge i iff
-        # ymin_i <= ys_j < ymax_i (half-open ==> shared vertices count once)
-        hit = (ymin[:, None] <= ys[None, :]) & (ys[None, :] < ymax[:, None])
-        ei, yj = np.nonzero(hit)
-        if len(ei) == 0:
+        # scanline j crosses edge i iff ymin_i <= ys_j < ymax_i (half-open
+        # => shared vertices count once): first/last j per edge via exact
+        # comparisons against the sorted center array
+        j0 = np.searchsorted(ys, ymin, side="left")
+        j1 = np.searchsorted(ys, ymax, side="left") - 1
+        counts = np.maximum(j1 - j0 + 1, 0)
+        total = int(counts.sum())
+        if total == 0:
             continue
+        ei = np.repeat(np.arange(len(counts)), counts)
+        starts = np.repeat(np.concatenate([[0], np.cumsum(counts)[:-1]]), counts)
+        yj = j0[ei] + (np.arange(total) - starts)
         xs = x1[ei] + (ys[yj] - y1[ei]) * (x2[ei] - x1[ei]) / (y2[ei] - y1[ei])
         # crossing toggles every center with cx >= xs: activate from column
         # c0 = ceil(xs/sx - 0.5); c0 > w-1 never lands, c0 < 0 clamps to 0

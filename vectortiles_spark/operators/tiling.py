@@ -1195,9 +1195,11 @@ def diff_tile_sets(
             F.col("n_features").cast("bigint").alias(f"n_features_{side}"),
             F.length("mvt").cast("bigint").alias(f"mvt_bytes_{side}"),
             F.xxhash64("mvt").alias(f"_h1_{side}"),
-            # second independent hash: different arity => different seed
-            # mixing, giving a combined ~128-bit discriminator
-            F.xxhash64("mvt", F.lit(0x9E3779B9)).alias(f"_h2_{side}"),
+            # second independent hash: the salt goes FIRST, reseeding the
+            # blob hash itself (xxhash64 folds columns sequentially, so a
+            # TRAILING salt would make _h2 a pure function of _h1 and add
+            # zero collision resistance)
+            F.xxhash64(F.lit(0x9E3779B9), F.col("mvt")).alias(f"_h2_{side}"),
             F.lit(True).alias(f"_present_{side}"),
         )
     a, b = slim(old, "old"), slim(new, "new")

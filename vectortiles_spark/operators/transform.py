@@ -236,7 +236,19 @@ def rescale_tiles(tiles: DataFrame, new_extent: int) -> DataFrame:
                         # re-close after dedupe collapsed the closure pair
                         if len(r) and (r[0] != r[-1]).any():
                             r = np.concatenate([r, r[:1]])
-                        bad = len(r) < 4 or surveyor(r) == 0.0
+                        # a ring is dead when it degenerates (too few
+                        # vertices / zero area) OR when floor scaling
+                        # FLIPPED its winding sign: decode groups rings
+                        # into polygons by sign, so a flipped hole would
+                        # start a bogus new exterior (and a flipped
+                        # exterior would be absorbed as a hole) — a
+                        # sign-flipped sliver is below resolution anyway
+                        bad = (
+                            len(r) < 4
+                            or surveyor(r) == 0.0
+                            or np.sign(surveyor(r))
+                            != np.sign(surveyor(np.asarray(ring, np.int64)))
+                        )
                         if bad and ri == 0:
                             dead_exterior = True
                             break
