@@ -237,3 +237,21 @@ def test_interval_join_is_sortmerge_or_broadcast(spark):
     )
     j = interval_join(pts, wins, ts_col="ts", start_col="s", end_col="e", bin_s=1800)
     audit.assert_no_cartesian(j)
+
+
+def test_focal_map_single_shuffle(spark):
+    """The halo exchange is ONE shuffle on the tile key: strip emission
+    is a zero-shuffle mapInPandas, assembly one bounded-group (<= 9
+    parts) aggregation — never a self-join per neighbor direction."""
+    import pandas as pd
+
+    from vectortiles_spark.operators.raster import focal_map
+
+    rasters = spark.createDataFrame(pd.DataFrame([
+        {"tile_z": 3, "tile_x": x, "tile_y": y, "w": 8, "h": 8,
+         "px": bytes(64)}
+        for x in range(2) for y in range(2)
+    ]))
+    out = focal_map(rasters, op="grad")
+    audit.assert_no_cartesian(out)
+    assert audit.count_shuffles(out) == 1

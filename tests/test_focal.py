@@ -1,0 +1,144 @@
+"""focal_map: 3x3 stencil with cross-tile halo exchange (SURVEY.md D40).
+
+The ground truth is a single global NumPy computation over the assembled
+mosaic with a constant pad outside it; the operator must reproduce it
+bit-for-bit from the tiled relation, for every op, including tiles whose
+neighbors are missing (sparse grids) and non-zero pad values.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from vectortiles_spark.operators.raster import focal_map
+
+
+def _global_focal(g: np.ndarray, op: str, default: int) -> np.ndarray:
+    h, w = g.shape
+    pad = np.full((h + 2, w + 2), default, dtype=np.int32)
+    pad[1:h + 1, 1:w + 1] = g
+    if op == "grad":
+        gx = np.abs(pad[1:h + 1, 2:] - pad[1:h + 1, :w])
+        gy = np.abs(pad[2:, 1:w + 1] - pad[:h, 1:w + 1])
+        return np.minimum(gx + gy, 255).astype(np.uint8)
+    red = np.maximum.reduce if op == "max" else np.minimum.reduce
+    return red(
+        [pad[r:r + h, c:c + w] for r in range(3) for c in range(3)]
+    ).astype(np.uint8)
+
+
+def _tile_df(spark, g: np.ndarray, ts: int, skip=()):
+    h, w = g.shape
+    rows = [
+        {"tile_z": 3, "tile_x": tx, "tile_y": ty, "w": ts, "h": ts,
+         "px": np.ascontiguousarray(
+             g[ty * ts:(ty + 1) * ts, tx * ts:(tx + 1) * ts]
+         ).tobytes()}
+        for ty in range(h // ts) for tx in range(w // ts)
+        if (tx, ty) not in skip
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows))
+
+
+def _collect_grids(df, ts: int) -> dict:
+    return {
+        (r["tile_x"], r["tile_y"]): np.frombuffer(
+            r["px"], dtype=np.uint8
+        ).reshape(ts, ts)
+        for r in df.collect()
+    }
+
+
+@pytest.mark.parametrize("op", ["max", "min", "grad"])
+def test_focal_matches_global_computation(spark, op):
+    rng = np.random.RandomState(7)
+    g = rng.randint(0, 256, size=(96, 96)).astype(np.uint8)
+    out = _collect_grids(focal_map(_tile_df(spark, g, 32), op=op), 32)
+    exp = _global_focal(g, op, 0)
+    assert len(out) == 9
+    for (tx, ty), grid in out.items():
+        np.testing.assert_array_equal(
+            grid, exp[ty * 32:(ty + 1) * 32, tx * 32:(tx + 1) * 32],
+            err_msg=f"tile ({tx},{ty}) op={op}",
+        )
+
+
+@pytest.mark.parametrize("op", ["max", "grad"])
+def test_sparse_grid_hole_is_padded(spark, op):
+    rng = np.random.RandomState(11)
+    g = rng.randint(0, 256, size=(24, 24)).astype(np.uint8)
+    out = _collect_grids(
+        focal_map(_tile_df(spark, g, 8, skip={(1, 1)}), op=op), 8
+    )
+    assert (1, 1) not in out  # absent tile emits nothing
+    gg = g.astype(np.int32).copy()
+    gg[8:16, 8:16] = 0  # the hole reads as pad from every neighbor
+    exp = _global_focal(gg.astype(np.uint8), op, 0)
+    for (tx, ty), grid in out.items():
+        np.testing.assert_array_equal(
+            grid, exp[ty * 8:(ty + 1) * 8, tx * 8:(tx + 1) * 8],
+            err_msg=f"tile ({tx},{ty}) op={op}",
+        )
+
+
+def test_nonzero_default_pad_with_min(spark):
+    g = np.full((16, 16), 200, dtype=np.uint8)
+    out = _collect_grids(
+        focal_map(_tile_df(spark, g, 8), op="min", default=255), 8
+    )
+    # pad=255 never wins a min against the constant-200 mosaic
+    for grid in out.values():
+        assert (grid == 200).all()
+    out0 = _collect_grids(focal_map(_tile_df(spark, g, 8), op="min"), 8)
+    # pad=0 wins exactly on the outer border of the 2x2 mosaic
+    full = np.zeros((16, 16), dtype=np.uint8) + 200
+    exp = _global_focal(full, "min", 0)
+    for (tx, ty), grid in out0.items():
+        np.testing.assert_array_equal(
+            grid, exp[ty * 8:(ty + 1) * 8, tx * 8:(tx + 1) * 8]
+        )
+
+
+def test_duplicate_raster_raises(spark):
+    g = np.zeros((8, 8), dtype=np.uint8)
+    df = _tile_df(spark, g, 8).unionAll(_tile_df(spark, g, 8))
+    with pytest.raises(Exception, match="dedupe the raster relation"):
+        focal_map(df, op="max").collect()
+
+
+def test_mixed_tile_sizes_raise(spark):
+    rows = pd.DataFrame([
+        {"tile_z": 3, "tile_x": 0, "tile_y": 0, "w": 8, "h": 8,
+         "px": bytes(64)},
+        {"tile_z": 3, "tile_x": 1, "tile_y": 0, "w": 4, "h": 4,
+         "px": bytes(16)},
+    ])
+    with pytest.raises(Exception, match="does not match"):
+        focal_map(spark.createDataFrame(rows), op="max").collect()
+
+
+def test_corrupt_rows_drop_not_crash(spark):
+    g = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    rows = pd.DataFrame([
+        {"tile_z": 3, "tile_x": 0, "tile_y": 0, "w": 8, "h": 8,
+         "px": g.tobytes()},
+        {"tile_z": 3, "tile_x": 1, "tile_y": 0, "w": 8, "h": 8,
+         "px": bytes(3)},  # short payload: drops
+        {"tile_z": 3, "tile_x": 0, "tile_y": 1, "w": -1, "h": 8,
+         "px": bytes(64)},  # bad dims: drops
+        {"tile_z": 3, "tile_x": 1, "tile_y": 1, "w": 8, "h": 8,
+         "px": None},  # NULL: drops
+    ])
+    out = _collect_grids(
+        focal_map(spark.createDataFrame(rows), op="grad"), 8
+    )
+    assert set(out) == {(0, 0)}
+    np.testing.assert_array_equal(out[(0, 0)], _global_focal(g, "grad", 0))
+
+
+def test_bad_args_raise(spark):
+    g = _tile_df(spark, np.zeros((8, 8), dtype=np.uint8), 8)
+    with pytest.raises(ValueError, match="unknown op"):
+        focal_map(g, op="blur")
+    with pytest.raises(ValueError, match="uint8 range"):
+        focal_map(g, default=300)

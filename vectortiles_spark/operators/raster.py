@@ -568,3 +568,144 @@ def composite_rasters(
         )
 
     return rasters.groupBy(*key).applyInPandas(reduce_tile, schema=RASTER_SCHEMA)
+
+
+_HALO_PART_SCHEMA = (
+    "tile_z int, tile_x int, tile_y int, su tinyint, sv tinyint, "
+    "sw int, sh int, px binary"
+)
+
+
+def focal_map(
+    rasters: DataFrame, op: str = "max", default: int = 0
+) -> DataFrame:
+    """3x3 focal filter over a tiled raster mosaic with cross-tile HALO
+    EXCHANGE: each output pixel is a function of its 3x3 neighborhood in
+    the GLOBAL mosaic, so tile borders need one pixel of context from up
+    to 8 neighbor tiles. Ops (all integer-exact, replayable in SQL):
+
+    - ``max`` / ``min``: 9-pixel window extremum (dilation / erosion).
+    - ``grad``: central-difference gradient magnitude
+      ``min(255, |E - W| + |S - N|)`` — the classic slope/edge measure,
+      saturated to the uint8 range.
+
+    Pixels whose window reaches past the edge of the EXISTING tile set
+    (missing neighbor, global mosaic border) read ``default`` there —
+    a deterministic zero-pad-style policy the oracle replays in closed
+    form. Output tiles are exactly the input tiles (a halo strip sent to
+    a tile that has no raster of its own evaporates).
+
+    Scale shape: stage 1 is a zero-shuffle ``mapInPandas`` that emits,
+    per tile, its own grid plus the 4 one-pixel edge strips and 4 corner
+    pixels its neighbors need — shuffled bytes are ``h*w + 2(h+w) + 4``
+    per tile, ~1.07x the minimum for a 64x64 tile, and NOT 9x (no tile
+    is ever shipped whole to a neighbor). Stage 2 is ONE shuffle on the
+    tile key; group size is bounded at 9 parts so the op is skew-proof by
+    construction; per-task memory is one (h+2)x(w+2) int32 accumulator.
+    Duplicate rasters for one tile raise (upstream dedup bug — same
+    policy as zonal_stats); corrupt rows drop (raster_to_features
+    policy); neighbor strips whose shared dimension disagrees with the
+    center tile raise (grid bug, not noise).
+    """
+    import pandas as pd
+
+    if op not in ("max", "min", "grad"):
+        raise ValueError(f"unknown op {op!r}")
+    if not 0 <= default <= 255:
+        raise ValueError(f"default {default} outside uint8 range")
+    key = ["tile_z", "tile_x", "tile_y"]
+
+    def emit_parts(batches):
+        for pdf in batches:
+            out = {c: [] for c in (
+                "tile_z", "tile_x", "tile_y", "su", "sv", "sw", "sh", "px",
+            )}
+            for z, x, y, w, h, raw in zip(
+                pdf["tile_z"], pdf["tile_x"], pdf["tile_y"],
+                pdf["w"], pdf["h"], pdf["px"],
+            ):
+                # corrupt input drops THIS raster, never the task
+                # (raster_to_features / composite_rasters policy)
+                if (
+                    raw is None
+                    or w is None or h is None
+                    or w <= 0 or h <= 0
+                    or len(raw) < int(w) * int(h)
+                ):
+                    continue
+                z, x, y, w, h = int(z), int(x), int(y), int(w), int(h)
+                g = np.frombuffer(raw, dtype=np.uint8, count=w * h).reshape(h, w)
+                for u in (-1, 0, 1):
+                    cols = g[:, -1:] if u == 1 else (g[:, :1] if u == -1 else g)
+                    for v in (-1, 0, 1):
+                        strip = (
+                            cols[-1:, :] if v == 1
+                            else (cols[:1, :] if v == -1 else cols)
+                        )
+                        out["tile_z"].append(z)
+                        out["tile_x"].append(x + u)
+                        out["tile_y"].append(y + v)
+                        # side of the TARGET's padded frame this strip
+                        # fills: the neighbor at (+u,+v) sees this tile
+                        # on its (-u,-v) side
+                        out["su"].append(-u)
+                        out["sv"].append(-v)
+                        out["sw"].append(strip.shape[1])
+                        out["sh"].append(strip.shape[0])
+                        out["px"].append(np.ascontiguousarray(strip).tobytes())
+            yield pd.DataFrame(out)
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        center = pdf[(pdf["su"] == 0) & (pdf["sv"] == 0)]
+        if len(center) == 0:
+            # halo strips addressed to a tile with no raster of its own
+            return pd.DataFrame({c: [] for c in (
+                "tile_z", "tile_x", "tile_y", "w", "h", "px",
+            )})
+        z, x, y = (int(pdf[k].iloc[0]) for k in key)
+        if len(center) > 1:
+            raise ValueError(
+                f"focal_map: {len(center)} rasters for tile ({z},{x},{y}) "
+                "— dedupe the raster relation first"
+            )
+        w = int(center["sw"].iloc[0])
+        h = int(center["sh"].iloc[0])
+        pad = np.full((h + 2, w + 2), default, dtype=np.int32)
+        for su, sv, sw, sh, raw in zip(
+            pdf["su"], pdf["sv"], pdf["sw"], pdf["sh"], pdf["px"]
+        ):
+            su, sv, sw, sh = int(su), int(sv), int(sw), int(sh)
+            # side (su, sv) of the padded frame: -1 = the 1-wide halo
+            # lane at index 0, 0 = the interior, +1 = the far halo lane
+            rs = slice(0, 1) if sv == -1 else (
+                slice(h + 1, h + 2) if sv == 1 else slice(1, h + 1)
+            )
+            cs = slice(0, 1) if su == -1 else (
+                slice(w + 1, w + 2) if su == 1 else slice(1, w + 1)
+            )
+            want = (rs.stop - rs.start, cs.stop - cs.start)
+            if (sh, sw) != want:
+                raise ValueError(
+                    f"focal_map: strip {sh}x{sw} on side ({su},{sv}) of "
+                    f"tile ({z},{x},{y}) does not match the {h}x{w} "
+                    "center — resample the grid to one tile size first"
+                )
+            pad[rs, cs] = np.frombuffer(
+                raw, dtype=np.uint8, count=sh * sw
+            ).reshape(sh, sw)
+        if op == "grad":
+            gx = np.abs(pad[1:h + 1, 2:] - pad[1:h + 1, :w])
+            gy = np.abs(pad[2:, 1:w + 1] - pad[:h, 1:w + 1])
+            res = np.minimum(gx + gy, 255)
+        else:
+            reduce = np.maximum.reduce if op == "max" else np.minimum.reduce
+            res = reduce([
+                pad[r:r + h, c:c + w] for r in range(3) for c in range(3)
+            ])
+        return pd.DataFrame(
+            {"tile_z": [z], "tile_x": [x], "tile_y": [y],
+             "w": [w], "h": [h], "px": [res.astype(np.uint8).tobytes()]}
+        )
+
+    parts = rasters.mapInPandas(emit_parts, schema=_HALO_PART_SCHEMA)
+    return parts.groupBy(*key).applyInPandas(assemble, schema=RASTER_SCHEMA)

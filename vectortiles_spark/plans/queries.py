@@ -1982,6 +1982,88 @@ ORDER BY tile_x, tile_y
 """
 
 
+def q_focal_grad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Focal gradient with cross-tile halo exchange under the value
+    oracle (operators/raster.py:focal_map): an 8x8 mosaic of 64x64 tiles
+    whose GLOBAL pixel field is the closed form
+    ``v(gx, gy) = (gx*13 + gy*17 + 7) % 251``; the 3x3
+    central-difference gradient ``min(255, |E-W| + |S-N|)`` needs one
+    pixel of neighbor context at every tile border (zero pad outside the
+    mosaic), so a wrong or missing halo strip shifts border values and
+    breaks the per-tile sums. Stats replay in closed form in SQL."""
+    import numpy as np
+    import pandas as pd
+
+    from vectortiles_spark.operators import tiling
+    from vectortiles_spark.operators.raster import focal_map, zonal_stats
+
+    rows_i, cols_i = np.arange(64)[:, None], np.arange(64)[None, :]
+    rasters = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {"tile_z": 3, "tile_x": tx, "tile_y": ty, "w": 64, "h": 64,
+                 "px": (((tx * 64 + cols_i) * 13 + (ty * 64 + rows_i) * 17
+                         + 7) % 251).astype(np.uint8).tobytes()}
+                for tx in range(8) for ty in range(8)
+            ]
+        )
+    )
+    grad = focal_map(rasters, op="grad")
+    grid = spark.range(64).select(
+        F.lit(3).alias("tile_z"),
+        (F.col("id") % 8).cast("int").alias("tile_x"),
+        (F.col("id") / 8).cast("int").alias("tile_y"),
+        F.lit("full").alias("layer"),
+        F.lit(3).alias("geom_type"),
+        F.col("id").alias("feature_id"),
+        F.array(F.array(F.array(
+            F.array(F.lit(0.0), F.lit(0.0)), F.array(F.lit(4096.0), F.lit(0.0)),
+            F.array(F.lit(4096.0), F.lit(4096.0)), F.array(F.lit(0.0), F.lit(4096.0)),
+            F.array(F.lit(0.0), F.lit(0.0)),
+        ))).alias("geom"),
+    )
+    feats = tiling.geom_features(grid)
+    return (
+        zonal_stats(feats, grad)
+        .select("tile_x", "tile_y", "n_px", "sum_val", "min_val", "max_val",
+                "mean_val")
+        .orderBy("tile_x", "tile_y")
+    )
+
+
+def _focal_grad_sql() -> str:
+    # the same global pixel field focal_map sees, zero outside the mosaic
+    def v(ax: str, ay: str) -> str:
+        return (
+            f"(CASE WHEN ({ax}) BETWEEN 0 AND 511 AND ({ay}) BETWEEN 0 AND 511 "
+            f"THEN (({ax}) * 13 + ({ay}) * 17 + 7) % 251 ELSE 0 END)"
+        )
+
+    return f"""
+WITH t AS (
+  SELECT tx.range AS tile_x, ty.range AS tile_y FROM range(8) tx, range(8) ty
+), g AS (
+  SELECT tile_x, tile_y,
+         least(255,
+               abs({v("tile_x * 64 + c.range + 1", "tile_y * 64 + r.range")}
+                   - {v("tile_x * 64 + c.range - 1", "tile_y * 64 + r.range")})
+             + abs({v("tile_x * 64 + c.range", "tile_y * 64 + r.range + 1")}
+                   - {v("tile_x * 64 + c.range", "tile_y * 64 + r.range - 1")}))
+           AS val
+  FROM t, range(64) r, range(64) c
+)
+SELECT tile_x::INT AS tile_x, tile_y::INT AS tile_y,
+       count(*) AS n_px, sum(val)::BIGINT AS sum_val,
+       min(val)::INT AS min_val, max(val)::INT AS max_val,
+       sum(val)::DOUBLE / count(*) AS mean_val
+FROM g GROUP BY 1, 2
+ORDER BY tile_x, tile_y
+"""
+
+
+Q_FOCAL_GRAD_SQL = _focal_grad_sql()
+
+
 def q_cluster_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point clustering under the value oracle: customers grid-clustered
     at z=4 equirectangular tiles with 256px bins — one representative
