@@ -452,3 +452,130 @@ def knn_join_geodesic(
             break
         r = min(r * 2.0, float(max_r_m))
     return results.select(query_id, cand_id, "dist_m", "rank")
+
+
+def snap_join(
+    points: DataFrame,
+    segments: DataFrame,
+    radius: float,
+    point_id: str = "point_id",
+    seg_id: str = "seg_id",
+    x: str = "x",
+    y: str = "y",
+    ax: str = "ax",
+    ay: str = "ay",
+    bx: str = "bx",
+    by: str = "by",
+    max_cells_per_segment: int = 4096,
+) -> DataFrame:
+    """Snap every point to its NEAREST segment within ``radius`` (planar
+    coordinates — tile-local, WebMercator meters, any uniform plane): the
+    map-matching primitive (GPS trace -> road edge), also address
+    interpolation and network conflation. Emits one row per matched
+    point: ``(point_id, seg_id, t, snap_x, snap_y, dist2, dist)`` where
+    ``t`` in [0, 1] parameterizes the closest point ``(snap_x, snap_y) =
+    a + t*(b - a)`` on the winning segment. Points with no segment in
+    range leave the relation (inner semantics). Degenerate segments
+    (a == b) snap with t = 0.
+
+    LOSSLESS pruning, same shape as distance_join: grid cells are
+    ``radius`` wide; a segment registers in every cell its bbox overlaps,
+    a point probes its 3x3 cell block. Any segment within ``radius`` of
+    point p has a closest point q with |q - p| <= radius, q lies in p's
+    3x3 block AND inside the segment's bbox — so the candidate pair
+    always survives the equi-join. Exact refinement is the closed-form
+    projection clamp ``t = clip(dot / len2, 0, 1)`` — pure Column
+    algebra a SQL oracle replays in the same IEEE op order. The winner
+    is the deterministic argmin on ``(dist2, seg_id)``; a pair reached
+    through several probe cells collapses in the same argmin, so no
+    dedupe shuffle exists.
+
+    Scale shape: the point side explodes x9 carrying only (id, x, y);
+    the segment side explodes by bbox cell count — bounded by
+    length/radius and GUARDED by ``max_cells_per_segment`` (a
+    continent-length segment in a meter-radius join is a modeling bug;
+    it raises loudly instead of silently exploding the shuffle). ONE
+    equi-join shuffle pair plus one map-side-partial min_by aggregation
+    on point_id. Skewed cells (many segments under one dense point
+    cluster) split under AQE; group state in the argmin is one row.
+    """
+    if radius <= 0:
+        raise ValueError(f"radius must be positive, got {radius}")
+    r = float(radius)
+
+    p = points.select(
+        F.col(point_id).alias("__pid"),
+        F.col(x).cast("double").alias("__px"),
+        F.col(y).cast("double").alias("__py"),
+    )
+    s = segments.select(
+        F.col(seg_id).alias("__sid"),
+        F.col(ax).cast("double").alias("__ax"),
+        F.col(ay).cast("double").alias("__ay"),
+        F.col(bx).cast("double").alias("__bx"),
+        F.col(by).cast("double").alias("__by"),
+    )
+
+    def cell(c):
+        return F.floor(c / F.lit(r)).cast("bigint")
+
+    sx0, sx1 = cell(F.least("__ax", "__bx")), cell(F.greatest("__ax", "__bx"))
+    sy0, sy1 = cell(F.least("__ay", "__by")), cell(F.greatest("__ay", "__by"))
+    ncells = (sx1 - sx0 + 1) * (sy1 - sy0 + 1)
+    guard = F.when(
+        ncells > F.lit(int(max_cells_per_segment)),
+        F.raise_error(F.concat(
+            F.lit("snap_join: segment "), F.col("__sid").cast("string"),
+            F.lit(f" covers more than {max_cells_per_segment} grid cells "
+                  "at this radius — split long segments (or raise "
+                  "max_cells_per_segment) first"),
+        )).cast("bigint"),
+    ).otherwise(sx0)
+    sc = (
+        s.withColumn("__cx", F.explode(F.sequence(guard, sx1)))
+        .withColumn("__cy", F.explode(F.sequence(sy0, sy1)))
+    )
+    pc = (
+        p.withColumn("__dx", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .withColumn("__dy", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .select(
+            "__pid", "__px", "__py",
+            (cell(F.col("__px")) + F.col("__dx")).alias("__cx"),
+            (cell(F.col("__py")) + F.col("__dy")).alias("__cy"),
+        )
+    )
+    j = pc.join(sc, ["__cx", "__cy"])
+    dxs, dys = F.col("__bx") - F.col("__ax"), F.col("__by") - F.col("__ay")
+    len2 = dxs * dxs + dys * dys
+    dot = (F.col("__px") - F.col("__ax")) * dxs + (
+        F.col("__py") - F.col("__ay")
+    ) * dys
+    t = F.when(len2 == 0, F.lit(0.0)).otherwise(
+        F.least(F.lit(1.0), F.greatest(F.lit(0.0), dot / len2))
+    )
+    j = j.withColumn("__t", t)
+    snap_x = F.col("__ax") + F.col("__t") * dxs
+    snap_y = F.col("__ay") + F.col("__t") * dys
+    j = j.withColumn("__sx", snap_x).withColumn("__sy", snap_y)
+    d2 = (F.col("__px") - F.col("__sx")) * (F.col("__px") - F.col("__sx")) + (
+        F.col("__py") - F.col("__sy")
+    ) * (F.col("__py") - F.col("__sy"))
+    cand = j.withColumn("__d2", d2).filter(F.col("__d2") <= F.lit(r * r))
+    best = cand.groupBy("__pid").agg(
+        F.min_by(
+            F.struct(
+                F.col("__sid"), F.col("__t"), F.col("__sx"), F.col("__sy"),
+                F.col("__d2"),
+            ),
+            F.struct(F.col("__d2"), F.col("__sid")),
+        ).alias("__b")
+    )
+    return best.select(
+        F.col("__pid").alias(point_id),
+        F.col("__b.__sid").alias(seg_id),
+        F.col("__b.__t").alias("t"),
+        F.col("__b.__sx").alias("snap_x"),
+        F.col("__b.__sy").alias("snap_y"),
+        F.col("__b.__d2").alias("dist2"),
+        F.sqrt("__b.__d2").alias("dist"),
+    )

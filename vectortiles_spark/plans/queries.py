@@ -2064,6 +2064,71 @@ ORDER BY tile_x, tile_y
 Q_FOCAL_GRAD_SQL = _focal_grad_sql()
 
 
+def q_snap_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-segment snap join under the value oracle
+    (operators/spatial_join.py:snap_join — the map-matching primitive):
+    customers as planar points, suppliers as deterministic segments on a
+    4000x4000 plane, radius 128. The oracle brute-forces every pair with
+    the IDENTICAL projection-clamp arithmetic (same IEEE op order:
+    clip(dot/len2), a + t*(b-a), squared distance) and the same
+    (dist2, seg_id) argmin, proving the grid pruning lossless."""
+    from vectortiles_spark.operators.spatial_join import snap_join
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    ck, sk = F.col("c_custkey"), F.col("s_suppkey")
+    pts = cust.select(
+        ck.alias("point_id"),
+        ((ck * 131 % 4000).cast("double") + 0.25).alias("x"),
+        ((ck * 197 % 4000).cast("double") + 0.5).alias("y"),
+    )
+    segs = supp.select(
+        sk.alias("seg_id"),
+        (sk * 37 % 4000).cast("double").alias("ax"),
+        (sk * 61 % 4000).cast("double").alias("ay"),
+        ((sk * 37 % 4000) + (sk * 13 % 400) - 200).cast("double").alias("bx"),
+        ((sk * 61 % 4000) + (sk * 29 % 400) - 200).cast("double").alias("by"),
+    )
+    return snap_join(pts, segs, radius=128.0).orderBy("point_id")
+
+
+Q_SNAP_SEGMENTS_SQL = """
+WITH p AS (
+  SELECT c_custkey AS point_id,
+         (c_custkey * 131 % 4000)::DOUBLE + 0.25 AS x,
+         (c_custkey * 197 % 4000)::DOUBLE + 0.5 AS y
+  FROM customer
+), s AS (
+  SELECT s_suppkey AS seg_id,
+         (s_suppkey * 37 % 4000)::DOUBLE AS ax,
+         (s_suppkey * 61 % 4000)::DOUBLE AS ay,
+         ((s_suppkey * 37 % 4000) + (s_suppkey * 13 % 400) - 200)::DOUBLE AS bx,
+         ((s_suppkey * 61 % 4000) + (s_suppkey * 29 % 400) - 200)::DOUBLE AS by
+  FROM supplier
+), cand AS (
+  SELECT point_id, seg_id, x, y, ax, ay, bx, by,
+         CASE WHEN (bx-ax)*(bx-ax) + (by-ay)*(by-ay) = 0 THEN 0.0
+              ELSE least(1.0, greatest(0.0,
+                     ((x-ax)*(bx-ax) + (y-ay)*(by-ay))
+                     / ((bx-ax)*(bx-ax) + (by-ay)*(by-ay)))) END AS t
+  FROM p, s
+), sn AS (
+  SELECT point_id, seg_id, t,
+         ax + t * (bx-ax) AS snap_x, ay + t * (by-ay) AS snap_y,
+         (x - (ax + t * (bx-ax))) * (x - (ax + t * (bx-ax)))
+       + (y - (ay + t * (by-ay))) * (y - (ay + t * (by-ay))) AS d2
+  FROM cand
+), best AS (
+  SELECT point_id, seg_id, t, snap_x, snap_y, d2,
+         row_number() OVER (PARTITION BY point_id ORDER BY d2, seg_id) AS rn
+  FROM sn WHERE d2 <= 128.0 * 128.0
+)
+SELECT point_id, seg_id, t, snap_x, snap_y, d2 AS dist2, sqrt(d2) AS dist
+FROM best WHERE rn = 1
+ORDER BY point_id
+"""
+
+
 def q_cluster_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point clustering under the value oracle: customers grid-clustered
     at z=4 equirectangular tiles with 256px bins — one representative
