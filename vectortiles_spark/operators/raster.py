@@ -709,3 +709,84 @@ def focal_map(
 
     parts = rasters.mapInPandas(emit_parts, schema=_HALO_PART_SCHEMA)
     return parts.groupBy(*key).applyInPandas(assemble, schema=RASTER_SCHEMA)
+
+
+def resample_rasters(rasters: DataFrame, w: int, h: int) -> DataFrame:
+    """Resample every raster tile to a ``w x h`` grid — the missing link
+    composite_rasters and focal_map tell users to run when tile grids
+    disagree. Integer-exact both directions, so a SQL oracle replays it:
+
+    - DOWNSAMPLE (source dim a multiple of target): box filter with the
+      exact integer mean ``block_sum // (fx*fy)`` — one combined floor
+      division, never a floor-of-floors drift.
+    - UPSAMPLE (target dim a multiple of source): nearest-neighbor pixel
+      repetition (exact by construction).
+
+    The two compose per axis (up in x while down in y is legal); the
+    upsampled axis expands first (exact), then the box filter sums. Any
+    non-integer ratio raises — silent fractional resampling is how grids
+    drift half a pixel and every downstream join goes subtly wrong.
+
+    Scale shape: ZERO shuffles — a pure mapInPandas over the tile rows;
+    per-task memory is one source + one target grid. Corrupt rows drop
+    (raster_to_features policy).
+    """
+    import pandas as pd
+
+    if w <= 0 or h <= 0:
+        raise ValueError(f"target dims must be positive, got {w}x{h}")
+
+    def one_axis(g: np.ndarray, axis: int, src: int, dst: int) -> np.ndarray:
+        if src == dst:
+            return g
+        if dst > src:
+            if dst % src:
+                raise ValueError(
+                    f"resample_rasters: {src} -> {dst} is not an integer "
+                    "upsample factor"
+                )
+            return np.repeat(g, dst // src, axis=axis)
+        if src % dst:
+            raise ValueError(
+                f"resample_rasters: {src} -> {dst} is not an integer "
+                "downsample factor"
+            )
+        return g  # downsample handled jointly below for one exact division
+
+    def run(batches):
+        for pdf in batches:
+            out = {c: [] for c in (
+                "tile_z", "tile_x", "tile_y", "w", "h", "px",
+            )}
+            for z, x, y, sw, sh, raw in zip(
+                pdf["tile_z"], pdf["tile_x"], pdf["tile_y"],
+                pdf["w"], pdf["h"], pdf["px"],
+            ):
+                if (
+                    raw is None
+                    or sw is None or sh is None
+                    or sw <= 0 or sh <= 0
+                    or len(raw) < int(sw) * int(sh)
+                ):
+                    continue
+                sw, sh = int(sw), int(sh)
+                g = np.frombuffer(raw, dtype=np.uint8, count=sw * sh).reshape(
+                    sh, sw
+                ).astype(np.int64)
+                # expand any upsampled axis first (exact), then box-filter
+                # the downsampled axes with ONE combined floor division
+                g = one_axis(g, 1, sw, w)
+                g = one_axis(g, 0, sh, h)
+                cw, ch = g.shape[1], g.shape[0]
+                fx, fy = cw // w, ch // h
+                if fx > 1 or fy > 1:
+                    g = g.reshape(h, fy, w, fx).sum(axis=(1, 3)) // (fx * fy)
+                out["tile_z"].append(int(z))
+                out["tile_x"].append(int(x))
+                out["tile_y"].append(int(y))
+                out["w"].append(w)
+                out["h"].append(h)
+                out["px"].append(g.astype(np.uint8).tobytes())
+            yield pd.DataFrame(out)
+
+    return rasters.mapInPandas(run, schema=RASTER_SCHEMA)

@@ -2064,6 +2064,84 @@ ORDER BY tile_x, tile_y
 Q_FOCAL_GRAD_SQL = _focal_grad_sql()
 
 
+def q_raster_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact raster resampling under the value oracle
+    (operators/raster.py:resample_rasters): the zonal-stats closed-form
+    field downsampled 64->16 (exact block mean, ONE combined floor
+    division) and upsampled 64->128 (nearest repeat), both lanes then
+    aggregated per tile through zonal_stats full-tile rectangles. The
+    oracle replays block sums and pixel repetition in closed form."""
+    import numpy as np
+    import pandas as pd
+
+    from vectortiles_spark.operators import tiling
+    from vectortiles_spark.operators.raster import resample_rasters, zonal_stats
+
+    rows_i, cols_i = np.arange(64)[:, None], np.arange(64)[None, :]
+    rasters = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {"tile_z": 3, "tile_x": tx, "tile_y": ty, "w": 64, "h": 64,
+                 "px": ((tx * 31 + rows_i * 17 + cols_i * 13) % 251)
+                 .astype(np.uint8).tobytes()}
+                for tx in range(8) for ty in range(8)
+            ]
+        )
+    )
+    grid = spark.range(64).select(
+        F.lit(3).alias("tile_z"),
+        (F.col("id") % 8).cast("int").alias("tile_x"),
+        (F.col("id") / 8).cast("int").alias("tile_y"),
+        F.lit("full").alias("layer"),
+        F.lit(3).alias("geom_type"),
+        F.col("id").alias("feature_id"),
+        F.array(F.array(F.array(
+            F.array(F.lit(0.0), F.lit(0.0)), F.array(F.lit(4096.0), F.lit(0.0)),
+            F.array(F.lit(4096.0), F.lit(4096.0)), F.array(F.lit(0.0), F.lit(4096.0)),
+            F.array(F.lit(0.0), F.lit(0.0)),
+        ))).alias("geom"),
+    )
+    feats = tiling.geom_features(grid)
+
+    def lane(df, name):
+        return zonal_stats(feats, df).select(
+            F.lit(name).alias("lane"), "tile_x", "tile_y",
+            "n_px", "sum_val", "min_val", "max_val", "mean_val",
+        )
+
+    return (
+        lane(resample_rasters(rasters, 16, 16), "down")
+        .unionAll(lane(resample_rasters(rasters, 128, 128), "up"))
+        .orderBy("lane", "tile_x", "tile_y")
+    )
+
+
+Q_RASTER_RESAMPLE_SQL = """
+WITH t AS (
+  SELECT tx.range AS tile_x, ty.range AS tile_y FROM range(8) tx, range(8) ty
+), down AS (
+  SELECT tile_x, tile_y, r.range // 4 AS br, c.range // 4 AS bc,
+         sum((tile_x * 31 + r.range * 17 + c.range * 13) % 251) // 16 AS val
+  FROM t, range(64) r, range(64) c
+  GROUP BY 1, 2, 3, 4
+), up AS (
+  SELECT tile_x, tile_y,
+         (tile_x * 31 + (r.range // 2) * 17 + (c.range // 2) * 13) % 251 AS val
+  FROM t, range(128) r, range(128) c
+), u AS (
+  SELECT 'down' AS lane, tile_x, tile_y, val FROM down
+  UNION ALL
+  SELECT 'up' AS lane, tile_x, tile_y, val FROM up
+)
+SELECT lane, tile_x::INT AS tile_x, tile_y::INT AS tile_y,
+       count(*) AS n_px, sum(val)::BIGINT AS sum_val,
+       min(val)::INT AS min_val, max(val)::INT AS max_val,
+       sum(val)::DOUBLE / count(*) AS mean_val
+FROM u GROUP BY 1, 2, 3
+ORDER BY lane, tile_x, tile_y
+"""
+
+
 def q_snap_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest-segment snap join under the value oracle
     (operators/spatial_join.py:snap_join — the map-matching primitive):
