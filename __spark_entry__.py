@@ -3,7 +3,7 @@
 ``entry`` runs the flagship pipeline (point features -> groupBy(z,x,y) ->
 applyInArrow MVT encode) on sf0.001. ``queries``/``oracle_sql`` pair every
 implemented operator family from SURVEY.md §2 with a DuckDB-checkable oracle
-(95 queries, 95 value-checked — including byte-exact MVT blob sizes, the
+(96 queries, 96 value-checked — including byte-exact MVT blob sizes, the
 tileset/MBTiles/PMTiles ingest circles, the multi-zoom pyramid builder,
 trained-IVF and PQ/ADC ANN, as-of/interval joins, HLL/KMV/histogram-quantile
 sketches whose ESTIMATES replay in DuckDB bit-for-bit, the composed corpus
@@ -136,6 +136,44 @@ def _q_image_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q_IMAGE_AUGMENT_SQL = """
 SELECT 1200 AS n, 0 AS n_failed, 0 AS hflip2_mismatch, 0 AS rot4_mismatch,
        0 AS gray_idem_mismatch
+"""
+
+
+def _q_image_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image quality gate (operators/images.py:quality_stats — the image
+    twin of the text quality filters): integer-exact Laplacian blur
+    energy, contrast, and exposure-clipping counters over the seeded
+    deterministic image table, aggregated to a known constant — oracled
+    by the literal Q_IMAGE_QUALITY_SQL (values verified partitioning-
+    independent at 3 and 32 partitions; tests/test_image_quality.py pins
+    the per-pixel arithmetic against a NumPy twin)."""
+    from vectortiles_spark.operators.images import quality_stats
+    from vectortiles_spark.sources.synth import images_df
+
+    n = 500 if "0.001" in sf_dir else 1200
+    q = quality_stats(images_df(spark, n, seed=42))
+    return q.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(~F.col("ok"), 1).otherwise(0)).alias("n_failed"),
+        F.sum("lap_sum").alias("lap_total"),
+        F.min("contrast").alias("min_contrast"),
+        F.max("contrast").alias("max_contrast"),
+        F.sum("n_dark").alias("dark_total"),
+        F.sum("n_bright").alias("bright_total"),
+        F.sum(
+            F.when(F.col("lap_sum") * 16 >= F.col("n_px"), 1).otherwise(0)
+        ).alias("n_sharp"),
+    )
+
+
+# Literal-expected oracle (same contract as Q_IMAGE_INVARIANTS_SQL): every
+# measure is exact integer arithmetic on the integer gray plane, so the
+# aggregate over images_df(1200, seed=42) is a deterministic constant.
+# DuckDB cannot replay the image codec, but it can state the constant.
+Q_IMAGE_QUALITY_SQL = """
+SELECT 1200 AS n, 0 AS n_failed, 6636062 AS lap_total,
+       164 AS min_contrast, 242 AS max_contrast,
+       212364 AS dark_total, 2488 AS bright_total, 1200 AS n_sharp
 """
 
 
@@ -281,6 +319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # image codec gate (literal-expected oracle — see Q_IMAGE_INVARIANTS_SQL)
         "q_image_invariants": _q_image_invariants,
         "q_image_augment": _q_image_augment,
+        "q_image_quality": _q_image_quality,
         "q_image_pyramid": _q_image_pyramid,
     }
 
@@ -384,5 +423,6 @@ def oracle_sql() -> dict[str, str]:
         "q_tfidf_topk": QT.Q_TFIDF_SQL,
         "q_image_invariants": Q_IMAGE_INVARIANTS_SQL,
         "q_image_augment": Q_IMAGE_AUGMENT_SQL,
+        "q_image_quality": Q_IMAGE_QUALITY_SQL,
         "q_image_pyramid": Q_IMAGE_PYRAMID_SQL,
     }

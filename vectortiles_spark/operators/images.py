@@ -544,3 +544,86 @@ def augment_images(
             )
 
     return images.select("image_id", "bytes", "fmt").mapInArrow(run, AUG_SCHEMA)
+
+
+QUALITY_SCHEMA = (
+    "image_id string, ok boolean, n_px int, gray_sum bigint, lap_sum bigint, "
+    "contrast int, n_dark int, n_bright int"
+)
+
+
+def quality_stats(images: DataFrame) -> DataFrame:
+    """Per-image QUALITY features for training-data filtering — the image
+    twin of the text quality gates (queries_text.py): every measure is
+    exact integer arithmetic on the integer gray plane
+    ``(r + g + b) // 3``, so thresholds behave identically everywhere and
+    an aggregate oracle can pin the values.
+
+    - ``lap_sum``: 4-neighbor Laplacian energy
+      ``sum |4p - N - S - E - W|`` over interior pixels — the classic
+      blur detector (sharp images score high, defocused ones collapse).
+    - ``contrast``: gray max - min (flat/synthetic-fill detector).
+    - ``n_dark`` / ``n_bright``: pixels < 32 / > 223 (exposure clipping).
+    - ``gray_sum`` + ``n_px``: exact mean ingredients, division left to
+      the consumer so no float leaves the executor.
+
+    Zero shuffles (pure mapInArrow); corrupt rows emit ok=false with NULL
+    measures — a planet-scale filter job drops them with a predicate, not
+    a crash (clip.py policy).
+    """
+
+    def run(batches):
+        for b in batches:
+            ids = b["image_id"].to_pylist()
+            payloads = b["bytes"].to_pylist()
+            fmts = b["fmt"].to_pylist()
+            cols = ("n_px", "gray_sum", "lap_sum", "contrast",
+                    "n_dark", "n_bright")
+            out = {k: [] for k in ("image_id", "ok") + cols}
+            for iid, raw, fmt in zip(ids, payloads, fmts):
+                try:
+                    # compute EVERY value before the first append
+                    # (decode_stats's partial-append lesson)
+                    img = ic.decode_image(raw, fmt)
+                    g = img.astype(np.int64).sum(axis=2) // 3
+                    h_, w_ = g.shape
+                    n_px = int(h_ * w_)
+                    gray_sum = int(g.sum())
+                    if h_ >= 3 and w_ >= 3:
+                        core = g[1:-1, 1:-1]
+                        lap = (
+                            4 * core - g[:-2, 1:-1] - g[2:, 1:-1]
+                            - g[1:-1, :-2] - g[1:-1, 2:]
+                        )
+                        lap_sum = int(np.abs(lap).sum())
+                    else:
+                        lap_sum = 0
+                    contrast = int(g.max() - g.min())
+                    n_dark = int((g < 32).sum())
+                    n_bright = int((g > 223).sum())
+                    out["ok"].append(True)
+                    out["n_px"].append(n_px)
+                    out["gray_sum"].append(gray_sum)
+                    out["lap_sum"].append(lap_sum)
+                    out["contrast"].append(contrast)
+                    out["n_dark"].append(n_dark)
+                    out["n_bright"].append(n_bright)
+                except Exception:
+                    out["ok"].append(False)
+                    for k in cols:
+                        out[k].append(None)
+                out["image_id"].append(iid)
+            yield pa.record_batch({
+                "image_id": pa.array(out["image_id"], pa.string()),
+                "ok": pa.array(out["ok"], pa.bool_()),
+                "n_px": pa.array(out["n_px"], pa.int32()),
+                "gray_sum": pa.array(out["gray_sum"], pa.int64()),
+                "lap_sum": pa.array(out["lap_sum"], pa.int64()),
+                "contrast": pa.array(out["contrast"], pa.int32()),
+                "n_dark": pa.array(out["n_dark"], pa.int32()),
+                "n_bright": pa.array(out["n_bright"], pa.int32()),
+            })
+
+    return images.select("image_id", "bytes", "fmt").mapInArrow(
+        run, QUALITY_SCHEMA
+    )
