@@ -790,3 +790,109 @@ def resample_rasters(rasters: DataFrame, w: int, h: int) -> DataFrame:
             yield pd.DataFrame(out)
 
     return rasters.mapInPandas(run, schema=RASTER_SCHEMA)
+
+
+OVERLAY_SCHEMA = (
+    "tile_z int, tile_x int, tile_y int, feature_a bigint, feature_b bigint, "
+    "n_px bigint"
+)
+
+
+def overlay_areas(
+    feats_a: DataFrame,
+    feats_b: DataFrame,
+    w: int = 64,
+    h: int = 64,
+    extent: int = 4096,
+    max_pairs_per_tile: int = 262_144,
+) -> DataFrame:
+    """Tabulate intersection (areal interpolation): for every pair of
+    polygons (a, b) sharing a tile, the number of ``w x h`` pixel centers
+    covered by BOTH under fill_polygons_mask's half-open pixel-center
+    rule — the discrete intersection area the classic zonal overlay
+    (population reallocation, landcover-by-district cross-tables) runs
+    on. Integer-exact for grid-aligned rectangles, so a closed-form SQL
+    oracle replays it; non-intersecting pairs emit no row.
+
+    Both inputs are canonical FEATURE_SCHEMA polygon relations (loud
+    error otherwise, zonal_stats policy).
+
+    Scale shape: ONE cogroup shuffle per side on the tile key; per task
+    one mask per A feature held against each B mask — |A|x|B| AND-counts
+    per tile, pixel-bounded work ``(|A| + |B|) * h * w`` for the fills.
+    The pair loop is guarded by ``max_pairs_per_tile``: a tile dense in
+    BOTH layers raises loudly (pre-aggregate or sub-tile first) instead
+    of silently running an O(n^2) task for hours.
+    """
+    import pandas as pd
+
+    from ..mvt.geometry import geom_from_stream
+
+    key = ["tile_z", "tile_x", "tile_y"]
+    if extent % w or extent % h:
+        raise ValueError(
+            f"grid {w}x{h} must divide extent={extent} "
+            "(pixel centers must land on exact grid coordinates)"
+        )
+
+    def masks_of(pdf: pd.DataFrame, side: str) -> list:
+        bad = pdf[pdf["geom_type"] != GEOM_POLYGON]
+        if len(bad):
+            raise ValueError(
+                f"overlay_areas: non-polygon feature (geom_type="
+                f"{int(bad['geom_type'].iloc[0])}) on side {side} — filter "
+                "to polygons first"
+            )
+        out = []
+        for fid, stream in zip(pdf["feature_id"], pdf["geom_cmds"]):
+            rings = [
+                ring
+                for poly in geom_from_stream(
+                    GEOM_POLYGON, np.asarray(stream, dtype=np.uint32)
+                )
+                for ring in poly
+            ]
+            mask = fill_polygons_mask(rings, w, h, extent)
+            if mask.any():
+                out.append((int(fid), mask))
+        return out
+
+    def cross(apdf: pd.DataFrame, bpdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({c: [] for c in (
+            "tile_z", "tile_x", "tile_y", "feature_a", "feature_b", "n_px",
+        )})
+        if len(apdf) == 0 or len(bpdf) == 0:
+            return empty
+        if len(apdf) * len(bpdf) > max_pairs_per_tile:
+            z, x, y = (int(apdf[k].iloc[0]) for k in key)
+            raise ValueError(
+                f"overlay_areas: {len(apdf)}x{len(bpdf)} feature pairs in "
+                f"tile ({z},{x},{y}) exceeds max_pairs_per_tile="
+                f"{max_pairs_per_tile} — pre-aggregate a side first"
+            )
+        a_masks = masks_of(apdf, "a")
+        b_masks = masks_of(bpdf, "b")
+        if not a_masks or not b_masks:
+            return empty
+        rows = {c: [] for c in ("feature_a", "feature_b", "n_px")}
+        for fa, ma in a_masks:
+            for fb, mb in b_masks:
+                n = int((ma & mb).sum())
+                if n:
+                    rows["feature_a"].append(fa)
+                    rows["feature_b"].append(fb)
+                    rows["n_px"].append(n)
+        if not rows["n_px"]:
+            return empty
+        res = pd.DataFrame(rows)
+        z, x, y = (int(apdf[k].iloc[0]) for k in key)
+        res.insert(0, "tile_z", z)
+        res.insert(1, "tile_x", x)
+        res.insert(2, "tile_y", y)
+        return res
+
+    return (
+        feats_a.groupBy(*key)
+        .cogroup(feats_b.groupBy(*key))
+        .applyInPandas(cross, schema=OVERLAY_SCHEMA)
+    )

@@ -2064,6 +2064,83 @@ ORDER BY tile_x, tile_y
 Q_FOCAL_GRAD_SQL = _focal_grad_sql()
 
 
+def q_overlay_areas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tabulate intersection under the value oracle
+    (operators/raster.py:overlay_areas): two deterministic rectangle
+    layers derived from supplier keys, co-tiled on an 8x8 grid; for every
+    co-tiled pair the 64x64 pixel-center intersection count. The
+    half-open pixel-center rule is integer-exact for rect edges, so the
+    oracle replays coverage in closed form (same construction as
+    q_zonal_stats/q_rasterize_polygons)."""
+    from vectortiles_spark.operators import tiling
+    from vectortiles_spark.operators.raster import overlay_areas
+
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    k = F.col("s_suppkey")
+
+    def rects(m0, m1, m2, m3, pad):
+        x0 = (k * m0 % 3000).cast("double")
+        y0 = (k * m1 % 3000).cast("double")
+        x1 = x0 + (k * m2 % 900).cast("double") + float(pad)
+        y1 = y0 + (k * m3 % 900).cast("double") + float(pad)
+        ring = F.array(
+            F.array(x0, y0), F.array(x1, y0), F.array(x1, y1),
+            F.array(x0, y1), F.array(x0, y0),
+        )
+        return tiling.geom_features(
+            supp.select(
+                F.lit(3).alias("tile_z"),
+                (k * 3 % 8).cast("int").alias("tile_x"),
+                (k * 5 % 8).cast("int").alias("tile_y"),
+                F.lit("r").alias("layer"),
+                F.lit(3).alias("geom_type"),
+                k.alias("feature_id"),
+                F.array(F.array(ring)).alias("geom"),
+            )
+        )
+
+    a = rects(131, 197, 89, 53, 64)
+    b = rects(71, 113, 43, 151, 128)
+    return (
+        overlay_areas(a, b)
+        .select("tile_x", "tile_y", "feature_a", "feature_b", "n_px")
+        .orderBy("tile_x", "tile_y", "feature_a", "feature_b")
+    )
+
+
+Q_OVERLAY_AREAS_SQL = """
+WITH a AS (
+  SELECT s_suppkey AS fa,
+         (s_suppkey * 3) % 8 AS tile_x, (s_suppkey * 5) % 8 AS tile_y,
+         (s_suppkey * 131) % 3000 AS x0, (s_suppkey * 197) % 3000 AS y0,
+         (s_suppkey * 131) % 3000 + (s_suppkey * 89) % 900 + 64 AS x1,
+         (s_suppkey * 197) % 3000 + (s_suppkey * 53) % 900 + 64 AS y1
+  FROM supplier
+), b AS (
+  SELECT s_suppkey AS fb,
+         (s_suppkey * 3) % 8 AS tile_x, (s_suppkey * 5) % 8 AS tile_y,
+         (s_suppkey * 71) % 3000 AS x0, (s_suppkey * 113) % 3000 AS y0,
+         (s_suppkey * 71) % 3000 + (s_suppkey * 43) % 900 + 128 AS x1,
+         (s_suppkey * 113) % 3000 + (s_suppkey * 151) % 900 + 128 AS y1
+  FROM supplier
+), cov AS (
+  SELECT a.tile_x, a.tile_y, a.fa, b.fb, count(*) AS n_px
+  FROM a
+  JOIN b ON a.tile_x = b.tile_x AND a.tile_y = b.tile_y,
+       range(64) cx, range(64) cy
+  WHERE a.x0 <= 64 * cx.range + 32 AND 64 * cx.range + 32 < a.x1
+    AND a.y0 <= 64 * cy.range + 32 AND 64 * cy.range + 32 < a.y1
+    AND b.x0 <= 64 * cx.range + 32 AND 64 * cx.range + 32 < b.x1
+    AND b.y0 <= 64 * cy.range + 32 AND 64 * cy.range + 32 < b.y1
+  GROUP BY 1, 2, 3, 4
+)
+SELECT tile_x::INT AS tile_x, tile_y::INT AS tile_y,
+       fa AS feature_a, fb AS feature_b, n_px
+FROM cov
+ORDER BY tile_x, tile_y, feature_a, feature_b
+"""
+
+
 def q_raster_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-exact raster resampling under the value oracle
     (operators/raster.py:resample_rasters): the zonal-stats closed-form
