@@ -3,7 +3,7 @@
 ``entry`` runs the flagship pipeline (point features -> groupBy(z,x,y) ->
 applyInArrow MVT encode) on sf0.001. ``queries``/``oracle_sql`` pair every
 implemented operator family from SURVEY.md §2 with a DuckDB-checkable oracle
-(97 queries, 97 value-checked — including byte-exact MVT blob sizes, the
+(98 queries, 98 value-checked — including byte-exact MVT blob sizes, the
 tileset/MBTiles/PMTiles ingest circles, the multi-zoom pyramid builder,
 trained-IVF and PQ/ADC ANN, as-of/interval joins, HLL/KMV/histogram-quantile
 sketches whose ESTIMATES replay in DuckDB bit-for-bit, the composed corpus
@@ -310,6 +310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_snap_segments": Q.q_snap_segments,
         "q_raster_resample": Q.q_raster_resample,
         "q_overlay_areas": Q.q_overlay_areas,
+        "q_tile_cover": Q.q_tile_cover,
         "q_overzoom": Q.q_overzoom,
         "q_downzoom": Q.q_downzoom,
         "q_tilestats": Q.q_tilestats,
@@ -385,6 +386,7 @@ def oracle_sql() -> dict[str, str]:
         "q_snap_segments": Q.Q_SNAP_SEGMENTS_SQL,
         "q_raster_resample": Q.Q_RASTER_RESAMPLE_SQL,
         "q_overlay_areas": Q.Q_OVERLAY_AREAS_SQL,
+        "q_tile_cover": Q.Q_TILE_COVER_SQL,
         "q_overzoom": Q.Q_OVERZOOM_SQL,
         "q_downzoom": Q.Q_DOWNZOOM_SQL,
         "q_tilestats": Q.Q_TILESTATS_SQL,

@@ -272,3 +272,56 @@ def test_geohash_prefixes_nest(spark):
     for p in range(1, 9):
         gp = df.select(geohash_encode(F.col("lon"), F.col("lat"), p).alias("g")).collect()[0].g
         assert g9.startswith(gp)
+
+
+def test_tile_cover_matches_per_corner_ids(spark):
+    """Every tile in the cover is within the corner-id rectangle, the
+    corners themselves are covered, and the count is the product."""
+    from vectortiles_spark.functions.tiles import tile_cover, tile_x, tile_y
+
+    df = spark.range(1, 200).select(
+        (F.pmod(F.col("id") * 9973, F.lit(36000)) / 100.0 - 180.0).alias("lon_a"),
+        (F.pmod(F.col("id") * 7919, F.lit(17000)) / 100.0 - 85.0).alias("lat_a"),
+        (F.pmod(F.col("id") * 9973, F.lit(36000)) / 100.0 - 178.0).alias("lon_b"),
+        (F.pmod(F.col("id") * 7919, F.lit(17000)) / 100.0 - 83.0).alias("lat_b"),
+    )
+    z = 6
+    out = df.select(
+        tile_x(F.least("lon_a", "lon_b"), z).alias("x0"),
+        tile_x(F.greatest("lon_a", "lon_b"), z).alias("x1"),
+        F.least(tile_y(F.col("lat_a"), z), tile_y(F.col("lat_b"), z)).alias("y0"),
+        F.greatest(tile_y(F.col("lat_a"), z), tile_y(F.col("lat_b"), z)).alias("y1"),
+        tile_cover(F.col("lon_a"), F.col("lat_a"),
+                   F.col("lon_b"), F.col("lat_b"), z).alias("cover"),
+    ).collect()
+    for r in out:
+        tiles = {(t["tile_x"], t["tile_y"]) for t in r["cover"]}
+        assert len(tiles) == (r["x1"] - r["x0"] + 1) * (r["y1"] - r["y0"] + 1)
+        assert (r["x0"], r["y0"]) in tiles and (r["x1"], r["y1"]) in tiles
+        assert all(
+            r["x0"] <= x <= r["x1"] and r["y0"] <= y <= r["y1"]
+            for x, y in tiles
+        )
+
+
+def test_tile_cover_corner_order_irrelevant(spark):
+    from vectortiles_spark.functions.tiles import tile_cover
+
+    one = spark.range(1).select(
+        tile_cover(F.lit(10.0), F.lit(50.0), F.lit(12.0), F.lit(48.0), 8).alias("a"),
+        tile_cover(F.lit(12.0), F.lit(48.0), F.lit(10.0), F.lit(50.0), 8).alias("b"),
+    ).collect()[0]
+    assert one["a"] == one["b"] and len(one["a"]) > 1
+
+
+def test_tile_cover_guard_raises(spark):
+    import pytest as _pt
+
+    from vectortiles_spark.functions.tiles import tile_cover
+
+    df = spark.range(1).select(
+        tile_cover(F.lit(-179.0), F.lit(80.0), F.lit(179.0), F.lit(-80.0),
+                   12, max_tiles=1000).alias("c")
+    )
+    with _pt.raises(Exception, match="tile_cover"):
+        df.collect()

@@ -186,3 +186,45 @@ def tile_pixel_np(
     px = np.minimum(np.floor((fx - np.floor(fx)) * extent), extent - 1).astype(np.int32)
     py = np.minimum(np.floor((fy - np.floor(fy)) * extent), extent - 1).astype(np.int32)
     return px, py
+
+
+def tile_cover(
+    lon_a: Column, lat_a: Column, lon_b: Column, lat_b: Column,
+    z: int, max_tiles: int = 4096,
+) -> Column:
+    """Array of ``struct(tile_x, tile_y)`` covering the bbox spanned by
+    the two corners at zoom ``z`` — the viewport query every tile server
+    answers before fetching blobs. Corners are normalized with
+    least/greatest so argument order never matters; antimeridian-wrapping
+    boxes are NOT interpreted (split the box first). Pure Column algebra
+    (two tile_x + two tile_y evaluations, one sequence cross product), so
+    the SQL oracle replays it exactly; ``explode`` the result to join
+    against a tile relation. A viewport wider than ``max_tiles`` raises
+    loudly — a z=18 world box is 6.8e10 tiles, and that must be a caller
+    bug, not a silent explode."""
+    x0 = tile_x(F.least(lon_a, lon_b), z)
+    x1 = tile_x(F.greatest(lon_a, lon_b), z)
+    # tile_y grows southward; normalize on the OUTPUT ids, not the lats
+    ya, yb = tile_y(lat_a, z), tile_y(lat_b, z)
+    y0, y1 = F.least(ya, yb), F.greatest(ya, yb)
+    n = (x1.cast("long") - x0 + 1) * (y1.cast("long") - y0 + 1)
+    x0 = F.when(
+        n > F.lit(int(max_tiles)),
+        F.raise_error(F.concat(
+            F.lit("tile_cover: viewport covers "), n.cast("string"),
+            F.lit(f" tiles at z={z}, over max_tiles={max_tiles} — "
+                  "lower the zoom or split the box"),
+        )).cast("int"),
+    ).otherwise(x0)
+    return F.flatten(
+        F.transform(
+            F.sequence(x0, x1),
+            lambda tx: F.transform(
+                F.sequence(y0, y1),
+                lambda ty: F.struct(
+                    tx.cast("int").alias("tile_x"),
+                    ty.cast("int").alias("tile_y"),
+                ),
+            ),
+        )
+    )

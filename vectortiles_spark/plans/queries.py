@@ -2064,6 +2064,71 @@ ORDER BY tile_x, tile_y
 Q_FOCAL_GRAD_SQL = _focal_grad_sql()
 
 
+def q_tile_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Viewport tile cover under the value oracle
+    (functions/tiles.py:tile_cover): per customer a 2x2-degree bbox from
+    the deterministic corner, the z=6 WebMercator tiles covering it. The
+    oracle replays the corner tile ids with the same mercator arithmetic
+    as Q_TILE_ASSIGN_MERC_SQL and enumerates the rectangle."""
+    from vectortiles_spark.functions.tiles import tile_cover
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    k = F.col("c_custkey")
+    df = cust.select(
+        k.alias("point_id"),
+        lon_of(k), lat_of(k),
+    )
+    cover = df.select(
+        "point_id",
+        F.explode(tile_cover(
+            F.col("lon"), F.col("lat"),
+            F.col("lon") + F.lit(2.0), F.col("lat") + F.lit(2.0), z=6,
+        )).alias("t"),
+    )
+    return cover.select(
+        "point_id", F.col("t.tile_x").alias("tile_x"),
+        F.col("t.tile_y").alias("tile_y"),
+    ).orderBy("point_id", "tile_x", "tile_y")
+
+
+def _tile_cover_sql() -> str:
+    n = float(1 << 6)
+
+    def ty(lat: str) -> str:
+        fy = (
+            f"(1.0 - ln(tan(radians({lat})) + sqrt(tan(radians({lat})) "
+            f"* tan(radians({lat})) + 1.0)) / pi()) / 2.0 * {n}"
+        )
+        return f"cast(greatest(0, least(floor({fy}), {int(n) - 1})) AS INT)"
+
+    def tx(lon: str) -> str:
+        return (
+            f"cast(least(floor(({lon} + 180.0) / 360.0 * {n}), "
+            f"{int(n) - 1}) AS INT)"
+        )
+
+    return f"""
+WITH p AS (
+  SELECT c_custkey AS point_id,
+         {_sql_lon('c_custkey')} AS lon, {_sql_lat('c_custkey')} AS lat
+  FROM customer
+), ids AS (
+  SELECT point_id,
+         {tx('lon')} AS x0, {tx('lon + 2.0')} AS x1,
+         least({ty('lat')}, {ty('lat + 2.0')}) AS y0,
+         greatest({ty('lat')}, {ty('lat + 2.0')}) AS y1
+  FROM p
+)
+SELECT point_id, tx.range::INT AS tile_x, ty.range::INT AS tile_y
+FROM ids, range({1 << 6}) tx, range({1 << 6}) ty
+WHERE tx.range BETWEEN x0 AND x1 AND ty.range BETWEEN y0 AND y1
+ORDER BY point_id, tile_x, tile_y
+"""
+
+
+Q_TILE_COVER_SQL = _tile_cover_sql()
+
+
 def q_overlay_areas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tabulate intersection under the value oracle
     (operators/raster.py:overlay_areas): two deterministic rectangle
