@@ -142,3 +142,19 @@ def test_bad_args_raise(spark):
         focal_map(g, op="blur")
     with pytest.raises(ValueError, match="uint8 range"):
         focal_map(g, default=300)
+
+
+def test_null_dims_drop_not_crash(spark):
+    # pandas renders NULL ints as NaN — the `is None` guard alone never
+    # fires on the mapInPandas path (review regression)
+    rows = pd.DataFrame([
+        {"tile_z": 3, "tile_x": 0, "tile_y": 0, "w": 8, "h": 8,
+         "px": bytes(64)},
+        {"tile_z": 3, "tile_x": 1, "tile_y": 0, "w": None, "h": 8,
+         "px": bytes(64)},
+    ])
+    df = spark.createDataFrame(
+        rows, "tile_z int, tile_x int, tile_y int, w int, h int, px binary"
+    )
+    out = focal_map(df, op="max").collect()
+    assert {r["tile_x"] for r in out} == {0}

@@ -92,3 +92,29 @@ def test_zero_shuffle_plan(spark):
 
     g = np.zeros((4, 4), dtype=np.uint8)
     assert audit.count_shuffles(resample_rasters(_df(spark, [g]), 2, 2)) == 0
+
+
+def test_null_dims_drop_not_crash(spark):
+    rows = pd.DataFrame([
+        {"tile_z": 3, "tile_x": 0, "tile_y": 0, "w": 4, "h": 4,
+         "px": bytes(16)},
+        {"tile_z": 3, "tile_x": 1, "tile_y": 0, "w": 4, "h": None,
+         "px": bytes(16)},
+    ])
+    df = spark.createDataFrame(
+        rows, "tile_z int, tile_x int, tile_y int, w int, h int, px binary"
+    )
+    assert resample_rasters(df, 2, 2).count() == 1
+
+
+def test_null_dims_drop_in_composite(spark):
+    rows = pd.DataFrame([
+        {"tile_z": 3, "tile_x": 0, "tile_y": 0, "w": 4, "h": 4,
+         "px": bytes(16)},
+        {"tile_z": 3, "tile_x": 0, "tile_y": 0, "w": None, "h": 4,
+         "px": bytes(16)},
+    ])
+    df = spark.createDataFrame(
+        rows, "tile_z int, tile_x int, tile_y int, w int, h int, px binary"
+    )
+    assert composite_rasters(df, method="max").count() == 1

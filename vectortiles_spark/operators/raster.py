@@ -507,6 +507,20 @@ def zonal_stats(
 RASTER_SCHEMA = "tile_z int, tile_x int, tile_y int, w int, h int, px binary"
 
 
+def _raster_dims(w, h, raw):
+    """(w, h) as ints when the row is usable, else None. Guards every
+    corrupt shape the pandas paths can see: NULL payloads, NULL dims —
+    which pandas renders as NaN in an otherwise-int column, so ``is
+    None`` alone NEVER fires there — non-positive dims, short payloads.
+    One bad object must not kill a planet-scale task (clip.py policy)."""
+    if raw is None or w is None or h is None or w != w or h != h:
+        return None
+    w, h = int(w), int(h)
+    if w <= 0 or h <= 0 or len(raw) < w * h:
+        return None
+    return w, h
+
+
 def composite_rasters(
     rasters: DataFrame, method: str = "max"
 ) -> DataFrame:
@@ -532,11 +546,10 @@ def composite_rasters(
         grids = []
         dims = None
         for w, h, raw in zip(pdf["w"], pdf["h"], pdf["px"]):
-            if raw is None or w is None or h is None or w <= 0 or h <= 0:
+            wh = _raster_dims(w, h, raw)
+            if wh is None:
                 continue
-            w, h = int(w), int(h)
-            if len(raw) < w * h:
-                continue
+            w, h = wh
             if dims is None:
                 dims = (w, h)
             elif dims != (w, h):
@@ -624,16 +637,10 @@ def focal_map(
                 pdf["tile_z"], pdf["tile_x"], pdf["tile_y"],
                 pdf["w"], pdf["h"], pdf["px"],
             ):
-                # corrupt input drops THIS raster, never the task
-                # (raster_to_features / composite_rasters policy)
-                if (
-                    raw is None
-                    or w is None or h is None
-                    or w <= 0 or h <= 0
-                    or len(raw) < int(w) * int(h)
-                ):
-                    continue
-                z, x, y, w, h = int(z), int(x), int(y), int(w), int(h)
+                wh = _raster_dims(w, h, raw)
+                if wh is None:
+                    continue  # corrupt row drops, never the task
+                z, x, y, (w, h) = int(z), int(x), int(y), wh
                 g = np.frombuffer(raw, dtype=np.uint8, count=w * h).reshape(h, w)
                 for u in (-1, 0, 1):
                     cols = g[:, -1:] if u == 1 else (g[:, :1] if u == -1 else g)
@@ -762,14 +769,10 @@ def resample_rasters(rasters: DataFrame, w: int, h: int) -> DataFrame:
                 pdf["tile_z"], pdf["tile_x"], pdf["tile_y"],
                 pdf["w"], pdf["h"], pdf["px"],
             ):
-                if (
-                    raw is None
-                    or sw is None or sh is None
-                    or sw <= 0 or sh <= 0
-                    or len(raw) < int(sw) * int(sh)
-                ):
-                    continue
-                sw, sh = int(sw), int(sh)
+                wh = _raster_dims(sw, sh, raw)
+                if wh is None:
+                    continue  # corrupt row drops, never the task
+                sw, sh = wh
                 g = np.frombuffer(raw, dtype=np.uint8, count=sw * sh).reshape(
                     sh, sw
                 ).astype(np.int64)

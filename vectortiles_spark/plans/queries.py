@@ -1914,6 +1914,28 @@ ORDER BY r.feature_id
 """
 
 
+def _full_tile_feats(spark: SparkSession):
+    """One full-tile (extent-covering) rectangle feature per tile of the
+    8x8 z=3 raster-oracle grid (tile_x = id % 8, tile_y = id // 8) — the
+    shared zonal_stats probe the raster queries aggregate through."""
+    from vectortiles_spark.operators import tiling
+
+    grid = spark.range(64).select(
+        F.lit(3).alias("tile_z"),
+        (F.col("id") % 8).cast("int").alias("tile_x"),
+        (F.col("id") / 8).cast("int").alias("tile_y"),
+        F.lit("full").alias("layer"),
+        F.lit(3).alias("geom_type"),
+        F.col("id").alias("feature_id"),
+        F.array(F.array(F.array(
+            F.array(F.lit(0.0), F.lit(0.0)), F.array(F.lit(4096.0), F.lit(0.0)),
+            F.array(F.lit(4096.0), F.lit(4096.0)), F.array(F.lit(0.0), F.lit(4096.0)),
+            F.array(F.lit(0.0), F.lit(0.0)),
+        ))).alias("geom"),
+    )
+    return tiling.geom_features(grid)
+
+
 def q_raster_mosaic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raster mosaicking under the value oracle
     (operators/raster.py:composite_rasters + zonal_stats composed): each
@@ -1940,20 +1962,7 @@ def q_raster_mosaic(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
     rasters = spark.createDataFrame(pd.DataFrame(snaps))
     comp = composite_rasters(rasters, method="max")
-    grid = spark.range(64).select(
-        F.lit(3).alias("tile_z"),
-        (F.col("id") % 8).cast("int").alias("tile_x"),
-        (F.col("id") / 8).cast("int").alias("tile_y"),
-        F.lit("full").alias("layer"),
-        F.lit(3).alias("geom_type"),
-        F.col("id").alias("feature_id"),
-        F.array(F.array(F.array(
-            F.array(F.lit(0.0), F.lit(0.0)), F.array(F.lit(4096.0), F.lit(0.0)),
-            F.array(F.lit(4096.0), F.lit(4096.0)), F.array(F.lit(0.0), F.lit(4096.0)),
-            F.array(F.lit(0.0), F.lit(0.0)),
-        ))).alias("geom"),
-    )
-    feats = tiling.geom_features(grid)
+    feats = _full_tile_feats(spark)
     return (
         zonal_stats(feats, comp)
         .select("tile_x", "tile_y", "n_px", "sum_val", "min_val", "max_val",
@@ -2009,20 +2018,7 @@ def q_focal_grad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     grad = focal_map(rasters, op="grad")
-    grid = spark.range(64).select(
-        F.lit(3).alias("tile_z"),
-        (F.col("id") % 8).cast("int").alias("tile_x"),
-        (F.col("id") / 8).cast("int").alias("tile_y"),
-        F.lit("full").alias("layer"),
-        F.lit(3).alias("geom_type"),
-        F.col("id").alias("feature_id"),
-        F.array(F.array(F.array(
-            F.array(F.lit(0.0), F.lit(0.0)), F.array(F.lit(4096.0), F.lit(0.0)),
-            F.array(F.lit(4096.0), F.lit(4096.0)), F.array(F.lit(0.0), F.lit(4096.0)),
-            F.array(F.lit(0.0), F.lit(0.0)),
-        ))).alias("geom"),
-    )
-    feats = tiling.geom_features(grid)
+    feats = _full_tile_feats(spark)
     return (
         zonal_stats(feats, grad)
         .select("tile_x", "tile_y", "n_px", "sum_val", "min_val", "max_val",
@@ -2230,20 +2226,7 @@ def q_raster_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
     )
-    grid = spark.range(64).select(
-        F.lit(3).alias("tile_z"),
-        (F.col("id") % 8).cast("int").alias("tile_x"),
-        (F.col("id") / 8).cast("int").alias("tile_y"),
-        F.lit("full").alias("layer"),
-        F.lit(3).alias("geom_type"),
-        F.col("id").alias("feature_id"),
-        F.array(F.array(F.array(
-            F.array(F.lit(0.0), F.lit(0.0)), F.array(F.lit(4096.0), F.lit(0.0)),
-            F.array(F.lit(4096.0), F.lit(4096.0)), F.array(F.lit(0.0), F.lit(4096.0)),
-            F.array(F.lit(0.0), F.lit(0.0)),
-        ))).alias("geom"),
-    )
-    feats = tiling.geom_features(grid)
+    feats = _full_tile_feats(spark)
 
     def lane(df, name):
         return zonal_stats(feats, df).select(
