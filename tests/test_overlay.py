@@ -98,3 +98,45 @@ def test_one_cogroup_shuffle_per_side(spark):
     out = overlay_areas(a, b)
     audit.assert_no_cartesian(out)
     assert audit.count_shuffles(out) <= 2
+
+
+def test_zonal_mode_matches_numpy(spark):
+    import numpy as np
+
+    from vectortiles_spark.operators.raster import fill_polygons_mask, zonal_mode
+
+    rows_i, cols_i = np.arange(64)[:, None], np.arange(64)[None, :]
+    px = ((rows_i * 3 + cols_i) % 7).astype(np.uint8)  # many ties
+    rasters = spark.createDataFrame(pd.DataFrame([
+        {"tile_z": 3, "tile_x": 0, "tile_y": 0, "w": 64, "h": 64,
+         "px": px.tobytes()},
+    ]))
+    rects = [(1, 0, 0, 0, 2048, 2048), (2, 0, 100, 100, 500, 900),
+             (3, 0, 4000, 4000, 4096, 4096)]
+    out = {
+        r["feature_id"]: (r["n_px"], r["mode_val"], r["mode_count"])
+        for r in zonal_mode(_rect_feats(spark, rects), rasters).collect()
+    }
+    for fid, _, x0, y0, x1, y1 in rects:
+        ring = np.array(
+            [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]], dtype=float
+        )
+        vals = px[fill_polygons_mask([ring], 64, 64, 4096)]
+        counts = np.bincount(vals, minlength=256)
+        mv = int(counts.argmax())
+        assert out[fid] == (int(vals.size), mv, int(counts[mv])), fid
+
+
+def test_zonal_mode_empty_mask_null(spark):
+    import numpy as np
+
+    from vectortiles_spark.operators.raster import zonal_mode
+
+    rasters = spark.createDataFrame(pd.DataFrame([
+        {"tile_z": 3, "tile_x": 0, "tile_y": 0, "w": 64, "h": 64,
+         "px": np.zeros(4096, np.uint8).tobytes()},
+    ]))
+    # degenerate sliver between pixel centers: covers no center
+    feats = _rect_feats(spark, [(1, 0, 33, 33, 34, 34)])
+    row = zonal_mode(feats, rasters).collect()[0]
+    assert row["n_px"] == 0 and row["mode_val"] is None

@@ -899,3 +899,87 @@ def overlay_areas(
         .cogroup(feats_b.groupBy(*key))
         .applyInPandas(cross, schema=OVERLAY_SCHEMA)
     )
+
+
+ZONAL_MODE_SCHEMA = (
+    "tile_z int, tile_x int, tile_y int, feature_id bigint, "
+    "n_px bigint, mode_val int, mode_count bigint"
+)
+
+
+def zonal_mode(
+    feats: DataFrame, rasters: DataFrame, extent: int = 4096
+) -> DataFrame:
+    """Zonal MAJORITY: the most frequent raster value under each polygon's
+    mask — the classic categorical-raster statistic (dominant landcover
+    class per district) zonal_stats's sum/mean cannot answer. Ties break
+    to the SMALLEST value (np.bincount argmax ≡ SQL ``ORDER BY count
+    DESC, val ASC``), so the result is deterministic and SQL-replayable.
+    Same contracts as zonal_stats: polygons only (loud error), inner
+    semantics, duplicate rasters raise, empty masks emit n_px=0 with NULL
+    mode. Same scale shape too: ONE cogroup shuffle per side on the tile
+    key; per-task state is the h*w grid plus a 256-bin counter."""
+    import pandas as pd
+
+    from ..mvt.geometry import geom_from_stream
+
+    key = ["tile_z", "tile_x", "tile_y"]
+
+    def stats(fpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if len(fpdf) == 0 or len(rpdf) == 0:
+            return pd.DataFrame({c: [] for c in (
+                "tile_z", "tile_x", "tile_y", "feature_id",
+                "n_px", "mode_val", "mode_count",
+            )})
+        if len(rpdf) > 1:
+            z, x, y = (int(rpdf[k].iloc[0]) for k in key)
+            raise ValueError(
+                f"zonal_mode: {len(rpdf)} rasters for tile "
+                f"({z},{x},{y}) — dedupe the raster relation first"
+            )
+        bad = fpdf[fpdf["geom_type"] != GEOM_POLYGON]
+        if len(bad):
+            raise ValueError(
+                "zonal_mode: non-polygon feature (geom_type="
+                f"{int(bad['geom_type'].iloc[0])}) — filter to polygons first"
+            )
+        w, h = int(rpdf["w"].iloc[0]), int(rpdf["h"].iloc[0])
+        raw = rpdf["px"].iloc[0]
+        if extent % w or extent % h:
+            raise ValueError(
+                f"raster {w}x{h} must divide extent={extent} "
+                "(pixel centers must land on exact grid coordinates)"
+            )
+        grid = np.frombuffer(raw, dtype=np.uint8, count=w * h).reshape(h, w)
+        out = {c: [] for c in ("feature_id", "n_px", "mode_val", "mode_count")}
+        for fid, stream in zip(fpdf["feature_id"], fpdf["geom_cmds"]):
+            rings = [
+                ring
+                for poly in geom_from_stream(
+                    GEOM_POLYGON, np.asarray(stream, dtype=np.uint32)
+                )
+                for ring in poly
+            ]
+            vals = grid[fill_polygons_mask(rings, w, h, extent)]
+            out["feature_id"].append(int(fid))
+            out["n_px"].append(int(vals.size))
+            if vals.size:
+                counts = np.bincount(vals, minlength=256)
+                mv = int(counts.argmax())  # argmax ties -> smallest value
+                out["mode_val"].append(mv)
+                out["mode_count"].append(int(counts[mv]))
+            else:
+                out["mode_val"].append(None)
+                out["mode_count"].append(None)
+        z, x, y = (int(rpdf[k].iloc[0]) for k in key)
+        res = pd.DataFrame(out)
+        res.insert(0, "tile_z", z)
+        res.insert(1, "tile_x", x)
+        res.insert(2, "tile_y", y)
+        return res
+
+    return (
+        feats.groupBy(*key)
+        .cogroup(rasters.groupBy(*key))
+        .applyInPandas(stats, schema=ZONAL_MODE_SCHEMA)
+    )

@@ -1914,6 +1914,88 @@ ORDER BY r.feature_id
 """
 
 
+def q_zonal_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal majority under the value oracle
+    (operators/raster.py:zonal_mode): q_zonal_stats's rectangles against
+    a CATEGORICAL raster (class = (tile_x*5 + row//8 + col//8) % 11 —
+    blocky landcover-style regions with real ties); the most frequent
+    class per polygon with ties to the smallest value replays in SQL as
+    ORDER BY count DESC, val ASC."""
+    import numpy as np
+    import pandas as pd
+
+    from vectortiles_spark.operators import tiling
+    from vectortiles_spark.operators.raster import zonal_mode
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    k = F.col("c_custkey")
+    x0 = (k * 131 % 3000).cast("double")
+    y0 = (k * 197 % 3000).cast("double")
+    x1 = x0 + (k * 89 % 900).cast("double") + 64.0
+    y1 = y0 + (k * 53 % 900).cast("double") + 64.0
+    ring = F.array(
+        F.array(x0, y0), F.array(x1, y0), F.array(x1, y1),
+        F.array(x0, y1), F.array(x0, y0),
+    )
+    feats = tiling.geom_features(
+        cust.select(
+            F.lit(3).alias("tile_z"),
+            (k * 3 % 8).cast("int").alias("tile_x"),
+            (k * 5 % 8).cast("int").alias("tile_y"),
+            F.lit("rects").alias("layer"),
+            F.lit(3).alias("geom_type"),
+            k.alias("feature_id"),
+            F.array(F.array(ring)).alias("geom"),
+        )
+    )
+    rows, cols = np.arange(64)[:, None], np.arange(64)[None, :]
+    rasters = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {"tile_z": 3, "tile_x": tx, "tile_y": ty, "w": 64, "h": 64,
+                 "px": ((tx * 5 + rows // 8 + cols // 8) % 11)
+                 .astype(np.uint8).tobytes()}
+                for tx in range(8) for ty in range(8)
+            ]
+        )
+    )
+    return (
+        zonal_mode(feats, rasters)
+        .select("feature_id", "n_px", "mode_val", "mode_count")
+        .orderBy("feature_id")
+    )
+
+
+Q_ZONAL_MODE_SQL = """
+WITH r AS (
+  SELECT c_custkey AS feature_id,
+         (c_custkey * 3) % 8 AS tile_x,
+         (c_custkey * 131) % 3000 AS x0, (c_custkey * 197) % 3000 AS y0,
+         (c_custkey * 131) % 3000 + (c_custkey * 89) % 900 + 64 AS x1,
+         (c_custkey * 197) % 3000 + (c_custkey * 53) % 900 + 64 AS y1
+  FROM customer
+), cov AS (
+  SELECT feature_id,
+         (tile_x * 5 + cy.range // 8 + cx.range // 8) % 11 AS val
+  FROM r, range(64) cx, range(64) cy
+  WHERE x0 <= 64 * cx.range + 32 AND 64 * cx.range + 32 < x1
+    AND y0 <= 64 * cy.range + 32 AND 64 * cy.range + 32 < y1
+), ranked AS (
+  SELECT feature_id, val, count(*) AS cnt,
+         row_number() OVER (
+           PARTITION BY feature_id ORDER BY count(*) DESC, val ASC
+         ) AS rn,
+         sum(count(*)) OVER (PARTITION BY feature_id) AS n_px
+  FROM cov GROUP BY feature_id, val
+)
+SELECT r.feature_id,
+       coalesce(k.n_px, 0)::BIGINT AS n_px,
+       k.val::INT AS mode_val, k.cnt::BIGINT AS mode_count
+FROM r LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) k USING (feature_id)
+ORDER BY r.feature_id
+"""
+
+
 def _full_tile_feats(spark: SparkSession):
     """One full-tile (extent-covering) rectangle feature per tile of the
     8x8 z=3 raster-oracle grid (tile_x = id % 8, tile_y = id // 8) — the
