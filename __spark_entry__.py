@@ -3,7 +3,7 @@
 ``entry`` runs the flagship pipeline (point features -> groupBy(z,x,y) ->
 applyInArrow MVT encode) on sf0.001. ``queries``/``oracle_sql`` pair every
 implemented operator family from SURVEY.md §2 with a DuckDB-checkable oracle
-(99 queries, 99 value-checked — including byte-exact MVT blob sizes, the
+(100 queries, 100 value-checked — including byte-exact MVT blob sizes, the
 tileset/MBTiles/PMTiles ingest circles, the multi-zoom pyramid builder,
 trained-IVF and PQ/ADC ANN, as-of/interval joins, HLL/KMV/histogram-quantile
 sketches whose ESTIMATES replay in DuckDB bit-for-bit, the composed corpus
@@ -305,6 +305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rasterize_polygons": Q.q_rasterize_polygons,
         "q_zonal_stats": Q.q_zonal_stats,
         "q_zonal_mode": Q.q_zonal_mode,
+        "q_cap_tile_bytes": Q.q_cap_tile_bytes,
         "q_trajectory_segments": Q.q_trajectory_segments,
         "q_raster_mosaic": Q.q_raster_mosaic,
         "q_focal_grad": Q.q_focal_grad,
@@ -382,6 +383,7 @@ def oracle_sql() -> dict[str, str]:
         "q_rasterize_polygons": Q.Q_RASTERIZE_POLYGONS_SQL,
         "q_zonal_stats": Q.Q_ZONAL_STATS_SQL,
         "q_zonal_mode": Q.Q_ZONAL_MODE_SQL,
+        "q_cap_tile_bytes": Q.Q_CAP_TILE_BYTES_SQL,
         "q_trajectory_segments": Q.Q_TRAJECTORY_SEGMENTS_SQL,
         "q_raster_mosaic": Q.Q_RASTER_MOSAIC_SQL,
         "q_focal_grad": Q.Q_FOCAL_GRAD_SQL,

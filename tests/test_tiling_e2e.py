@@ -640,3 +640,78 @@ def test_diff_tile_sets_plan_slims_before_join(spark):
     # the join itself never sees the blob column
     join_lines = [l for l in plan.splitlines() if "SortMergeJoin" in l or "ShuffledHashJoin" in l]
     assert join_lines and all("mvt#" not in l for l in join_lines)
+
+
+def test_cap_tile_bytes_matches_pandas_prefix(spark):
+    """Salted and unsalted byte caps both equal the pandas running-sum
+    prefix rule on random data."""
+    import numpy as np
+    import pandas as pd
+
+    from vectortiles_spark.operators.tiling import cap_tile_bytes
+
+    rng = np.random.RandomState(17)
+    n = 400
+    pdf = pd.DataFrame({
+        "tile_z": 3,
+        "tile_x": rng.randint(0, 3, n),
+        "tile_y": rng.randint(0, 2, n),
+        "layer": "l",
+        "feature_id": np.arange(n),
+        "geom_cmds": [
+            [9, int(a), int(b)]
+            for a, b in zip(rng.randint(0, 8192, n), rng.randint(0, 200000, n))
+        ],
+    })
+    df = spark.createDataFrame(pdf)
+
+    def vlen(v):
+        return 1 if v < 128 else (2 if v < 1 << 14 else (3 if v < 1 << 21 else 4))
+
+    def cost(cmds):
+        p = sum(vlen(v) for v in cmds)
+        return p + vlen(p) + 1
+
+    pdf["__b"] = pdf["geom_cmds"].map(cost)
+    pdf = pdf.sort_values("feature_id")
+    pdf["__run"] = pdf.groupby(["tile_x", "tile_y"])["__b"].cumsum()
+    budget = 60
+    exp = set(pdf[pdf["__run"] <= budget]["feature_id"])
+    for buckets in (1, 16):
+        got = {
+            r["feature_id"]
+            for r in cap_tile_bytes(df, budget, salt_buckets=buckets).collect()
+        }
+        assert got == exp, buckets
+
+
+def test_cap_tile_bytes_oversized_feature_drops(spark):
+    import pandas as pd
+
+    from vectortiles_spark.operators.tiling import cap_tile_bytes
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "tile_z": [3, 3], "tile_x": [0, 0], "tile_y": [0, 0],
+        "layer": ["l", "l"], "feature_id": [1, 2],
+        "geom_cmds": [[9, 1, 1], [9] + [100000] * 50],
+    }))
+    # the 50-word monster blows the running sum past the budget; the
+    # prefix rule keeps only what fit before it
+    kept = {r["feature_id"] for r in cap_tile_bytes(df, 20).collect()}
+    assert kept == {1}
+
+
+def test_cap_tile_bytes_packed_point_cost(spark):
+    import pandas as pd
+
+    from vectortiles_spark.operators.tiling import cap_tile_bytes
+
+    # packed geom_pt: zx=300 (2 varint bytes), zy=5 (1) + header 1 => payload 4,
+    # framing: len-varint 1 + tag 1 => 6 bytes per feature
+    df = spark.createDataFrame(pd.DataFrame({
+        "tile_z": [3] * 4, "tile_x": [0] * 4, "tile_y": [0] * 4,
+        "feature_id": [1, 2, 3, 4],
+        "geom_pt": [(300 << 13) | 5] * 4,
+    }))
+    assert cap_tile_bytes(df, 18).count() == 3  # 3*6 = 18 fits, 4th is 24
+    assert cap_tile_bytes(df, 5).count() == 0

@@ -266,6 +266,107 @@ def cap_features_per_tile(
     )
 
 
+def varint_len(v) -> F.Column:
+    """Wire length in bytes of a uint32 varint, as a Column expression —
+    the same closed form the q_mvt_tiles oracle states in SQL."""
+    return (
+        F.when(v < F.lit(1 << 7), 1)
+        .when(v < F.lit(1 << 14), 2)
+        .when(v < F.lit(1 << 21), 3)
+        .when(v < F.lit(1 << 28), 4)
+        .otherwise(5)
+    ).cast("bigint")
+
+
+def geometry_wire_bytes(features: DataFrame) -> F.Column:
+    """Per-feature GEOMETRY wire cost: packed command-stream payload plus
+    its field framing (1 tag byte + length varint) — the additive part of
+    a feature's tile footprint. Dictionary/meta bytes are shared across a
+    layer (first occurrence pays, the rest reference) so they are NOT
+    additive per feature and are deliberately excluded. Pure Column
+    algebra over ``geom_cmds`` (F.aggregate fold) or the packed
+    ``geom_pt`` single-point scalar."""
+    if "geom_cmds" in features.columns:
+        payload = F.aggregate(
+            F.col("geom_cmds"),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + varint_len(v),
+        )
+    elif "geom_pt" in features.columns:
+        pt = F.col("geom_pt")
+        payload = (
+            varint_len(F.lit(9))
+            + varint_len(F.shiftright(pt, 13))
+            + varint_len(pt.bitwiseAND(F.lit((1 << 13) - 1)))
+        )
+    else:
+        raise ValueError(
+            "geometry_wire_bytes: features carry neither geom_cmds nor "
+            "geom_pt — pass bytes_col explicitly"
+        )
+    return payload + varint_len(payload) + F.lit(1)
+
+
+def cap_tile_bytes(
+    features: DataFrame,
+    max_bytes: int,
+    order_by: str = "feature_id",
+    bytes_col: F.Column | None = None,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """BYTE-budget hot-tile bound (tippecanoe ``--maximum-tile-bytes``
+    analog): keep, per (tile, layer), the longest prefix by ``order_by``
+    whose RUNNING byte cost stays within ``max_bytes`` — so the emitted
+    tile's additive geometry footprint is bounded no matter how dense the
+    metro tile is. A single feature larger than the whole budget drops.
+
+    ``bytes_col`` is the per-feature cost (default:
+    ``geometry_wire_bytes``). Like cap_features_per_tile, ``order_by``
+    must be a key for byte-deterministic output.
+
+    Salted two-phase, same argument as the count cap: any feature in the
+    kept prefix has GLOBAL prefix cost <= max_bytes, and its PER-SALT
+    prefix is a subset of its global prefix, so its per-salt running sum
+    is also <= max_bytes and it survives phase 1. Phase 2 recomputes the
+    exact global running sum over survivors, whose per-salt byte mass is
+    bounded at max_bytes each — so the hottest tile costs any single
+    task at most salt_buckets * max_bytes bytes instead of its full
+    uncapped mass."""
+    part_cols = ["tile_z", "tile_x", "tile_y"] + (
+        ["layer"] if "layer" in features.columns else []
+    )
+    cost = bytes_col if bytes_col is not None else geometry_wire_bytes(features)
+    feats = features.withColumn("__bytes", cost)
+    w = (
+        Window.partitionBy(*part_cols)
+        .orderBy(F.col(order_by))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    if not salt_buckets or salt_buckets <= 1:
+        return (
+            feats.withColumn("__run", F.sum("__bytes").over(w))
+            .filter(F.col("__run") <= max_bytes)
+            .drop("__bytes", "__run")
+        )
+    salt = F.pmod(F.xxhash64(F.col(order_by)), F.lit(salt_buckets))
+    w1 = (
+        Window.partitionBy(*part_cols, "__salt")
+        .orderBy(F.col(order_by))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pre = (
+        feats.withColumn("__salt", salt)
+        .withColumn("__run", F.sum("__bytes").over(w1))
+        .filter(F.col("__run") <= max_bytes)
+        .drop("__run")
+    )
+    return (
+        pre.withColumn("__run", F.sum("__bytes").over(w))
+        .filter(F.col("__run") <= max_bytes)
+        .drop("__bytes", "__run", "__salt")
+    )
+
+
 def _meta_to_dict(meta) -> dict:
     out = {}
     if meta is None:

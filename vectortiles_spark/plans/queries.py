@@ -1914,6 +1914,83 @@ ORDER BY r.feature_id
 """
 
 
+def q_cap_tile_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-budget tile cap under the value oracle
+    (operators/tiling.py:cap_tile_bytes — the tippecanoe
+    --maximum-tile-bytes analog): customer point features at z=3, each
+    tile keeping the longest custkey-ordered prefix whose additive
+    geometry wire cost stays within 64 bytes. The oracle restates the
+    varint cost closed-form (same algebra as Q_MVT_TILES_SQL) and replays
+    the running-sum prefix rule with a window."""
+    from vectortiles_spark.operators import tiling
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    pts = cust.select(
+        "c_custkey", lon_of(F.col("c_custkey")), lat_of(F.col("c_custkey"))
+    )
+    feats = tiling.point_features(
+        pts, z=3, layer="customers", feature_id=F.col("c_custkey")
+    )
+    capped = tiling.cap_tile_bytes(feats, max_bytes=64, order_by="feature_id")
+    return (
+        capped.withColumn("__b", tiling.geometry_wire_bytes(capped))
+        .groupBy("tile_x", "tile_y")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum("__b").alias("bytes_kept"),
+            F.max("feature_id").alias("last_kept"),
+        )
+        .orderBy("tile_x", "tile_y")
+    )
+
+
+def _cap_tile_bytes_sql() -> str:
+    import math as _m
+
+    n = float(1 << 3)
+    clamp = repr(_m.nextafter(n, 0.0))
+
+    def vlen(v: str) -> str:
+        return f"(CASE WHEN ({v}) < 128 THEN 1 WHEN ({v}) < 16384 THEN 2 ELSE 3 END)"
+
+    payload = f"1 + {vlen('2 * px')} + {vlen('2 * py')}"
+    return f"""
+WITH pts AS (
+  SELECT c_custkey, {_sql_lon('c_custkey')} AS lon, {_sql_lat('c_custkey')} AS lat
+  FROM customer
+), m AS (
+  SELECT c_custkey,
+         (lon + 180.0) / 360.0 * {n} AS fx,
+         (1.0 - ln(tan(radians(lat)) + sqrt(tan(radians(lat)) * tan(radians(lat)) + 1.0)) / pi()) / 2.0 * {n} AS fy
+  FROM pts
+), g AS (
+  SELECT c_custkey,
+         cast(least(floor(fx), {int(n) - 1}) AS INT) AS tile_x,
+         cast(greatest(0, least(floor(fy), {int(n) - 1})) AS INT) AS tile_y,
+         least(floor((least(fx, {clamp}) - floor(least(fx, {clamp}))) * 4096.0), 4095)::BIGINT AS px,
+         least(floor((greatest(0.0, least(fy, {clamp})) - floor(greatest(0.0, least(fy, {clamp})))) * 4096.0), 4095)::BIGINT AS py
+  FROM m
+), costed AS (
+  SELECT c_custkey, tile_x, tile_y,
+         ({payload}) + {vlen(payload)} + 1 AS b
+  FROM g
+), run AS (
+  SELECT *, sum(b) OVER (
+    PARTITION BY tile_x, tile_y ORDER BY c_custkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) AS rb
+  FROM costed
+)
+SELECT tile_x, tile_y, count(*) AS n_kept, sum(b)::BIGINT AS bytes_kept,
+       max(c_custkey) AS last_kept
+FROM run WHERE rb <= 64
+GROUP BY 1, 2 ORDER BY tile_x, tile_y
+"""
+
+
+Q_CAP_TILE_BYTES_SQL = _cap_tile_bytes_sql()
+
+
 def q_zonal_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zonal majority under the value oracle
     (operators/raster.py:zonal_mode): q_zonal_stats's rectangles against
