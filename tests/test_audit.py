@@ -255,3 +255,19 @@ def test_focal_map_single_shuffle(spark):
     out = focal_map(rasters, op="grad")
     audit.assert_no_cartesian(out)
     assert audit.count_shuffles(out) == 1
+
+
+def test_byte_cap_salted_exchanges(spark):
+    """cap_tile_bytes mirrors the count cap's two-phase shape: first
+    exchange includes the salt (bounding a metro tile's byte mass per
+    task), the exact prefix re-rank exchanges on the bare tile key."""
+    import re
+
+    cust = spark.read.parquet(f"{SF}/customer.parquet")
+    pts = cust.select("c_custkey", lon_of(F.col("c_custkey")), lat_of(F.col("c_custkey")))
+    feats = tiling.point_features(pts, z=4, layer="c", feature_id=F.col("c_custkey"))
+    capped = tiling.cap_tile_bytes(feats, 256, salt_buckets=8)
+    plan = audit.plan_of(capped)
+    parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert any("__salt" in p for p in parts), parts
+    assert any("__salt" not in p and "tile_x" in p for p in parts), parts
