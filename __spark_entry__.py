@@ -3,7 +3,7 @@
 ``entry`` runs the flagship pipeline (point features -> groupBy(z,x,y) ->
 applyInArrow MVT encode) on sf0.001. ``queries``/``oracle_sql`` pair every
 implemented operator family from SURVEY.md §2 with a DuckDB-checkable oracle
-(100 queries, 100 value-checked — including byte-exact MVT blob sizes, the
+(101 queries, 101 value-checked — including byte-exact MVT blob sizes, the
 tileset/MBTiles/PMTiles ingest circles, the multi-zoom pyramid builder,
 trained-IVF and PQ/ADC ANN, as-of/interval joins, HLL/KMV/histogram-quantile
 sketches whose ESTIMATES replay in DuckDB bit-for-bit, the composed corpus
@@ -177,6 +177,46 @@ SELECT 1200 AS n, 0 AS n_failed, 6636062 AS lap_total,
 """
 
 
+def _q_pair_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAIR-level training-data filter over the north rule's input shape
+    (image + caption rows): the image lane gates on quality_stats
+    (sharpness, exposure clipping), the caption lane on integer text
+    gates (word count, length) — the CLIP-less pre-filter funnel a
+    multimodal corpus runs before embedding. One join on image_id; every
+    gate is exact integer arithmetic, so the funnel counts over the
+    seeded table are a pinned constant (verified partitioning-independent
+    at 3 and 32 partitions)."""
+    from vectortiles_spark.operators.images import quality_stats
+    from vectortiles_spark.sources.synth import images_df
+
+    n = 500 if "0.001" in sf_dir else 1200
+    imgs = images_df(spark, n, seed=42)
+    q = quality_stats(imgs).join(imgs.select("image_id", "caption"), "image_id")
+    img_pass = (
+        (F.col("lap_sum") * 16 >= F.col("n_px"))
+        & (F.col("n_bright") * 4 <= F.col("n_px"))
+        & (F.col("n_dark") * 2 <= F.col("n_px"))
+    )
+    words = F.size(F.split(F.col("caption"), " "))
+    cap_pass = (words >= 3) & (F.length("caption") <= 120)
+    return q.agg(
+        F.count("*").alias("n"),
+        F.sum(img_pass.cast("int")).alias("n_img_pass"),
+        F.sum(cap_pass.cast("int")).alias("n_cap_pass"),
+        F.sum((img_pass & cap_pass).cast("int")).alias("n_pass_both"),
+        F.sum(words).alias("total_words"),
+    )
+
+
+# Literal-expected oracle: the 4 rejects are over-dark generator cells —
+# a real discrimination, not an always-true gate. Constant by the same
+# seeded-generator argument as Q_IMAGE_QUALITY_SQL.
+Q_PAIR_FILTER_SQL = """
+SELECT 1200 AS n, 1196 AS n_img_pass, 1200 AS n_cap_pass,
+       1196 AS n_pass_both, 7200 AS total_words
+"""
+
+
 def _q_image_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deep-zoom tile pyramid over the deterministic synthetic image table
     (operators/images.py:image_tiles): per pyramid level, how many images
@@ -324,6 +364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_image_invariants": _q_image_invariants,
         "q_image_augment": _q_image_augment,
         "q_image_quality": _q_image_quality,
+        "q_pair_filter": _q_pair_filter,
         "q_image_pyramid": _q_image_pyramid,
     }
 
@@ -432,5 +473,6 @@ def oracle_sql() -> dict[str, str]:
         "q_image_invariants": Q_IMAGE_INVARIANTS_SQL,
         "q_image_augment": Q_IMAGE_AUGMENT_SQL,
         "q_image_quality": Q_IMAGE_QUALITY_SQL,
+        "q_pair_filter": Q_PAIR_FILTER_SQL,
         "q_image_pyramid": Q_IMAGE_PYRAMID_SQL,
     }
