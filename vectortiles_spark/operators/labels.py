@@ -1,0 +1,238 @@
+"""Representative-geometry operators: polygon label points and convex hulls.
+
+Every tile renderer needs a POINT to anchor a polygon's label (districts,
+lakes, building footprints) — production tile pipelines (OpenMapTiles,
+tippecanoe workflows) precompute a label-point layer offline rather than
+asking the client to derive one per frame. ``label_points`` is that
+operator over this engine's canonical feature rows: the signed-area-
+weighted centroid of each polygon feature, emitted as a point feature
+ready for ``encode_tiles``. The reference codec itself carries no such
+derivation (it encodes whatever geometry it is given — lib/Geography/
+VectorTile/Internal.hs:208-213); this is engine-side value on top of the
+reference's polygon semantics (ring signs per Geometry.hs:76-81).
+
+``convex_hull`` is the classic per-group summary geometry (coverage
+footprint of a device's pings, bounding hull of a metro's POIs): Andrew's
+monotone chain per group inside ``applyInPandas``. The hull of n points
+is at most n points, so shuffle volume is bounded by the input's
+(group, distinct-point) cardinality and per-group state is one sorted
+array.
+
+Exactness contracts (both operators replay bit-for-bit in any SQL engine):
+
+* label_points: per feature, over every ring edge (closing edge included)
+  ``cross_i = x_i*y_{i+1} - x_{i+1}*y_i``; ``area2 = sum(cross_i)``
+  (== 2 * surveyor per ring, mvt/geometry.py:174 — exterior rings
+  positive, holes negative under the decoder's top-left-origin
+  convention, so holes subtract from both area and centroid moment);
+  ``cx = sx / (3.0 * area2)`` with ``sx = sum((x_i + x_{i+1}) * cross_i)``.
+  Every numerator is exact int64; the ONLY floating-point steps are the
+  final division and ``floor(cx + 0.5)`` pixel rounding.
+* convex_hull: integer cross-product turn tests only — no floats at all.
+  Collinear boundary points are dropped (strict turns survive, the
+  standard monotone-chain convention), so a point is a hull VERTEX iff
+  it is not inside-or-on any nondegenerate triangle of its peers — the
+  property the DuckDB oracle checks directly (plans/queries.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame
+
+from ..mvt.geometry import GEOM_POINT, GEOM_POLYGON, geom_from_stream
+
+# int64-exactness guard for the centroid accumulators: with |coord| <= M
+# and V total vertices per feature, |sx| <= V * 4 * M^3. M = 2^14 covers
+# every real MVT extent (4096 default, 8192, plus clip buffers) and V =
+# 2^18 vertices per feature keeps the bound at 2^62 < int64.
+_MAX_COORD = 1 << 14
+_MAX_VERTS = 1 << 18
+
+
+def _feature_centroid(polys) -> tuple[int, int, int] | None:
+    """(sx, sy, area2) int64-exact accumulators over all parts/rings of
+    one polygon feature; None when area2 == 0 (no defined centroid)."""
+    sx = sy = sa = 0
+    nverts = 0
+    for poly in polys:
+        for ring in poly:
+            r = np.asarray(ring, dtype=np.int64).reshape(-1, 2)
+            if np.abs(r).max(initial=0) >= _MAX_COORD:
+                raise ValueError(
+                    "label_points: |coordinate| >= 2^14 — tile-local "
+                    "geometry expected (extent + clip buffer)"
+                )
+            nverts += len(r) - 1
+            if nverts > _MAX_VERTS:
+                raise ValueError(
+                    "label_points: feature exceeds 2^18 vertices — "
+                    "simplify before labeling"
+                )
+            a, b = r[:-1], r[1:]  # ring is closed: consecutive pairs
+            cross = a[:, 0] * b[:, 1] - b[:, 0] * a[:, 1]
+            sa += int(cross.sum())
+            sx += int(((a[:, 0] + b[:, 0]) * cross).sum())
+            sy += int(((a[:, 1] + b[:, 1]) * cross).sum())
+    if sa == 0:
+        return None
+    return sx, sy, sa
+
+
+def label_points(
+    feats: DataFrame,
+    layer_suffix: str = "_labels",
+    geom_col: str = "geom_cmds",
+) -> DataFrame:
+    """Polygon feature rows -> one label POINT feature per polygon.
+
+    Input: canonical feature rows (FEATURE_SCHEMA, polygons only — a
+    non-polygon row raises, matching zonal_stats's loud contract).
+    Output: the same columns with ``geom_type = 1``, ``geom_cmds`` the
+    single-point stream ``[MoveTo(1), zig(px), zig(py)]`` (identical to
+    point_features's layout, tiling.py:89-113), the layer renamed with
+    ``layer_suffix``, plus ``px``/``py`` (the rounded label pixel) and
+    ``area2`` (the exact doubled signed area) for downstream ranking —
+    renderers typically keep only the largest-area label per name.
+
+    Features with ``area2 == 0`` (all rings degenerate) are DROPPED —
+    they have no defined centroid; count them upstream if the drop rate
+    matters.
+
+    Scale shape: shuffle-free ``mapInArrow`` — the kernel runs wherever
+    the feature rows already are, per-row state is one ring's vertex
+    array, and the output is exactly one row per surviving input row.
+    Slot it after clip/simplify and before ``encode_tiles``.
+    """
+
+    fields = [f for f in feats.schema.fields]
+    names = [f.name for f in fields]
+    for req in ("layer", "geom_type", geom_col):
+        if req not in names:
+            raise ValueError(f"label_points: input lacks column {req!r}")
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in fields
+    ) + ", px int, py int, area2 bigint"
+    suffix = layer_suffix
+
+    def run(batches):
+        for b in batches:
+            gts = b["geom_type"].to_pylist()
+            streams = b[geom_col].to_pylist()
+            layers = b["layer"].to_pylist()
+            keep: list[int] = []
+            pxs: list[int] = []
+            pys: list[int] = []
+            areas: list[int] = []
+            cmds: list[list[int]] = []
+            labs: list[str] = []
+            for i, (gt, stream) in enumerate(zip(gts, streams)):
+                if gt != GEOM_POLYGON:
+                    raise ValueError(
+                        f"label_points: non-polygon feature (geom_type={gt})"
+                        " — filter to polygons first"
+                    )
+                polys = geom_from_stream(
+                    GEOM_POLYGON, np.asarray(stream, dtype=np.uint32)
+                )
+                acc = _feature_centroid(polys)
+                if acc is None:
+                    continue
+                sx, sy, sa = acc
+                # the ONLY float steps — replayable: v::DOUBLE / (3.0 * a::DOUBLE)
+                px = int(np.floor(sx / (3.0 * sa) + 0.5))
+                py = int(np.floor(sy / (3.0 * sa) + 0.5))
+                keep.append(i)
+                pxs.append(px)
+                pys.append(py)
+                areas.append(sa)
+                zx = (px << 1) ^ (px >> 63) if px >= 0 else ((-px) << 1) - 1
+                zy = (py << 1) ^ (py >> 63) if py >= 0 else ((-py) << 1) - 1
+                cmds.append([(1 << 3) | 1, zx, zy])
+                labs.append(layers[i] + suffix)
+            idx = pa.array(keep, type=pa.int64())
+            cols = {}
+            for f in b.schema.names:
+                if f == geom_col:
+                    cols[f] = pa.array(cmds, type=b.schema.field(geom_col).type)
+                elif f == "geom_type":
+                    cols[f] = pa.array(
+                        [GEOM_POINT] * len(keep), type=b.schema.field(f).type
+                    )
+                elif f == "layer":
+                    cols[f] = pa.array(labs, type=b.schema.field(f).type)
+                else:
+                    cols[f] = b[f].take(idx)
+            cols["px"] = pa.array(pxs, type=pa.int32())
+            cols["py"] = pa.array(pys, type=pa.int32())
+            cols["area2"] = pa.array(areas, type=pa.int64())
+            yield pa.record_batch(cols)
+
+    return feats.mapInArrow(run, out_schema)
+
+
+def _monotone_chain(pts: np.ndarray) -> np.ndarray:
+    """Hull VERTICES of distinct int64 (n, 2) points, CCW from the
+    lexicographic minimum; collinear boundary points dropped (strict
+    turns only — `<= 0` popping). Pure integer cross products."""
+    pts = pts[np.lexsort((pts[:, 1], pts[:, 0]))]
+    if len(pts) <= 2:
+        return pts
+
+    def half(p):
+        h: list[np.ndarray] = []
+        for q in p:
+            while len(h) >= 2:
+                o, a = h[-2], h[-1]
+                if int(a[0] - o[0]) * int(q[1] - o[1]) - int(a[1] - o[1]) * int(
+                    q[0] - o[0]
+                ) <= 0:
+                    h.pop()
+                else:
+                    break
+            h.append(q)
+        return h
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    return np.asarray(lower[:-1] + upper[:-1], dtype=np.int64)
+
+
+def convex_hull(
+    pts: DataFrame,
+    group_cols: list[str],
+    x_col: str = "px",
+    y_col: str = "py",
+) -> DataFrame:
+    """Per-group 2-D convex hull: (group..., hull_idx, px, py) rows, one
+    per hull vertex, ``hull_idx`` walking the hull CCW from the
+    lexicographically smallest vertex (deterministic in the point SET —
+    row order, duplicates, and partitioning never change the output).
+
+    Scale shape: one shuffle on the group key; per-group state is the
+    group's distinct points (sorted once). For planet-scale groups,
+    pre-thin with ``cluster_points`` — a hull only moves if an EXTREME
+    point moves, and grid-bin representatives preserve extremes to bin
+    resolution.
+    """
+    import pandas as pd
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in pts.select(*group_cols).schema.fields
+    ) + ", hull_idx int, px bigint, py bigint"
+
+    def hull(key, pdf):
+        P = np.unique(
+            pdf[[x_col, y_col]].to_numpy(dtype=np.int64), axis=0
+        )
+        H = _monotone_chain(P)
+        out = pd.DataFrame(
+            {"hull_idx": np.arange(len(H)), "px": H[:, 0], "py": H[:, 1]}
+        )
+        for c, v in zip(group_cols, key):
+            out.insert(0, c, v)
+        return out[group_cols + ["hull_idx", "px", "py"]]
+
+    return pts.groupBy(*group_cols).applyInPandas(hull, schema=out_schema)

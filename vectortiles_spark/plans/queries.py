@@ -3991,3 +3991,142 @@ WITH c AS (
 SELECT tx, ty, n_cust, n_supp FROM c JOIN s USING (tx, ty)
 ORDER BY tx, ty
 """
+
+
+def q_label_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygon label points under the value oracle
+    (operators/labels.py:label_points): per customer a rectangle with a
+    concentric rectangular HOLE (hole orientation mirrored, so its ring
+    signs are negative exactly as the decoder's grouping expects), pushed
+    through geom_features -> label_points. The signed-area centroid's
+    numerators are exact int64 identities for rect-minus-rect —
+    sx = 3*(W*H*(x0+x1) - w*h*(hx0+hx1)) — so the SQL replays the
+    arithmetic closed-form, including the single IEEE division and the
+    zigzag of the emitted command stream (zx = 2*px for px >= 0)."""
+    from vectortiles_spark.operators import tiling
+    from vectortiles_spark.operators.labels import label_points
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    k = F.col("c_custkey")
+    x0 = (k * 131 % 3000).cast("bigint")
+    y0 = (k * 197 % 3000).cast("bigint")
+    x1 = x0 + (k * 89 % 900) + 64
+    y1 = y0 + (k * 53 % 900) + 64
+    d = (k * 37 % 17) + 8
+    outer = F.array(
+        F.array(x0, y0), F.array(x1, y0), F.array(x1, y1),
+        F.array(x0, y1), F.array(x0, y0),
+    )
+    hole = F.array(
+        F.array(x0 + d, y0 + d), F.array(x0 + d, y1 - d),
+        F.array(x1 - d, y1 - d), F.array(x1 - d, y0 + d),
+        F.array(x0 + d, y0 + d),
+    )
+    feats = tiling.geom_features(
+        cust.select(
+            F.lit(3).alias("tile_z"),
+            (k * 3 % 8).cast("int").alias("tile_x"),
+            (k * 5 % 8).cast("int").alias("tile_y"),
+            F.lit("districts").alias("layer"),
+            F.lit(3).alias("geom_type"),
+            k.alias("feature_id"),
+            F.array(F.array(outer, hole)).alias("geom"),
+        )
+    )
+    out = label_points(feats)
+    return out.select(
+        "feature_id", "layer", "geom_type", "px", "py", "area2",
+        F.element_at("geom_cmds", 1).alias("cmd0"),
+        F.element_at("geom_cmds", 2).alias("zx"),
+        F.element_at("geom_cmds", 3).alias("zy"),
+    ).orderBy("feature_id")
+
+
+Q_LABEL_POINTS_SQL = """
+WITH r AS (
+  SELECT c_custkey AS feature_id,
+         (c_custkey * 131) % 3000 AS x0, (c_custkey * 197) % 3000 AS y0,
+         (c_custkey * 89) % 900 + 64 AS bw, (c_custkey * 53) % 900 + 64 AS bh,
+         (c_custkey * 37) % 17 + 8 AS d
+  FROM customer
+), m AS (
+  SELECT feature_id, x0, y0, bw, bh,
+         bw - 2 * d AS hw, bh - 2 * d AS hh,
+         x0 + d AS hx0, x0 + bw - d AS hx1,
+         y0 + d AS hy0, y0 + bh - d AS hy1
+  FROM r
+), acc AS (
+  SELECT feature_id,
+         2 * (bw * bh) - 2 * (hw * hh) AS sa,
+         3 * (bw * bh * (x0 + (x0 + bw)) - hw * hh * (hx0 + hx1)) AS sx,
+         3 * (bw * bh * (y0 + (y0 + bh)) - hw * hh * (hy0 + hy1)) AS sy
+  FROM m
+)
+SELECT feature_id, 'districts_labels' AS layer, 1 AS geom_type,
+       CAST(floor(sx / (3.0 * sa) + 0.5) AS INT) AS px,
+       CAST(floor(sy / (3.0 * sa) + 0.5) AS INT) AS py,
+       sa::BIGINT AS area2,
+       9::BIGINT AS cmd0,
+       2 * CAST(floor(sx / (3.0 * sa) + 0.5) AS BIGINT) AS zx,
+       2 * CAST(floor(sy / (3.0 * sa) + 0.5) AS BIGINT) AS zy
+FROM acc ORDER BY feature_id
+"""
+
+
+def q_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group convex hull under the value oracle
+    (operators/labels.py:convex_hull): deterministic point clouds from
+    customer keys (5 groups), hull via integer monotone chain. The
+    oracle states the DEFINING property instead of replaying the
+    algorithm: with collinear boundary points dropped (strict turns), a
+    point is a hull VERTEX iff it is not inside-or-on any nondegenerate
+    triangle of its group's other points (Caratheodory) — an O(n^4)
+    check DuckDB brute-forces at oracle scale. n_hull rides along so
+    cardinality mismatches surface even if the vertex set collides."""
+    from vectortiles_spark.operators.labels import convex_hull
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    k = F.col("c_custkey")
+    pts = cust.filter(k % 7 == 0).select(
+        (k % 5).cast("int").alias("g"),
+        (k * 131 % 997).cast("bigint").alias("px"),
+        (k * 197 % 983).cast("bigint").alias("py"),
+    )
+    hull = convex_hull(pts, ["g"], "px", "py")
+    w = Window.partitionBy("g")
+    return (
+        hull.withColumn("n_hull", F.count("*").over(w).cast("bigint"))
+        .select("g", "px", "py", "n_hull")
+        .orderBy("g", "px", "py")
+    )
+
+
+Q_CONVEX_HULL_SQL = """
+WITH p AS (
+  SELECT DISTINCT (c_custkey % 5)::INT AS g,
+         (c_custkey * 131) % 997 AS px, (c_custkey * 197) % 983 AS py
+  FROM customer WHERE c_custkey % 7 = 0
+), hull AS (
+  SELECT g, px, py FROM p
+  WHERE NOT EXISTS (
+    SELECT 1 FROM p a, p b, p c
+    WHERE a.g = p.g AND b.g = p.g AND c.g = p.g
+      AND (b.px - a.px) * (c.py - a.py) - (b.py - a.py) * (c.px - a.px) != 0
+      AND NOT (a.px = p.px AND a.py = p.py)
+      AND NOT (b.px = p.px AND b.py = p.py)
+      AND NOT (c.px = p.px AND c.py = p.py)
+      AND (
+        ( (b.px - a.px) * (p.py - a.py) - (b.py - a.py) * (p.px - a.px) >= 0
+      AND (c.px - b.px) * (p.py - b.py) - (c.py - b.py) * (p.px - b.px) >= 0
+      AND (a.px - c.px) * (p.py - c.py) - (a.py - c.py) * (p.px - c.px) >= 0 )
+       OR
+        ( (b.px - a.px) * (p.py - a.py) - (b.py - a.py) * (p.px - a.px) <= 0
+      AND (c.px - b.px) * (p.py - b.py) - (c.py - b.py) * (p.px - b.px) <= 0
+      AND (a.px - c.px) * (p.py - c.py) - (a.py - c.py) * (p.px - c.px) <= 0 )
+      )
+  )
+)
+SELECT g, px::BIGINT AS px, py::BIGINT AS py,
+       count(*) OVER (PARTITION BY g) AS n_hull
+FROM hull ORDER BY g, px, py
+"""
