@@ -3,7 +3,7 @@
 ``entry`` runs the flagship pipeline (point features -> groupBy(z,x,y) ->
 applyInArrow MVT encode) on sf0.001. ``queries``/``oracle_sql`` pair every
 implemented operator family from SURVEY.md §2 with a DuckDB-checkable oracle
-(103 queries, 103 value-checked — including byte-exact MVT blob sizes, the
+(104 queries, 104 value-checked — including byte-exact MVT blob sizes, the
 tileset/MBTiles/PMTiles ingest circles, the multi-zoom pyramid builder,
 trained-IVF and PQ/ADC ANN, as-of/interval joins, HLL/KMV/histogram-quantile
 sketches whose ESTIMATES replay in DuckDB bit-for-bit, the composed corpus
@@ -360,6 +360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tile_enrich": Q.q_tile_enrich,
         "q_rasterize_density": Q.q_rasterize_density,
         "q_cluster_points": Q.q_cluster_points,
+        "q_hexbin": Q.q_hexbin,
         "q_label_points": Q.q_label_points,
         "q_convex_hull": Q.q_convex_hull,
         # image codec gate (literal-expected oracle — see Q_IMAGE_INVARIANTS_SQL)
@@ -441,6 +442,7 @@ def oracle_sql() -> dict[str, str]:
         "q_tile_enrich": Q.Q_TILE_ENRICH_SQL,
         "q_rasterize_density": Q.Q_RASTERIZE_DENSITY_SQL,
         "q_cluster_points": Q.Q_CLUSTER_POINTS_SQL,
+        "q_hexbin": Q.Q_HEXBIN_SQL,
         "q_label_points": Q.Q_LABEL_POINTS_SQL,
         "q_convex_hull": Q.Q_CONVEX_HULL_SQL,
         "q_ivf_topk": QT.Q_IVF_TOPK_SQL,

@@ -134,3 +134,126 @@ def test_plan_single_exchange(spark):
     )
     assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan
     assert "partial_count" in plan, plan
+
+
+# --- hexbin ---------------------------------------------------------------
+
+from vectortiles_spark.operators.cluster import (  # noqa: E402
+    _SQRT3,
+    _SQRT3_2,
+    _SQRT3_3,
+    _TWO_3,
+    hexbin_points,
+)
+
+
+def _hex_assign_ref(gx, gy, s):
+    """Independent scalar replica of the operator's pinned IEEE chain."""
+    import math
+
+    qf = (_SQRT3_3 * gx - gy / 3.0) / s
+    rf = (_TWO_3 * gy) / s
+    yf = -qf - rf
+    rq = math.floor(qf + 0.5)
+    ry = math.floor(yf + 0.5)
+    rr = math.floor(rf + 0.5)
+    dq, dy, dr = abs(rq - qf), abs(ry - yf), abs(rr - rf)
+    if dq > dy and dq > dr:
+        return (-ry - rr, rr)
+    if not (dy > dr):
+        return (rq, -rq - ry)
+    return (rq, rr)
+
+
+def test_hexbin_matches_scalar_reference_and_counts(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    rows = [
+        (int(i), float(lo), float(la), float(w))
+        for i, (lo, la, w) in enumerate(
+            zip(
+                rng.uniform(-179, 179, 300),
+                rng.uniform(-84, 84, 300),
+                rng.uniform(0, 10, 300),
+            )
+        )
+    ]
+    df = _pts(spark, rows)
+    out = hexbin_points(
+        df, z=3, size_px=96, id_col="pid", agg={"w": "sum"},
+        projection="equirect",
+    )
+    got = {(r.hq, r.hr): r for r in out.collect()}
+    # replicate the equirect global-pixel projection + hex chain per point
+    from vectortiles_spark.functions.tiles import projected_tile_pixel
+
+    proj = df.select(
+        "pid",
+        *projected_tile_pixel(F.col("lon"), F.col("lat"), 3, 4096, "equirect"),
+    ).collect()
+    exp = {}
+    for r in proj:
+        tx, ty, px, py = r[1], r[2], r[3], r[4]
+        gx, gy = float(tx * 4096 + px), float(ty * 4096 + py)
+        exp.setdefault(_hex_assign_ref(gx, gy, 96.0), []).append(r.pid)
+    assert set(got) == set(exp)
+    for k, pids in exp.items():
+        assert got[k].point_count == len(pids)
+        assert got[k].rep_id == min(pids)
+        # hex center replay
+        assert got[k].cx_px == (_SQRT3 * k[0] + _SQRT3_2 * k[1]) * 96.0
+        assert got[k].cy_px == 1.5 * k[1] * 96.0
+
+
+def test_hexbin_center_is_nearest(spark):
+    # the assigned hex center must be the NEAREST center among the
+    # point's own hex and its 6 axial neighbors (the defining property
+    # of cube rounding, up to exact-tie boundaries the rng avoids)
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    for _ in range(200):
+        gx = float(rng.uniform(0, 32768))
+        gy = float(rng.uniform(0, 32768))
+        s = 96.0
+        q, r = _hex_assign_ref(gx, gy, s)
+
+        def center(qq, rr):
+            return ((_SQRT3 * qq + _SQRT3_2 * rr) * s, 1.5 * rr * s)
+
+        d0 = (center(q, r)[0] - gx) ** 2 + (center(q, r)[1] - gy) ** 2
+        for dq, dr in ((1, 0), (-1, 0), (0, 1), (0, -1), (1, -1), (-1, 1)):
+            cx, cy = center(q + dq, r + dr)
+            d = (cx - gx) ** 2 + (cy - gy) ** 2
+            assert d0 <= d + 1e-6, (gx, gy, q, r, dq, dr)
+
+
+def test_hexbin_spans_tile_borders(spark):
+    # two points a fraction of a pixel apart across the z=1 tile seam
+    # land in ONE hex row (global-pixel binning, not per-tile)
+    step = 360.0 / (2 * 4096)  # one global pixel in degrees at z=1
+    lon_seam = 0.0  # tile_x 0 -> 1 boundary at lon 0
+    df = _pts(
+        spark,
+        [(1, lon_seam - step, 0.0, 1.0), (2, lon_seam + step, 0.0, 1.0)],
+    )
+    out = hexbin_points(df, z=1, size_px=128, id_col="pid",
+                        projection="equirect").collect()
+    assert len(out) == 1
+    assert out[0].point_count == 2
+
+
+def test_hexbin_validation(spark):
+    df = _pts(spark, [(1, 0.0, 0.0, 1.0)])
+    with pytest.raises(ValueError, match="size_px"):
+        hexbin_points(df, z=2, size_px=0)
+    with pytest.raises(ValueError, match="projection"):
+        hexbin_points(df, z=2, projection="sinusoidal")
+    with pytest.raises(ValueError, match="collide"):
+        hexbin_points(
+            df.withColumnRenamed("w", "hq"), z=2, agg={"hq": "sum"},
+            projection="equirect",
+        )
+    with pytest.raises(ValueError, match="unsupported agg"):
+        hexbin_points(df, z=2, agg={"w": "median"}, projection="equirect")

@@ -189,3 +189,115 @@ def cluster_pyramid(
         lvl = cluster_points(df, z, **kwargs)
         out = lvl if out is None else out.unionByName(lvl)
     return out
+
+
+# sqrt(3)/3, 2/3, sqrt(3), sqrt(3)/2 as PYTHON double literals: both the
+# Column plan and the DuckDB oracle embed these exact bit patterns, so no
+# engine ever evaluates a sqrt and the hex arithmetic is pure shared-IEEE
+# (+, *, /, floor, abs, comparisons) — deterministic and identical across
+# engines by IEEE-754, the same discipline as the mercator twin formulas
+# (functions/tiles.py).
+_SQRT3_3 = 0.5773502691896258
+_TWO_3 = 0.6666666666666666
+_SQRT3 = 1.7320508075688772
+_SQRT3_2 = 0.8660254037844386
+
+
+def hexbin_points(
+    df: DataFrame,
+    z: int,
+    size_px: int = 128,
+    lon: str = "lon",
+    lat: str = "lat",
+    id_col: str | None = None,
+    agg: dict[str, str] | None = None,
+    projection: str = "webmercator",
+    extent: int = codec.DEFAULT_EXTENT,
+) -> DataFrame:
+    """World-space points -> one row per non-empty HEXAGON in the zoom-z
+    GLOBAL pixel plane (pointy-top axial grid, ``size_px`` = center-to-
+    vertex radius). The hexagonal twin of ``cluster_points``: hex bins
+    are the standard density-map cell (equidistant neighbors, no square-
+    grid diagonal bias) and — because binning happens in GLOBAL pixels
+    ``gx = tile_x * extent + px`` — hexes span tile borders seamlessly
+    instead of snapping per tile.
+
+    Output: ``(zoom, hq, hr, point_count, cx_px, cy_px[, rep_id]
+    [, <col>_<fn>...])`` where (hq, hr) are the axial hex coordinates
+    (fractional axial -> cube rounding with the largest-error correction)
+    and (cx_px, cy_px) the hex CENTER in global pixels. Every float step
+    is shared-IEEE arithmetic on embedded double literals (module header)
+    in a pinned operation order, so the whole assignment — including the
+    cube-round tie behavior — replays bit-for-bit in the DuckDB oracle.
+
+    Scale shape: pure Column algebra (zero Python, whole-stage codegen)
+    into ONE hash aggregate; map-side partial aggregation bounds shuffle
+    volume by OUTPUT cardinality (non-empty hexes), so a 10^9-point metro
+    hotspot moves one partial row per (partition, hex) — hot hexes cannot
+    skew the exchange, same argument as cluster_points.
+    """
+    if size_px < 1:
+        raise ValueError(f"size_px={size_px} must be >= 1")
+    if projection not in ("webmercator", "equirect"):
+        raise ValueError(f"unknown projection {projection!r}")
+    bad = {fn for fn in (agg or {}).values() if fn not in _AGG_FNS}
+    if bad:
+        raise ValueError(f"unsupported agg fns {sorted(bad)}; use {_AGG_FNS}")
+    reserved = {"zoom", "hq", "hr", "point_count", "cx_px", "cy_px", "rep_id",
+                "_id", "_gx", "_gy"}
+    clash = set(agg or {}) & reserved
+    if clash:
+        raise ValueError(
+            f"agg columns {sorted(clash)} collide with hexbin output/"
+            "internal names — rename them upstream"
+        )
+    tx, ty, px, py = _projected(df, z, lon, lat, projection, extent)
+    gx = (tx.cast("bigint") * extent + px).cast("double")
+    gy = (ty.cast("bigint") * extent + py).cast("double")
+    s = float(size_px)
+    # fractional axial coords (pointy-top): qf=(sqrt3/3*gx - gy/3)/s,
+    # rf=(2/3*gy)/s — operation order pinned to match the SQL twin
+    qf = (F.lit(_SQRT3_3) * gx - gy / F.lit(3.0)) / F.lit(s)
+    rf = (F.lit(_TWO_3) * gy) / F.lit(s)
+    yf = -qf - rf
+    # cube rounding: Spark floor(double) yields BIGINT; promoting back to
+    # double for the error terms is exact, so values match DuckDB's
+    # double-typed floor bit-for-bit
+    rq = F.floor(qf + F.lit(0.5))
+    ry = F.floor(yf + F.lit(0.5))
+    rr = F.floor(rf + F.lit(0.5))
+    dq = F.abs(rq - qf)
+    dy = F.abs(ry - yf)
+    dr = F.abs(rr - rf)
+    fix_q = (dq > dy) & (dq > dr)
+    fix_r = ~fix_q & ~(dy > dr)
+    hq = F.when(fix_q, -ry - rr).otherwise(rq).cast("bigint")
+    hr = F.when(fix_r, -rq - ry).otherwise(rr).cast("bigint")
+    binned = df.select(
+        F.lit(z).cast("int").alias("zoom"),
+        hq.alias("hq"),
+        hr.alias("hr"),
+        *([F.col(id_col).cast("bigint").alias("_id")] if id_col else []),
+        *[F.col(c) for c in (agg or {})],
+    )
+    aggs = [F.count(F.lit(1)).alias("point_count")]
+    if id_col:
+        aggs.append(F.min("_id").alias("rep_id"))
+    for c, fn in (agg or {}).items():
+        out = f"{c}_{fn}"
+        if fn == "count":
+            aggs.append(F.count(c).alias(out))
+        elif fn in ("sum", "avg"):
+            aggs.append(F.round(getattr(F, fn)(c), 2).alias(out))
+        else:
+            aggs.append(getattr(F, fn)(c).alias(out))
+    g = binned.groupBy("zoom", "hq", "hr").agg(*aggs)
+    # hex center back in global pixels (pointy-top): x = s*(sqrt3*q +
+    # sqrt3/2*r), y = s*(3/2)*r — same literal discipline
+    cx = (F.lit(_SQRT3) * F.col("hq") + F.lit(_SQRT3_2) * F.col("hr")) * F.lit(s)
+    cy = F.lit(1.5) * F.col("hr") * F.lit(s)
+    return g.select(
+        "zoom", "hq", "hr", "point_count",
+        cx.alias("cx_px"), cy.alias("cy_px"),
+        *[c for c in g.columns if c not in ("zoom", "hq", "hr", "point_count")],
+    )

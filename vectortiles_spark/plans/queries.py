@@ -4130,3 +4130,85 @@ SELECT g, px::BIGINT AS px, py::BIGINT AS py,
        count(*) OVER (PARTITION BY g) AS n_hull
 FROM hull ORDER BY g, px, py
 """
+
+
+def q_hexbin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hexagonal density binning under the value oracle
+    (operators/cluster.py:hexbin_points): customers at z=4 equirect,
+    1024 px pointy-top hexes over the GLOBAL pixel plane (big enough
+    that metro keys collide, so the count/rep/sum aggregates are
+    exercised on real multi-point bins). Every float step
+    (axial transform, cube rounding + largest-error correction, center
+    back-projection) is shared-IEEE arithmetic on embedded double
+    literals in a pinned operation order, so DuckDB replays the entire
+    assignment — including tie-side behavior on hex boundaries —
+    bit-for-bit."""
+    from vectortiles_spark.operators.cluster import hexbin_points
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    pts = cust.select(
+        "c_custkey", "c_acctbal",
+        lon_of(F.col("c_custkey")), lat_of(F.col("c_custkey")),
+    )
+    return hexbin_points(
+        pts, z=4, size_px=1024, id_col="c_custkey",
+        agg={"c_acctbal": "sum"}, projection="equirect",
+    ).orderBy("hq", "hr")
+
+
+def _hexbin_sql() -> str:
+    n, top = float(1 << 4), float((1 << 4) - 1)
+    return f"""
+WITH pts AS (
+  SELECT c_custkey, c_acctbal,
+         {_sql_lon('c_custkey')} AS lon, {_sql_lat('c_custkey')} AS lat
+  FROM customer
+), f AS (
+  SELECT c_custkey, c_acctbal,
+         (lon + 180.0) / 360.0 * {n} AS fx,
+         (85.0 - lat) / 170.0 * {n} AS fy
+  FROM pts
+), g AS (
+  SELECT c_custkey, c_acctbal,
+         cast(least(floor(fx), {top}) AS INT) AS tile_x,
+         cast(least(floor(fy), {top}) AS INT) AS tile_y,
+         cast(least(floor((fx - floor(least(fx, {top}))) * 4096.0), 4095.0) AS BIGINT) AS _px,
+         cast(least(floor((fy - floor(least(fy, {top}))) * 4096.0), 4095.0) AS BIGINT) AS _py
+  FROM f
+), gg AS (
+  SELECT c_custkey, c_acctbal,
+         CAST(tile_x * 4096 + _px AS DOUBLE) AS gx,
+         CAST(tile_y * 4096 + _py AS DOUBLE) AS gy
+  FROM g
+), ax AS (
+  SELECT c_custkey, c_acctbal,
+         (0.5773502691896258 * gx - gy / 3.0) / 1024.0 AS qf,
+         (0.6666666666666666 * gy) / 1024.0 AS rf
+  FROM gg
+), cr AS (
+  SELECT c_custkey, c_acctbal, qf, rf,
+         floor(qf + 0.5) AS rq,
+         floor(-qf - rf + 0.5) AS ry,
+         floor(rf + 0.5) AS rr
+  FROM ax
+), hx AS (
+  SELECT c_custkey, c_acctbal,
+         CASE WHEN abs(rq - qf) > abs(ry - (-qf - rf))
+                AND abs(rq - qf) > abs(rr - rf)
+              THEN CAST(-ry - rr AS BIGINT) ELSE CAST(rq AS BIGINT) END AS hq,
+         CASE WHEN NOT (abs(rq - qf) > abs(ry - (-qf - rf))
+                        AND abs(rq - qf) > abs(rr - rf))
+                AND NOT (abs(ry - (-qf - rf)) > abs(rr - rf))
+              THEN CAST(-rq - ry AS BIGINT) ELSE CAST(rr AS BIGINT) END AS hr
+  FROM cr
+)
+SELECT 4 AS zoom, hq, hr, count(*) AS point_count,
+       (1.7320508075688772 * hq + 0.8660254037844386 * hr) * 1024.0 AS cx_px,
+       1.5 * hr * 1024.0 AS cy_px,
+       CAST(min(c_custkey) AS BIGINT) AS rep_id,
+       round(sum(c_acctbal), 2) AS c_acctbal_sum
+FROM hx GROUP BY hq, hr ORDER BY hq, hr
+"""
+
+
+Q_HEXBIN_SQL = _hexbin_sql()
