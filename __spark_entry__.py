@@ -3,7 +3,7 @@
 ``entry`` runs the flagship pipeline (point features -> groupBy(z,x,y) ->
 applyInArrow MVT encode) on sf0.001. ``queries``/``oracle_sql`` pair every
 implemented operator family from SURVEY.md §2 with a DuckDB-checkable oracle
-(104 queries, 104 value-checked — including byte-exact MVT blob sizes, the
+(105 queries, 105 value-checked — including byte-exact MVT blob sizes, the
 tileset/MBTiles/PMTiles ingest circles, the multi-zoom pyramid builder,
 trained-IVF and PQ/ADC ANN, as-of/interval joins, HLL/KMV/histogram-quantile
 sketches whose ESTIMATES replay in DuckDB bit-for-bit, the composed corpus
@@ -349,6 +349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_trajectory_segments": Q.q_trajectory_segments,
         "q_raster_mosaic": Q.q_raster_mosaic,
         "q_focal_grad": Q.q_focal_grad,
+        "q_hillshade": Q.q_hillshade,
         "q_snap_segments": Q.q_snap_segments,
         "q_raster_resample": Q.q_raster_resample,
         "q_overlay_areas": Q.q_overlay_areas,
@@ -431,6 +432,7 @@ def oracle_sql() -> dict[str, str]:
         "q_trajectory_segments": Q.Q_TRAJECTORY_SEGMENTS_SQL,
         "q_raster_mosaic": Q.Q_RASTER_MOSAIC_SQL,
         "q_focal_grad": Q.Q_FOCAL_GRAD_SQL,
+        "q_hillshade": Q.Q_HILLSHADE_SQL,
         "q_snap_segments": Q.Q_SNAP_SEGMENTS_SQL,
         "q_raster_resample": Q.Q_RASTER_RESAMPLE_SQL,
         "q_overlay_areas": Q.Q_OVERLAY_AREAS_SQL,

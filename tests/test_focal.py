@@ -158,3 +158,94 @@ def test_null_dims_drop_not_crash(spark):
     )
     out = focal_map(df, op="max").collect()
     assert {r["tile_x"] for r in out} == {0}
+
+
+# --- hillshade ------------------------------------------------------------
+
+import math  # noqa: E402
+
+
+def _global_hillshade(
+    g: np.ndarray, default: int, az=315.0, alt=45.0, zf=1.0
+) -> np.ndarray:
+    """Single-mosaic replica of the operator's pinned formula."""
+    h, w = g.shape
+    pad = np.full((h + 2, w + 2), default, dtype=np.int32)
+    pad[1:h + 1, 1:w + 1] = g
+    _alt = math.radians(alt)
+    _azm = math.radians(360.0 - az + 90.0)
+    sin_alt, zf_cos_alt = math.sin(_alt), zf * math.cos(_alt)
+    sin_az, cos_az = math.sin(_azm), math.cos(_azm)
+    nw, n_, ne = pad[:h, :w], pad[:h, 1:w + 1], pad[:h, 2:]
+    w_, e_ = pad[1:h + 1, :w], pad[1:h + 1, 2:]
+    sw_, s_, se = pad[2:, :w], pad[2:, 1:w + 1], pad[2:, 2:]
+    dzdx = ((ne + 2 * e_ + se) - (nw + 2 * w_ + sw_)) / 8.0
+    dzdy = ((sw_ + 2 * s_ + se) - (nw + 2 * n_ + ne)) / 8.0
+    num = sin_alt + zf_cos_alt * (sin_az * dzdy - cos_az * dzdx)
+    den = np.sqrt(1.0 + zf * zf * (dzdx * dzdx + dzdy * dzdy))
+    val = 255.0 * num / den
+    return np.floor(
+        np.minimum(np.maximum(val, 0.0), 255.0) + 0.5
+    ).astype(np.uint8)
+
+
+def test_hillshade_formula_equals_trig_form():
+    # the operator's trig-free formulation == the textbook Horn/ESRI
+    # atan-aspect form, to float precision, over random gradients
+    rng = np.random.default_rng(2)
+    dzdx = rng.uniform(-30, 30, 2000)
+    dzdy = rng.uniform(-30, 30, 2000)
+    for az, alt, zf in ((315.0, 45.0, 1.0), (90.0, 30.0, 2.5)):
+        _alt = math.radians(alt)
+        azm = math.radians(360.0 - az + 90.0)
+        mine = (
+            255.0
+            * (math.sin(_alt) + zf * math.cos(_alt)
+               * (math.sin(azm) * dzdy - math.cos(azm) * dzdx))
+            / np.sqrt(1.0 + zf * zf * (dzdx * dzdx + dzdy * dzdy))
+        )
+        slope = np.arctan(zf * np.hypot(dzdx, dzdy))
+        aspect = np.arctan2(dzdy, -dzdx)
+        trig = 255.0 * (
+            np.cos(math.pi / 2 - _alt) * np.cos(slope)
+            + np.sin(math.pi / 2 - _alt) * np.sin(slope) * np.cos(azm - aspect)
+        )
+        assert np.max(np.abs(mine - trig)) < 1e-9
+
+
+def test_hillshade_flat_terrain_and_halo(spark):
+    # flat mosaic with default == the constant: every pixel shades to
+    # round(255 * sin(altitude)) — borders included (halo sees default)
+    g = np.full((32, 32), 77, dtype=np.uint8)
+    out = _collect_grids(
+        focal_map(_tile_df(spark, g, 16), op="hillshade", default=77), 16
+    )
+    expect = int(np.floor(255.0 * math.sin(math.radians(45.0)) + 0.5))
+    for grid in out.values():
+        assert (grid == expect).all()
+
+
+def test_hillshade_matches_global_computation(spark):
+    rng = np.random.default_rng(4)
+    g = rng.integers(0, 256, (64, 64)).astype(np.uint8)
+    ref = _global_hillshade(g, default=0)
+    out = _collect_grids(
+        focal_map(_tile_df(spark, g, 16), op="hillshade"), 16
+    )
+    assert len(out) == 16
+    for (tx, ty), grid in out.items():
+        np.testing.assert_array_equal(
+            grid, ref[ty * 16:(ty + 1) * 16, tx * 16:(tx + 1) * 16]
+        )
+
+
+def test_hillshade_params_change_lighting_and_validate(spark):
+    g = np.arange(256, dtype=np.uint8).reshape(16, 16)
+    df = _tile_df(spark, g, 16)
+    a = _collect_grids(focal_map(df, op="hillshade"), 16)[(0, 0)]
+    b = _collect_grids(
+        focal_map(df, op="hillshade", azimuth_deg=135.0), 16
+    )[(0, 0)]
+    assert not np.array_equal(a, b)  # opposite light direction
+    with pytest.raises(ValueError, match="altitude"):
+        focal_map(df, op="hillshade", altitude_deg=0.0)

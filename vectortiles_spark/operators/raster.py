@@ -590,17 +590,34 @@ _HALO_PART_SCHEMA = (
 
 
 def focal_map(
-    rasters: DataFrame, op: str = "max", default: int = 0
+    rasters: DataFrame,
+    op: str = "max",
+    default: int = 0,
+    azimuth_deg: float = 315.0,
+    altitude_deg: float = 45.0,
+    z_factor: float = 1.0,
 ) -> DataFrame:
     """3x3 focal filter over a tiled raster mosaic with cross-tile HALO
     EXCHANGE: each output pixel is a function of its 3x3 neighborhood in
     the GLOBAL mosaic, so tile borders need one pixel of context from up
-    to 8 neighbor tiles. Ops (all integer-exact, replayable in SQL):
+    to 8 neighbor tiles. Ops (all replayable in SQL):
 
     - ``max`` / ``min``: 9-pixel window extremum (dilation / erosion).
     - ``grad``: central-difference gradient magnitude
       ``min(255, |E - W| + |S - N|)`` — the classic slope/edge measure,
       saturated to the uint8 range.
+    - ``hillshade``: Horn's-method terrain shading treating pixel values
+      as elevations (``azimuth_deg``/``altitude_deg`` light the scene,
+      ``z_factor`` exaggerates relief). The trigonometry is rewritten out
+      of the per-pixel path: with Horn's exact dyadic-rational gradients
+      ``dzdx = ((ne+2e+se) - (nw+2w+sw)) / 8`` (and the N/S twin) the
+      shade is ``255 * (sinAlt + zf*cosAlt*(sinAz*dzdy - cosAz*dzdx)) /
+      sqrt(1 + zf^2*(dzdx^2 + dzdy^2))`` — no atan/aspect, no divide by
+      a zero gradient (flat cells shade to 255*sinAlt exactly). The four
+      sin/cos constants are computed ONCE in Python and embedded as
+      double literals in both the kernel and the SQL twin, so the only
+      engine-evaluated float ops are shared-IEEE +,*,/,sqrt in a pinned
+      order — the whole surface replays bit-for-bit.
 
     Pixels whose window reaches past the edge of the EXISTING tile set
     (missing neighbor, global mosaic border) read ``default`` there —
@@ -620,12 +637,25 @@ def focal_map(
     policy); neighbor strips whose shared dimension disagrees with the
     center tile raise (grid bug, not noise).
     """
+    import math
+
     import pandas as pd
 
-    if op not in ("max", "min", "grad"):
+    if op not in ("max", "min", "grad", "hillshade"):
         raise ValueError(f"unknown op {op!r}")
     if not 0 <= default <= 255:
         raise ValueError(f"default {default} outside uint8 range")
+    if op == "hillshade" and not 0.0 < altitude_deg <= 90.0:
+        raise ValueError(f"altitude_deg {altitude_deg} outside (0, 90]")
+    # hillshade constants, computed ONCE here (never by an engine):
+    # ESRI's azimuth-to-math-angle rotation, aspect folded away above
+    _alt = math.radians(altitude_deg)
+    _azm = math.radians(360.0 - azimuth_deg + 90.0)
+    hs_sin_alt = math.sin(_alt)
+    hs_zf_cos_alt = float(z_factor) * math.cos(_alt)
+    hs_sin_az = math.sin(_azm)
+    hs_cos_az = math.cos(_azm)
+    hs_zf2 = float(z_factor) * float(z_factor)
     key = ["tile_z", "tile_x", "tile_y"]
 
     def emit_parts(batches):
@@ -704,6 +734,19 @@ def focal_map(
             gx = np.abs(pad[1:h + 1, 2:] - pad[1:h + 1, :w])
             gy = np.abs(pad[2:, 1:w + 1] - pad[:h, 1:w + 1])
             res = np.minimum(gx + gy, 255)
+        elif op == "hillshade":
+            nw, n_, ne = pad[:h, :w], pad[:h, 1:w + 1], pad[:h, 2:]
+            w_, e_ = pad[1:h + 1, :w], pad[1:h + 1, 2:]
+            sw_, s_, se = pad[2:, :w], pad[2:, 1:w + 1], pad[2:, 2:]
+            # Horn gradients: integer sums, then one exact dyadic division
+            dzdx = ((ne + 2 * e_ + se) - (nw + 2 * w_ + sw_)) / 8.0
+            dzdy = ((sw_ + 2 * s_ + se) - (nw + 2 * n_ + ne)) / 8.0
+            num = hs_sin_alt + hs_zf_cos_alt * (
+                hs_sin_az * dzdy - hs_cos_az * dzdx
+            )
+            den = np.sqrt(1.0 + hs_zf2 * (dzdx * dzdx + dzdy * dzdy))
+            val = 255.0 * num / den
+            res = np.floor(np.minimum(np.maximum(val, 0.0), 255.0) + 0.5)
         else:
             reduce = np.maximum.reduce if op == "max" else np.minimum.reduce
             res = reduce([

@@ -4212,3 +4212,91 @@ FROM hx GROUP BY hq, hr ORDER BY hq, hr
 
 
 Q_HEXBIN_SQL = _hexbin_sql()
+
+
+def q_hillshade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hillshade with cross-tile halo exchange under the value oracle
+    (operators/raster.py:focal_map op='hillshade'): q_focal_grad's 8x8
+    closed-form elevation mosaic lit from the default NW 315/45 sun. The
+    trig-free Horn formulation leaves only shared-IEEE +,*,/,sqrt in the
+    per-pixel path (the four sin/cos constants are Python-computed
+    double literals embedded in BOTH engines), so per-tile stats replay
+    bit-for-bit, halo strips included."""
+    import numpy as np
+    import pandas as pd
+
+    from vectortiles_spark.operators.raster import focal_map, zonal_stats
+
+    rows_i, cols_i = np.arange(64)[:, None], np.arange(64)[None, :]
+    rasters = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {"tile_z": 3, "tile_x": tx, "tile_y": ty, "w": 64, "h": 64,
+                 "px": (((tx * 64 + cols_i) * 13 + (ty * 64 + rows_i) * 17
+                         + 7) % 251).astype(np.uint8).tobytes()}
+                for tx in range(8) for ty in range(8)
+            ]
+        )
+    )
+    hs = focal_map(rasters, op="hillshade")
+    feats = _full_tile_feats(spark)
+    return (
+        zonal_stats(feats, hs)
+        .select("tile_x", "tile_y", "n_px", "sum_val", "min_val", "max_val",
+                "mean_val")
+        .orderBy("tile_x", "tile_y")
+    )
+
+
+def _hillshade_sql() -> str:
+    import math
+
+    alt = math.radians(45.0)
+    azm = math.radians(360.0 - 315.0 + 90.0)
+    sin_alt, zf_cos_alt = math.sin(alt), 1.0 * math.cos(alt)
+    sin_az, cos_az = math.sin(azm), math.cos(azm)
+    zf2 = 1.0
+
+    def v(ax: str, ay: str) -> str:
+        return (
+            f"(CASE WHEN ({ax}) BETWEEN 0 AND 511 AND ({ay}) BETWEEN 0 AND 511 "
+            f"THEN (({ax}) * 13 + ({ay}) * 17 + 7) % 251 ELSE 0 END)"
+        )
+
+    gx, gy = "tile_x * 64 + c.range", "tile_y * 64 + r.range"
+    dzdx = (
+        f"(({v(f'{gx} + 1', f'{gy} - 1')} + 2 * {v(f'{gx} + 1', gy)}"
+        f" + {v(f'{gx} + 1', f'{gy} + 1')})"
+        f" - ({v(f'{gx} - 1', f'{gy} - 1')} + 2 * {v(f'{gx} - 1', gy)}"
+        f" + {v(f'{gx} - 1', f'{gy} + 1')})) / 8.0"
+    )
+    dzdy = (
+        f"(({v(f'{gx} - 1', f'{gy} + 1')} + 2 * {v(gx, f'{gy} + 1')}"
+        f" + {v(f'{gx} + 1', f'{gy} + 1')})"
+        f" - ({v(f'{gx} - 1', f'{gy} - 1')} + 2 * {v(gx, f'{gy} - 1')}"
+        f" + {v(f'{gx} + 1', f'{gy} - 1')})) / 8.0"
+    )
+    return f"""
+WITH t AS (
+  SELECT tx.range AS tile_x, ty.range AS tile_y FROM range(8) tx, range(8) ty
+), d AS (
+  SELECT tile_x, tile_y, {dzdx} AS dzdx, {dzdy} AS dzdy
+  FROM t, range(64) r, range(64) c
+), s AS (
+  SELECT tile_x, tile_y,
+         CAST(floor(least(greatest(
+           255.0 * ({sin_alt!r} + {zf_cos_alt!r} * ({sin_az!r} * dzdy - {cos_az!r} * dzdx))
+             / sqrt(1.0 + {zf2!r} * (dzdx * dzdx + dzdy * dzdy)),
+           0.0), 255.0) + 0.5) AS INT) AS val
+  FROM d
+)
+SELECT tile_x::INT AS tile_x, tile_y::INT AS tile_y,
+       count(*) AS n_px, sum(val)::BIGINT AS sum_val,
+       min(val)::INT AS min_val, max(val)::INT AS max_val,
+       sum(val)::DOUBLE / count(*) AS mean_val
+FROM s GROUP BY 1, 2
+ORDER BY tile_x, tile_y
+"""
+
+
+Q_HILLSHADE_SQL = _hillshade_sql()
