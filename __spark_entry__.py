@@ -3,7 +3,7 @@
 ``entry`` runs the flagship pipeline (point features -> groupBy(z,x,y) ->
 applyInArrow MVT encode) on sf0.001. ``queries``/``oracle_sql`` pair every
 implemented operator family from SURVEY.md §2 with a DuckDB-checkable oracle
-(105 queries, 105 value-checked — including byte-exact MVT blob sizes, the
+(107 queries, 107 value-checked — including byte-exact MVT blob sizes, the
 tileset/MBTiles/PMTiles ingest circles, the multi-zoom pyramid builder,
 trained-IVF and PQ/ADC ANN, as-of/interval joins, HLL/KMV/histogram-quantile
 sketches whose ESTIMATES replay in DuckDB bit-for-bit, the composed corpus
@@ -363,6 +363,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cluster_points": Q.q_cluster_points,
         "q_hexbin": Q.q_hexbin,
         "q_label_points": Q.q_label_points,
+        "q_line_labels": Q.q_line_labels,
+        "q_plan_shards": Q.q_plan_shards,
         "q_convex_hull": Q.q_convex_hull,
         # image codec gate (literal-expected oracle — see Q_IMAGE_INVARIANTS_SQL)
         "q_image_invariants": _q_image_invariants,
@@ -446,6 +448,8 @@ def oracle_sql() -> dict[str, str]:
         "q_cluster_points": Q.Q_CLUSTER_POINTS_SQL,
         "q_hexbin": Q.Q_HEXBIN_SQL,
         "q_label_points": Q.Q_LABEL_POINTS_SQL,
+        "q_line_labels": Q.Q_LINE_LABELS_SQL,
+        "q_plan_shards": Q.Q_PLAN_SHARDS_SQL,
         "q_convex_hull": Q.Q_CONVEX_HULL_SQL,
         "q_ivf_topk": QT.Q_IVF_TOPK_SQL,
         "q_pq_topk": QT.Q_PQ_TOPK_SQL,

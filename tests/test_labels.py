@@ -208,3 +208,110 @@ def test_convex_hull_spark_matches_kernel_and_partitioning(spark):
         )
         H = _monotone_chain(np.unique(P, axis=0))
         assert [p[1:] for p in sorted(by_g[g])] == [tuple(p) for p in H]
+
+
+# --- line label anchors ---------------------------------------------------
+
+from vectortiles_spark.mvt.geometry import GEOM_LINESTRING  # noqa: E402
+from vectortiles_spark.operators.labels import line_label_anchors  # noqa: E402
+
+
+def lines_df(spark, rows):
+    """rows: (feature_id, parts) with parts = list of [[x,y],...]."""
+    import numpy as np
+
+    data = [
+        (3, 1, 2, "roads", GEOM_LINESTRING, fid,
+         [int(v) for v in geom_to_stream(
+             GEOM_LINESTRING,
+             [np.asarray(p, dtype=np.int64) for p in parts],
+         )])
+        for fid, parts in rows
+    ]
+    return spark.createDataFrame(
+        data,
+        "tile_z int, tile_x int, tile_y int, layer string, geom_type int, "
+        "feature_id bigint, geom_cmds array<bigint>",
+    )
+
+
+def ref_anchor(parts):
+    """Independent scalar replica: longest part (first wins ties), first
+    vertex at-or-past half its sequential arc length."""
+    import math
+
+    best = None
+    for pi, pts in enumerate(parts):
+        cum, acc = [], 0.0
+        for (xa, ya), (xb, yb) in zip(pts[:-1], pts[1:]):
+            acc = acc + math.sqrt(
+                float(xb - xa) * float(xb - xa)
+                + float(yb - ya) * float(yb - ya)
+            )
+            cum.append(acc)
+        tot = cum[-1] if cum else 0.0
+        if best is None or tot > best[0]:
+            best = (tot, pi, cum, pts)
+    if best is None or best[0] == 0.0:
+        return None
+    tot, pi, cum, pts = best
+    half = tot / 2.0
+    for j, c in enumerate(cum):
+        if c >= half:
+            return pts[j + 1], pi, tot
+    return pts[-1], pi, tot
+
+
+def test_line_anchor_staircase_and_midpoint(spark):
+    # 2-segment L: lengths 100 then 60; half=80 -> first vertex past 80
+    # along the walk is the corner+60 end? cum=[100,160], half=80 ->
+    # j=0 -> vertex 1 (the corner)
+    rows = [(1, [[[0, 0], [100, 0], [100, 60]]])]
+    out = line_label_anchors(lines_df(spark, rows)).collect()[0]
+    assert (out.px, out.py) == (100, 0)
+    assert out.part_idx == 0 and out.len_px == 160.0
+    assert out.geom_type == GEOM_POINT and out.layer == "roads_labels"
+    pt = geom_from_stream(GEOM_POINT, np.asarray(out.geom_cmds, np.uint32))
+    assert pt.tolist() == [[100, 0]]
+
+
+def test_line_anchor_longest_part_and_randomized(spark):
+    rng = np.random.default_rng(13)
+    rows = []
+    for fid in range(25):
+        nparts = 1 + fid % 3
+        parts = []
+        for _ in range(nparts):
+            n = int(rng.integers(2, 8))
+            pts = rng.integers(0, 4000, (n, 2)).astype(int).tolist()
+            # drop consecutive duplicates (zero-length segments legal but
+            # keep the construction clean)
+            parts.append(pts)
+        rows.append((fid, parts))
+    got = {
+        r.feature_id: r
+        for r in line_label_anchors(
+            lines_df(spark, rows).repartition(4)
+        ).collect()
+    }
+    for fid, parts in rows:
+        exp = ref_anchor(parts)
+        if exp is None:
+            assert fid not in got
+            continue
+        (ex, ey), epi, etot = exp
+        r = got[fid]
+        assert (r.px, r.py) == (ex, ey), fid
+        assert r.part_idx == epi
+        assert r.len_px == etot
+
+
+def test_line_anchor_zero_length_drop_and_nonline_raise(spark):
+    rows = [(1, [[[5, 5], [5, 5]]]), (2, [[[0, 0], [10, 0]]])]
+    out = line_label_anchors(lines_df(spark, rows)).collect()
+    assert [r.feature_id for r in out] == [2]
+    bad = lines_df(spark, [(1, [[[0, 0], [10, 0]]])]).withColumn(
+        "geom_type", F.lit(1)
+    )
+    with pytest.raises(Exception, match="non-linestring"):
+        line_label_anchors(bad).collect()

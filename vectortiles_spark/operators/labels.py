@@ -236,3 +236,106 @@ def convex_hull(
         return out[group_cols + ["hull_idx", "px", "py"]]
 
     return pts.groupBy(*group_cols).applyInPandas(hull, schema=out_schema)
+
+
+def line_label_anchors(
+    feats: DataFrame,
+    layer_suffix: str = "_labels",
+    geom_col: str = "geom_cmds",
+) -> DataFrame:
+    """Linestring feature rows -> one label ANCHOR point per feature: the
+    first ORIGINAL vertex at-or-past half the arc length of the feature's
+    longest part (ties on part length: first part wins). Renderers anchor
+    road/river labels mid-line; emitting an original vertex (never an
+    interpolated point) keeps the output integer and the geometry exact.
+
+    Exactness contract: per segment ``sqrt(dx*dx + dy*dy)`` (IEEE sqrt is
+    correctly rounded everywhere), summed SEQUENTIALLY (np.cumsum —
+    left-assoc fold, the same order a SQL running-sum window uses), half
+    = ``total / 2.0``, and the vertex pick is one IEEE ``>=`` per prefix
+    — so the whole selection replays bit-for-bit in a SQL engine.
+
+    Zero-length features (every part's vertices coincident) are DROPPED.
+    Non-linestring rows raise (same loud contract as label_points).
+    Output mirrors label_points: geom_type=1, the single-point command
+    stream, layer renamed with ``layer_suffix``, plus ``px``/``py``,
+    ``part_idx`` (which part carries the label) and ``len_px`` (the
+    longest part's arc length) for ranking. Scale shape: shuffle-free
+    ``mapInArrow``, one output row per surviving input row.
+    """
+    from ..mvt.geometry import GEOM_LINESTRING
+
+    fields = list(feats.schema.fields)
+    names = [f.name for f in fields]
+    for req in ("layer", "geom_type", geom_col):
+        if req not in names:
+            raise ValueError(f"line_label_anchors: input lacks column {req!r}")
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in fields
+    ) + ", px int, py int, part_idx int, len_px double"
+    suffix = layer_suffix
+
+    def run(batches):
+        for b in batches:
+            gts = b["geom_type"].to_pylist()
+            streams = b[geom_col].to_pylist()
+            layers = b["layer"].to_pylist()
+            keep: list[int] = []
+            pxs: list[int] = []
+            pys: list[int] = []
+            pidx: list[int] = []
+            lens: list[float] = []
+            cmds: list[list[int]] = []
+            labs: list[str] = []
+            for i, (gt, stream) in enumerate(zip(gts, streams)):
+                if gt != GEOM_LINESTRING:
+                    raise ValueError(
+                        "line_label_anchors: non-linestring feature "
+                        f"(geom_type={gt}) — filter to linestrings first"
+                    )
+                parts = geom_from_stream(
+                    GEOM_LINESTRING, np.asarray(stream, dtype=np.uint32)
+                )
+                best = None  # (total, part_idx, cum, pts)
+                for pi, pts in enumerate(parts):
+                    P = np.asarray(pts, dtype=np.float64).reshape(-1, 2)
+                    d = np.diff(P, axis=0)
+                    cum = np.cumsum(np.sqrt(d[:, 0] * d[:, 0] + d[:, 1] * d[:, 1]))
+                    tot = float(cum[-1]) if len(cum) else 0.0
+                    if best is None or tot > best[0]:
+                        best = (tot, pi, cum, pts)
+                if best is None or best[0] == 0.0:
+                    continue  # zero-length: no defined anchor
+                tot, pi, cum, pts = best
+                half = tot / 2.0
+                j = int(np.searchsorted(cum, half, side="left")) + 1
+                px, py = (int(v) for v in np.asarray(pts)[j])
+                keep.append(i)
+                pxs.append(px)
+                pys.append(py)
+                pidx.append(pi)
+                lens.append(tot)
+                zx = (px << 1) ^ (px >> 63) if px >= 0 else ((-px) << 1) - 1
+                zy = (py << 1) ^ (py >> 63) if py >= 0 else ((-py) << 1) - 1
+                cmds.append([(1 << 3) | 1, zx, zy])
+                labs.append(layers[i] + suffix)
+            idx = pa.array(keep, type=pa.int64())
+            cols = {}
+            for f in b.schema.names:
+                if f == geom_col:
+                    cols[f] = pa.array(cmds, type=b.schema.field(geom_col).type)
+                elif f == "geom_type":
+                    cols[f] = pa.array(
+                        [GEOM_POINT] * len(keep), type=b.schema.field(f).type
+                    )
+                elif f == "layer":
+                    cols[f] = pa.array(labs, type=b.schema.field(f).type)
+                else:
+                    cols[f] = b[f].take(idx)
+            cols["px"] = pa.array(pxs, type=pa.int32())
+            cols["py"] = pa.array(pys, type=pa.int32())
+            cols["part_idx"] = pa.array(pidx, type=pa.int32())
+            cols["len_px"] = pa.array(lens, type=pa.float64())
+            yield pa.record_batch(cols)
+
+    return feats.mapInArrow(run, out_schema)

@@ -4300,3 +4300,121 @@ ORDER BY tile_x, tile_y
 
 
 Q_HILLSHADE_SQL = _hillshade_sql()
+
+
+def q_line_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line label anchors under the value oracle
+    (operators/labels.py:line_label_anchors): per customer an axis-
+    aligned 4-vertex staircase polyline whose three segment lengths are
+    exact integers (sqrt of a perfect square is exact), so the
+    sequential running-length fold, the half-length comparison, and the
+    chosen anchor VERTEX all replay exactly in SQL CASE arithmetic."""
+    from vectortiles_spark.operators import tiling
+    from vectortiles_spark.operators.labels import line_label_anchors
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    k = F.col("c_custkey")
+    x0 = (k * 131 % 2000).cast("bigint")
+    y0 = (k * 197 % 2000).cast("bigint")
+    a = (k * 89 % 500) + 10
+    b = (k * 53 % 400) + 10
+    c = (k * 37 % 300) + 10
+    part = F.array(
+        F.array(x0, y0),
+        F.array(x0 + a, y0),
+        F.array(x0 + a, y0 + b),
+        F.array(x0 + a + c, y0 + b),
+    )
+    feats = tiling.geom_features(
+        cust.select(
+            F.lit(3).alias("tile_z"),
+            (k * 3 % 8).cast("int").alias("tile_x"),
+            (k * 5 % 8).cast("int").alias("tile_y"),
+            F.lit("roads").alias("layer"),
+            F.lit(2).alias("geom_type"),
+            k.alias("feature_id"),
+            F.array(F.array(part)).alias("geom"),
+        )
+    )
+    out = line_label_anchors(feats)
+    return out.select(
+        "feature_id", "layer", "geom_type", "px", "py", "part_idx", "len_px",
+        F.element_at("geom_cmds", 2).alias("zx"),
+        F.element_at("geom_cmds", 3).alias("zy"),
+    ).orderBy("feature_id")
+
+
+Q_LINE_LABELS_SQL = """
+WITH r AS (
+  SELECT c_custkey AS feature_id,
+         (c_custkey * 131) % 2000 AS x0, (c_custkey * 197) % 2000 AS y0,
+         (c_custkey * 89) % 500 + 10 AS a,
+         (c_custkey * 53) % 400 + 10 AS b,
+         (c_custkey * 37) % 300 + 10 AS c
+  FROM customer
+), pick AS (
+  SELECT feature_id, x0, y0, a, b, c,
+         CAST(a + b + c AS DOUBLE) AS tot,
+         CASE WHEN CAST(a AS DOUBLE) >= CAST(a + b + c AS DOUBLE) / 2.0 THEN 1
+              WHEN CAST(a + b AS DOUBLE) >= CAST(a + b + c AS DOUBLE) / 2.0 THEN 2
+              ELSE 3 END AS j
+  FROM r
+)
+SELECT feature_id, 'roads_labels' AS layer, 1 AS geom_type,
+       CAST(CASE WHEN j = 1 THEN x0 + a
+                 WHEN j = 2 THEN x0 + a
+                 ELSE x0 + a + c END AS INT) AS px,
+       CAST(CASE WHEN j = 1 THEN y0
+                 ELSE y0 + b END AS INT) AS py,
+       0 AS part_idx, tot AS len_px,
+       2 * (CASE WHEN j = 3 THEN x0 + a + c ELSE x0 + a END) AS zx,
+       2 * (CASE WHEN j = 1 THEN y0 ELSE y0 + b END) AS zy
+FROM pick ORDER BY feature_id
+"""
+
+
+def q_plan_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced shard planning under the value oracle
+    (operators/sharding.py:plan_shards): customer counts per z=6
+    equirect tile as the load, split into 8 contiguous quadkey ranges.
+    The operator's distributed exclusive prefix sum (data-independent
+    quadkey-prefix boundaries) must equal the single window cumsum the
+    SQL states — pure bigint arithmetic, no floats to drift."""
+    from vectortiles_spark.operators.sharding import plan_shards
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    k = F.col("c_custkey")
+    tiles = (
+        cust.select(
+            eq_tile_x(lon_of(k), 6).alias("tile_x"),
+            eq_tile_y(lat_of(k), 6).alias("tile_y"),
+        )
+        .groupBy("tile_x", "tile_y")
+        .agg(F.count("*").alias("n"))
+        .withColumn("tile_z", F.lit(6))
+    )
+    return plan_shards(tiles, 8, weight_col="n").select(
+        "tile_x", "tile_y", "qk", "weight", "prefix_excl", "shard_id"
+    ).orderBy("qk")
+
+
+Q_PLAN_SHARDS_SQL = f"""
+WITH t AS (
+  SELECT {_sql_eq_tile_x(_sql_lon('c_custkey'), 6)} AS tx,
+         {_sql_eq_tile_y(_sql_lat('c_custkey'), 6)} AS ty,
+         count(*) AS n
+  FROM customer GROUP BY 1, 2
+), qk AS (
+  SELECT tx, ty, n, {_sql_quadkey_digits(6)} AS qk FROM t
+), scan AS (
+  SELECT tx, ty, n, qk,
+         coalesce(sum(n) OVER (ORDER BY qk
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pe,
+         sum(n) OVER () AS total
+  FROM qk
+)
+SELECT tx::INT AS tile_x, ty::INT AS tile_y, qk,
+       n::BIGINT AS weight, pe::BIGINT AS prefix_excl,
+       least(greatest(pe * 8 // total, 0), 7)::INT AS shard_id
+FROM scan ORDER BY qk
+"""
