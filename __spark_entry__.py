@@ -3,7 +3,7 @@
 ``entry`` runs the flagship pipeline (point features -> groupBy(z,x,y) ->
 applyInArrow MVT encode) on sf0.001. ``queries``/``oracle_sql`` pair every
 implemented operator family from SURVEY.md §2 with a DuckDB-checkable oracle
-(107 queries, 107 value-checked — including byte-exact MVT blob sizes, the
+(109 queries, 109 value-checked — including byte-exact MVT blob sizes, the
 tileset/MBTiles/PMTiles ingest circles, the multi-zoom pyramid builder,
 trained-IVF and PQ/ADC ANN, as-of/interval joins, HLL/KMV/histogram-quantile
 sketches whose ESTIMATES replay in DuckDB bit-for-bit, the composed corpus
@@ -322,6 +322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_token_bpe": QT.q_token_bpe,
         "q_json_props": QT.q_json_props,
         "q_cosine_topk": QT.q_cosine_topk,
+        "q_quantize_emb": QT.q_quantize_emb,
         "q_ivf_assign": QT.q_ivf_assign,
         "q_label_centroids": QT.q_label_centroids,
         "q_stratified_sample": QT.q_stratified_sample,
@@ -372,6 +373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_image_quality": _q_image_quality,
         "q_pair_filter": _q_pair_filter,
         "q_image_pyramid": _q_image_pyramid,
+        "q_letterbox": _q_letterbox,
     }
 
 
@@ -477,6 +479,7 @@ def oracle_sql() -> dict[str, str]:
         "q_token_bpe": QT.Q_TOKEN_BPE_SQL,
         "q_json_props": QT.Q_JSON_PROPS_SQL,
         "q_cosine_topk": QT.Q_COSINE_TOPK_SQL,
+        "q_quantize_emb": QT.Q_QUANTIZE_EMB_SQL,
         "q_ivf_assign": QT.Q_IVF_ASSIGN_SQL,
         "q_label_centroids": QT.Q_LABEL_CENTROIDS_SQL,
         "q_stratified_sample": QT.Q_STRATIFIED_SAMPLE_SQL,
@@ -487,4 +490,42 @@ def oracle_sql() -> dict[str, str]:
         "q_image_quality": Q_IMAGE_QUALITY_SQL,
         "q_pair_filter": Q_PAIR_FILTER_SQL,
         "q_image_pyramid": Q_IMAGE_PYRAMID_SQL,
+        "q_letterbox": Q_LETTERBOX_SQL,
     }
+
+
+def _q_letterbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Letterbox-to-square gate (operators/images.py:letterbox_images —
+    the YOLO-style aspect-preserving resize+pad stage): every seeded row
+    must land on a 64x64 canvas with an in-bounds centered content box.
+    Exact integer arithmetic end to end, so the aggregate over the
+    deterministic corpus is a known constant (values verified
+    partitioning-independent at 3 and 32 partitions) — oracled by the
+    literal Q_LETTERBOX_SQL."""
+    from vectortiles_spark.operators.images import letterbox_images
+    from vectortiles_spark.sources.synth import images_df
+
+    n = 500 if "0.001" in sf_dir else 1200
+    lb = letterbox_images(images_df(spark, n, seed=42), size=64)
+    return lb.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(~F.col("ok"), 1).otherwise(0)).alias("n_failed"),
+        F.sum(
+            F.when((F.col("w") == 64) & (F.col("h") == 64), 1).otherwise(0)
+        ).alias("n_sized"),
+        F.sum("box_w").alias("sum_box_w"),
+        F.sum("box_h").alias("sum_box_h"),
+        F.sum("box_x").alias("sum_box_x"),
+        F.sum("box_y").alias("sum_box_y"),
+    )
+
+
+# Literal-expected oracle: letterboxing is exact integer arithmetic over
+# the deterministic seeded corpus (images_df(seed=42), sf0.01 -> 1200
+# rows), so the aggregate is a pinned constant; any drift in the nearest
+# sampler, the aspect arithmetic, or the centering offsets breaks it.
+Q_LETTERBOX_SQL = """
+SELECT 1200 AS n, 0 AS n_failed, 1200 AS n_sized,
+       57345 AS sum_box_w, 60317 AS sum_box_h,
+       9688 AS sum_box_x, 8211 AS sum_box_y
+"""

@@ -275,3 +275,70 @@ def test_augment_images_chain_and_identity(spark, imgs):
         iops.augment_images(base, ops=("hflip", "sharpen"))
     with pytest.raises(ValueError, match="at least one"):
         iops.augment_images(base, ops=())
+
+
+# --- letterbox ------------------------------------------------------------
+
+def test_letterbox_geometry_and_pixels(spark):
+    import numpy as np
+
+    from vectortiles_spark.images import codec as ic
+    from vectortiles_spark.operators.images import letterbox_images
+
+    rng = np.random.default_rng(17)
+    wide = rng.integers(0, 256, (50, 100, 3)).astype(np.uint8)
+    tall = rng.integers(0, 256, (80, 20, 3)).astype(np.uint8)
+    square = rng.integers(0, 256, (64, 64, 3)).astype(np.uint8)
+    rows = [
+        ("wide", ic.encode_image(wide, "ppm"), "ppm"),
+        ("tall", ic.encode_image(tall, "ppm"), "ppm"),
+        ("square", ic.encode_image(square, "ppm"), "ppm"),
+        ("corrupt", b"nope", "ppm"),
+    ]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    got = {r.image_id: r for r in letterbox_images(df, size=64).collect()}
+    assert len(got) == 4
+
+    def ref(img, size=64, fill=114):
+        sh, sw = img.shape[:2]
+        if sw >= sh:
+            tw, th = size, max(1, (sh * size) // sw)
+        else:
+            th, tw = size, max(1, (sw * size) // sh)
+        ri = (np.arange(th) * sh) // th
+        ci = (np.arange(tw) * sw) // tw
+        canvas = np.full((size, size, 3), fill, np.uint8)
+        ox, oy = (size - tw) // 2, (size - th) // 2
+        canvas[oy:oy + th, ox:ox + tw] = img[ri][:, ci]
+        return canvas, (ox, oy, tw, th)
+
+    for name, img in (("wide", wide), ("tall", tall), ("square", square)):
+        r = got[name]
+        assert r.ok and (r.w, r.h) == (64, 64)
+        exp, box = ref(img)
+        assert (r.box_x, r.box_y, r.box_w, r.box_h) == box
+        dec = ic.decode_image(bytes(r.bytes), "ppm")
+        assert np.array_equal(dec, exp), name
+    # square identity: content box covers the full canvas, pixels equal
+    assert (got["square"].box_x, got["square"].box_w) == (0, 64)
+    assert np.array_equal(
+        ic.decode_image(bytes(got["square"].bytes), "ppm"), square
+    )
+    # wide: 100x50 -> 64x32 content centered vertically
+    assert (got["wide"].box_x, got["wide"].box_y,
+            got["wide"].box_w, got["wide"].box_h) == (0, 16, 64, 32)
+    assert got["corrupt"].ok is False and got["corrupt"].bytes is None
+
+
+def test_letterbox_validation(spark):
+    import pytest as _pytest
+
+    from vectortiles_spark.operators.images import letterbox_images
+
+    df = spark.createDataFrame(
+        [("a", b"x", "ppm")], "image_id string, bytes binary, fmt string"
+    )
+    with _pytest.raises(ValueError, match="size"):
+        letterbox_images(df, size=0)
+    with _pytest.raises(ValueError, match="fill"):
+        letterbox_images(df, fill=300)

@@ -360,3 +360,44 @@ def test_semantic_dedup_validation(spark):
     df = spark.createDataFrame([(1, [1.0])], "vec_id long, embedding array<float>")
     with _pt.raises(ValueError, match="tau"):
         semantic_dedup(df, tau=1.5)
+
+
+# --- int8 quantization ----------------------------------------------------
+
+def test_quantize_embeddings_matches_numpy_and_bounds(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from vectortiles_spark.operators.similarity import quantize_embeddings
+
+    rng = np.random.default_rng(31)
+    vecs = [rng.uniform(-3, 3, 16).astype(np.float32) for _ in range(40)]
+    vecs.append(np.zeros(16, dtype=np.float32))  # zero vector
+    vecs.append(np.float32([100.0] + [0.0] * 15))  # clip exercise
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r.vec_id: r for r in quantize_embeddings(df).collect()}
+    assert len(got) == len(vecs)
+    for i, v in enumerate(vecs):
+        vd = v.astype(np.float64)
+        maxabs = float(np.max(np.abs(vd)))
+        scale = maxabs / 127.0
+        div = 1.0 if maxabs == 0 else scale
+        codes = np.clip(np.floor(vd / div + 0.5), -127, 127).astype(int)
+        r = got[i]
+        assert r.scale == scale
+        assert list(r.codes) == codes.tolist(), i
+        assert r.n_dims == 16
+        err = float(np.max(np.abs(vd - codes * scale)))
+        assert r.max_err == err
+        # quantization error bound: <= scale/2 per component (+clip-free)
+        if maxabs > 0 and np.max(np.abs(codes)) < 127:
+            assert r.max_err <= scale / 2 + 1e-12
+    # zero vector: all-zero codes, zero scale and error
+    z = got[40]
+    assert z.scale == 0.0 and set(z.codes) == {0} and z.max_err == 0.0
+    # validation
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bits"):
+        quantize_embeddings(df, bits=1)

@@ -238,3 +238,78 @@ def test_geofence_stream_rejects_misuse(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="streaming"):
         geofence_stream(static, static, 1000.0)
+
+
+def test_hexbin_stream_equals_batch(spark, tmp_path):
+    """Watermarked streaming hexbin == the batch twin on the same closed
+    input (append mode emits every window once all files are consumed;
+    the hex assignment Columns are shared, so any drift is structural)."""
+    import datetime as dt
+
+    import numpy as np
+
+    from vectortiles_spark.streaming.hexbin import (
+        hexbin_batch_twin,
+        hexbin_stream,
+    )
+
+    rng = np.random.default_rng(23)
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+    rows = [
+        (
+            t0 + dt.timedelta(minutes=int(rng.integers(0, 600))),
+            float(lo),
+            float(la),
+        )
+        for lo, la in zip(
+            rng.uniform(-179, 179, 400), rng.uniform(-84, 84, 400)
+        )
+    ]
+    schema = "ts timestamp, lon double, lat double"
+    pdf = spark.createDataFrame(rows, schema)
+    src = str(tmp_path / "hex_events")
+    # time-ordered file slices (range partition 0 = earliest): arrival
+    # order then matches event time, so a 3h watermark never out-skews
+    # the 2h per-file slices and nothing is dropped as late
+    pdf.repartitionByRange(5, "ts").sortWithinPartitions("ts").write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    out = hexbin_stream(
+        stream, z=3, size_px=512, window="1 hour", watermark="3 hours",
+        projection="equirect",
+    )
+    ev.run_stream_to_memory(out, "hexbin_out", output_mode="append")
+    got = {
+        (r.window_start, r.hq, r.hr): (r.point_count, r.cx_px, r.cy_px)
+        for r in spark.sql("SELECT * FROM hexbin_out").collect()
+    }
+    want = {
+        (r.window_start, r.hq, r.hr): (r.point_count, r.cx_px, r.cy_px)
+        for r in hexbin_batch_twin(
+            pdf, z=3, size_px=512, window="1 hour", projection="equirect"
+        ).collect()
+    }
+    # append mode only emits watermark-finalized windows: every emitted
+    # row must equal the batch twin, and anything missing must be in the
+    # open tail (same contract as test_windowed_counts_stream_equals_batch)
+    assert got, "stream emitted nothing"
+    for k, v in got.items():
+        assert want[k] == v, k
+    max_win = max(w for w, _, _ in want)
+    cutoff = max_win - dt.timedelta(hours=5)
+    missing = set(want) - set(got)
+    assert all(w >= cutoff for w, _, _ in missing), missing
+
+
+def test_hexbin_stream_rejects_misuse(spark):
+    import pytest as _pytest
+
+    from vectortiles_spark.streaming.hexbin import hexbin_stream
+
+    pdf = spark.createDataFrame([], "ts timestamp, lon double, lat double")
+    with _pytest.raises(ValueError, match="streaming"):
+        hexbin_stream(pdf, z=3)

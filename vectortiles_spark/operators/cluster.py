@@ -203,6 +203,44 @@ _SQRT3 = 1.7320508075688772
 _SQRT3_2 = 0.8660254037844386
 
 
+
+
+def hex_axial_cols(gx, gy, size_px: int):
+    """(hq, hr) axial hex Columns for global-pixel Columns (gx, gy) —
+    the single home of the pointy-top axial transform + cube rounding so
+    the batch operator, the streaming twin, and the SQL oracle cannot
+    drift. Operation order pinned to the DuckDB twin (Q_HEXBIN_SQL)."""
+    s = float(size_px)
+    # fractional axial coords (pointy-top): qf=(sqrt3/3*gx - gy/3)/s,
+    # rf=(2/3*gy)/s
+    qf = (F.lit(_SQRT3_3) * gx - gy / F.lit(3.0)) / F.lit(s)
+    rf = (F.lit(_TWO_3) * gy) / F.lit(s)
+    yf = -qf - rf
+    # cube rounding: Spark floor(double) yields BIGINT; promoting back to
+    # double for the error terms is exact, so values match DuckDB's
+    # double-typed floor bit-for-bit
+    rq = F.floor(qf + F.lit(0.5))
+    ry = F.floor(yf + F.lit(0.5))
+    rr = F.floor(rf + F.lit(0.5))
+    dq = F.abs(rq - qf)
+    dy = F.abs(ry - yf)
+    dr = F.abs(rr - rf)
+    fix_q = (dq > dy) & (dq > dr)
+    fix_r = ~fix_q & ~(dy > dr)
+    hq = F.when(fix_q, -ry - rr).otherwise(rq).cast("bigint")
+    hr = F.when(fix_r, -rq - ry).otherwise(rr).cast("bigint")
+    return hq, hr
+
+
+def hex_center_cols(hq, hr, size_px: int):
+    """(cx_px, cy_px) global-pixel hex centers — the back-projection twin
+    of hex_axial_cols, same literal discipline."""
+    s = float(size_px)
+    cx = (F.lit(_SQRT3) * hq + F.lit(_SQRT3_2) * hr) * F.lit(s)
+    cy = F.lit(1.5) * hr * F.lit(s)
+    return cx, cy
+
+
 def hexbin_points(
     df: DataFrame,
     z: int,
@@ -254,25 +292,7 @@ def hexbin_points(
     tx, ty, px, py = _projected(df, z, lon, lat, projection, extent)
     gx = (tx.cast("bigint") * extent + px).cast("double")
     gy = (ty.cast("bigint") * extent + py).cast("double")
-    s = float(size_px)
-    # fractional axial coords (pointy-top): qf=(sqrt3/3*gx - gy/3)/s,
-    # rf=(2/3*gy)/s — operation order pinned to match the SQL twin
-    qf = (F.lit(_SQRT3_3) * gx - gy / F.lit(3.0)) / F.lit(s)
-    rf = (F.lit(_TWO_3) * gy) / F.lit(s)
-    yf = -qf - rf
-    # cube rounding: Spark floor(double) yields BIGINT; promoting back to
-    # double for the error terms is exact, so values match DuckDB's
-    # double-typed floor bit-for-bit
-    rq = F.floor(qf + F.lit(0.5))
-    ry = F.floor(yf + F.lit(0.5))
-    rr = F.floor(rf + F.lit(0.5))
-    dq = F.abs(rq - qf)
-    dy = F.abs(ry - yf)
-    dr = F.abs(rr - rf)
-    fix_q = (dq > dy) & (dq > dr)
-    fix_r = ~fix_q & ~(dy > dr)
-    hq = F.when(fix_q, -ry - rr).otherwise(rq).cast("bigint")
-    hr = F.when(fix_r, -rq - ry).otherwise(rr).cast("bigint")
+    hq, hr = hex_axial_cols(gx, gy, size_px)
     binned = df.select(
         F.lit(z).cast("int").alias("zoom"),
         hq.alias("hq"),
@@ -292,10 +312,7 @@ def hexbin_points(
         else:
             aggs.append(getattr(F, fn)(c).alias(out))
     g = binned.groupBy("zoom", "hq", "hr").agg(*aggs)
-    # hex center back in global pixels (pointy-top): x = s*(sqrt3*q +
-    # sqrt3/2*r), y = s*(3/2)*r — same literal discipline
-    cx = (F.lit(_SQRT3) * F.col("hq") + F.lit(_SQRT3_2) * F.col("hr")) * F.lit(s)
-    cy = F.lit(1.5) * F.col("hr") * F.lit(s)
+    cx, cy = hex_center_cols(F.col("hq"), F.col("hr"), size_px)
     return g.select(
         "zoom", "hq", "hr", "point_count",
         cx.alias("cx_px"), cy.alias("cy_px"),

@@ -627,3 +627,88 @@ def quality_stats(images: DataFrame) -> DataFrame:
     return images.select("image_id", "bytes", "fmt").mapInArrow(
         run, QUALITY_SCHEMA
     )
+
+
+LETTERBOX_SCHEMA = (
+    "image_id string, bytes binary, w int, h int, fmt string, ok boolean, "
+    "box_x int, box_y int, box_w int, box_h int"
+)
+
+
+def letterbox_images(
+    images: DataFrame, size: int = 64, fill: int = 114, out_fmt: str = "ppm"
+) -> DataFrame:
+    """Letterbox to a ``size x size`` square — the aspect-preserving
+    resize-and-pad every detection/vision training pipeline applies
+    (YOLO-style, fill 114 gray by convention): the image's longest side
+    scales to ``size`` by NEAREST sampling, the short side keeps aspect,
+    and the remainder pads with ``fill``, content centered.
+
+    Everything is exact integer arithmetic: nearest sampling reads
+    ``src[(i * sh) // th, (j * sw) // tw]`` (one combined floor division
+    per axis — bit-deterministic, no float resampling), short-side
+    ``th = max(1, (sh * size) // sw)``, centering offsets are floor
+    halves. The content box (``box_x, box_y, box_w, box_h``) rides along
+    so downstream label/bbox coordinates can be mapped into the padded
+    frame with the same exact arithmetic.
+
+    Zero shuffle (mapInArrow); corrupt payloads degrade to ok=False rows
+    (sibling-operator policy). Chainable: output columns are valid input
+    columns, and letterboxing an already-square image of side ``size``
+    is the identity on pixels (pinned in tests).
+    """
+    if size < 1:
+        raise ValueError(f"size={size} must be >= 1")
+    if not 0 <= fill <= 255:
+        raise ValueError(f"fill={fill} outside uint8 range")
+
+    def run(batches):
+        for b in batches:
+            ids = b["image_id"].to_pylist()
+            payloads = b["bytes"].to_pylist()
+            fmts = b["fmt"].to_pylist()
+            out = {k: [] for k in (
+                "image_id", "bytes", "ok", "box_x", "box_y", "box_w", "box_h",
+            )}
+            for iid, raw, fmt in zip(ids, payloads, fmts):
+                try:
+                    img = ic.decode_image(raw, fmt)
+                    sh, sw = img.shape[0], img.shape[1]
+                    if sw >= sh:
+                        tw, th = size, max(1, (sh * size) // sw)
+                    else:
+                        th, tw = size, max(1, (sw * size) // sh)
+                    ri = (np.arange(th) * sh) // th
+                    ci = (np.arange(tw) * sw) // tw
+                    content = img[ri][:, ci]
+                    ox, oy = (size - tw) // 2, (size - th) // 2
+                    canvas = np.full((size, size, 3), fill, dtype=np.uint8)
+                    canvas[oy:oy + th, ox:ox + tw] = content
+                    payload, ok = ic.encode_image(canvas, out_fmt), True
+                    box = (ox, oy, tw, th)
+                except Exception:
+                    payload, ok, box = None, False, (None, None, None, None)
+                out["image_id"].append(iid)
+                out["bytes"].append(payload)
+                out["ok"].append(ok)
+                for k, v in zip(("box_x", "box_y", "box_w", "box_h"), box):
+                    out[k].append(v)
+            n = len(out["image_id"])
+            yield pa.record_batch(
+                {
+                    "image_id": pa.array(out["image_id"], pa.string()),
+                    "bytes": pa.array(out["bytes"], pa.binary()),
+                    "w": pa.array([size] * n, pa.int32()),
+                    "h": pa.array([size] * n, pa.int32()),
+                    "fmt": pa.array([out_fmt] * n, pa.string()),
+                    "ok": pa.array(out["ok"], pa.bool_()),
+                    "box_x": pa.array(out["box_x"], pa.int32()),
+                    "box_y": pa.array(out["box_y"], pa.int32()),
+                    "box_w": pa.array(out["box_w"], pa.int32()),
+                    "box_h": pa.array(out["box_h"], pa.int32()),
+                }
+            )
+
+    return images.select("image_id", "bytes", "fmt").mapInArrow(
+        run, LETTERBOX_SCHEMA
+    )

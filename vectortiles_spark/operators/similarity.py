@@ -710,3 +710,64 @@ def semantic_dedup(
             "dup_of", "max_sim",
         )
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    bits: int = 8,
+) -> DataFrame:
+    """Symmetric per-vector integer quantization — the 4x storage/IO
+    compression every embedding-serving stack applies before ANN (int8
+    codes + one float scale per vector; dequantized error bounded by
+    scale/2 per component). PURE Column algebra: no UDF, no shuffle, the
+    codes computed inside whole-stage codegen — the quantize stage of a
+    10^12-vector pipeline is a free map over the scan.
+
+    Per vector: ``scale = max(|x_i|) / qmax`` (qmax = 2^(bits-1) - 1),
+    ``code_i = clip(floor(x_i / scale + 0.5), -qmax, qmax)``. Zero
+    vectors quantize to all-zero codes with scale 0 (the internal
+    divisor falls back to 1.0 so no NaN is ever produced). Inputs cast
+    to double FIRST, so every step is shared-IEEE double arithmetic and
+    the whole row — codes, scale, and the max dequantization error —
+    replays bit-for-bit in a SQL engine (plans/queries_text.py).
+
+    Output: input columns minus ``vec_col``, plus ``scale`` (double),
+    ``codes`` (array<int>), ``n_dims``, and ``max_err`` (double, the
+    actual per-vector worst-case |x - code*scale|).
+    """
+    if not 2 <= bits <= 16:
+        raise ValueError(f"bits={bits} outside [2, 16]")
+    qmax = float((1 << (bits - 1)) - 1)
+    emb = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    keep = [c for c in df.columns if c != vec_col]
+    base = df.select(
+        *keep,
+        emb.alias("__e"),
+        F.array_max(F.transform(emb, lambda x: F.abs(x))).alias("__maxabs"),
+    )
+    div = F.when(F.col("__maxabs") == 0.0, F.lit(1.0)).otherwise(
+        F.col("__maxabs") / F.lit(qmax)
+    )
+    scale = (F.col("__maxabs") / F.lit(qmax)).alias("scale")
+    qmin_i, qmax_i = -int(qmax), int(qmax)
+    codes = F.transform(
+        F.col("__e"),
+        lambda x: F.least(
+            F.greatest(F.floor(x / div + F.lit(0.5)), F.lit(qmin_i).cast("bigint")),
+            F.lit(qmax_i).cast("bigint"),
+        ).cast("int"),
+    )
+    with_codes = base.select(*keep, "__e", scale, codes.alias("codes"))
+    err = F.array_max(
+        F.zip_with(
+            F.col("__e"),
+            F.col("codes"),
+            lambda e, c: F.abs(e - c.cast("double") * F.col("scale")),
+        )
+    )
+    return with_codes.select(
+        *keep, "scale", "codes",
+        F.size("codes").alias("n_dims"),
+        err.alias("max_err"),
+    )

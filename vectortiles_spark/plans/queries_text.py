@@ -1814,3 +1814,46 @@ SELECT a.vec_id, a.cell,
 FROM assigned a LEFT JOIN dom ON dom.j = a.vec_id
 ORDER BY a.vec_id
 """
+
+
+def q_quantize_emb(spark, sf_dir: str):
+    """Int8 embedding quantization under the value oracle
+    (operators/similarity.py:quantize_embeddings): per-vector symmetric
+    scale, clipped round-half-up codes, and the worst-case
+    dequantization error — every step shared-IEEE double arithmetic, so
+    DuckDB replays scale, code sums, and max_err bit-for-bit via
+    UNNEST."""
+    from pyspark.sql import functions as F
+
+    from vectortiles_spark.operators.similarity import quantize_embeddings
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = quantize_embeddings(emb.select("vec_id", "embedding"))
+    return q.select(
+        "vec_id", "scale", "n_dims",
+        F.aggregate(
+            F.col("codes"), F.lit(0).cast("bigint"), lambda a, x: a + x
+        ).alias("sum_code"),
+        "max_err",
+    ).orderBy("vec_id")
+
+
+Q_QUANTIZE_EMB_SQL = """
+WITH x AS (
+  SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS v
+  FROM embeddings
+), m AS (
+  SELECT vec_id, max(abs(v)) AS maxabs FROM x GROUP BY 1
+), c AS (
+  SELECT x.vec_id, v,
+         least(greatest(floor(
+           v / (CASE WHEN maxabs = 0 THEN 1.0 ELSE maxabs / 127.0 END)
+           + 0.5), -127.0), 127.0) AS code,
+         maxabs / 127.0 AS scale
+  FROM x JOIN m USING (vec_id)
+)
+SELECT vec_id, any_value(scale) AS scale, count(*)::INT AS n_dims,
+       sum(code)::BIGINT AS sum_code,
+       max(abs(v - code * scale)) AS max_err
+FROM c GROUP BY vec_id ORDER BY vec_id
+"""
