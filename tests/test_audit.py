@@ -271,3 +271,81 @@ def test_byte_cap_salted_exchanges(spark):
     parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
     assert any("__salt" in p for p in parts), parts
     assert any("__salt" not in p and "tile_x" in p for p in parts), parts
+
+
+def test_hexbin_single_exchange_no_python(spark):
+    """Hexbin is pure Column algebra into ONE hash aggregate: exactly one
+    Exchange (the groupBy on the hex key) and zero Python eval nodes —
+    the shape that keeps a 10^9-point density map a free map + one
+    output-bounded shuffle."""
+    from vectortiles_spark.operators.cluster import hexbin_points
+
+    cust = spark.read.parquet(f"{SF}/customer.parquet")
+    pts = cust.select(
+        "c_custkey", lon_of(F.col("c_custkey")), lat_of(F.col("c_custkey"))
+    )
+    hb = hexbin_points(pts, z=4, size_px=256, id_col="c_custkey",
+                       projection="equirect")
+    assert audit.count_shuffles(hb) == 1
+    p = audit.plan_of(hb)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert audit.has_whole_stage_codegen(hb)
+
+
+def test_quantize_embeddings_zero_shuffle_no_python(spark):
+    """Quantization must stay a free map over the scan: zero Exchanges,
+    zero Python eval nodes."""
+    from vectortiles_spark.operators.similarity import quantize_embeddings
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = quantize_embeddings(emb.select("vec_id", "embedding"))
+    assert audit.count_shuffles(q) == 0
+    p = audit.plan_of(q)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_label_ops_zero_shuffle(spark):
+    """label_points / line_label_anchors are mapInArrow passes: zero
+    Exchanges — they run wherever the feature rows already are."""
+    from vectortiles_spark.operators.labels import (
+        label_points,
+        line_label_anchors,
+    )
+
+    feats = spark.createDataFrame(
+        [(3, 1, 2, "z", 3, 1, [9, 2, 2, 26, 20, 0, 0, 20, 15])],
+        "tile_z int, tile_x int, tile_y int, layer string, geom_type int, "
+        "feature_id bigint, geom_cmds array<bigint>",
+    )
+    assert audit.count_shuffles(label_points(feats)) == 0
+    lines = feats.withColumn("geom_type", F.lit(2)).withColumn(
+        "geom_cmds",
+        F.expr("array(9, 0, 0, 18, 20, 0, 0, 20)").cast("array<bigint>"),
+    )
+    assert audit.count_shuffles(line_label_anchors(lines)) == 0
+
+
+def test_plan_shards_bounded_exchanges(spark):
+    """The shard planner's distributed scan: the per-tile relation passes
+    through the prefix-group aggregate exchange — never a global
+    single-partition window (no Window node over an empty partition spec
+    in the plan)."""
+    from vectortiles_spark.operators.sharding import plan_shards
+
+    cust = spark.read.parquet(f"{SF}/customer.parquet")
+    tiles = (
+        cust.select(
+            (F.col("c_custkey") % 32).cast("int").alias("tile_x"),
+            (F.col("c_custkey") % 16).cast("int").alias("tile_y"),
+        )
+        .groupBy("tile_x", "tile_y")
+        .agg(F.count("*").alias("n"))
+        .withColumn("tile_z", F.lit(5))
+    )
+    plan = plan_shards(tiles, 4, weight_col="n")
+    p = audit.plan_of(plan)
+    assert "Window" not in p, "global window would serialize the planet scan"
+    # exchanges: the input aggregate's own shuffle + the prefix-group
+    # hash partitioning for applyInPandas — bounded, never data-volume-
+    # dependent beyond the per-tile relation itself
+    assert audit.count_shuffles(plan) <= 3
