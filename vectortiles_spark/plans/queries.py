@@ -4418,3 +4418,88 @@ SELECT tx::INT AS tile_x, ty::INT AS tile_y, qk,
        least(greatest(pe * 8 // total, 0), 7)::INT AS shard_id
 FROM scan ORDER BY qk
 """
+
+
+def q_isolines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marching-squares isolines under the value oracle
+    (operators/raster.py:isolines): the q_focal_grad 8x8 closed-form
+    mosaic contoured at level 125.5 (never equal to a uint8 value, so
+    every crossing is strictly interior). The oracle SQL is GENERATED
+    from the operator's own MS_SEGMENTS case table — one source of truth
+    for the 14 cases and the pinned saddle topology — and every endpoint
+    is "integer + one IEEE division", so the full segment set (including
+    cross-tile halo cells) replays bit-for-bit."""
+    import numpy as np
+    import pandas as pd
+
+    from vectortiles_spark.operators.raster import isolines
+
+    rows_i, cols_i = np.arange(64)[:, None], np.arange(64)[None, :]
+    rasters = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {"tile_z": 3, "tile_x": tx, "tile_y": ty, "w": 64, "h": 64,
+                 "px": (((tx * 64 + cols_i) * 13 + (ty * 64 + rows_i) * 17
+                         + 7) % 251).astype(np.uint8).tobytes()}
+                for tx in range(8) for ty in range(8)
+            ]
+        )
+    )
+    return (
+        isolines(rasters, level=125.5)
+        .select("tile_x", "tile_y", "gx1", "gy1", "gx2", "gy2")
+        .orderBy("gx1", "gy1", "gx2", "gy2")
+    )
+
+
+def _isolines_sql() -> str:
+    from ..operators.raster import MS_SEGMENTS
+
+    L = "125.5"
+
+    def pt(e: str) -> tuple[str, str]:
+        if e == "T":
+            return f"gx + ({L} - a) / (b - a)", "gy + 0.0"
+        if e == "R":
+            return "gx + 1.0", f"gy + ({L} - b) / (c - b)"
+        if e == "B":
+            return f"gx + ({L} - d) / (c - d)", "gy + 1.0"
+        return "gx + 0.0", f"gy + ({L} - a) / (d - a)"
+
+    arms = []
+    for k, segs in sorted(MS_SEGMENTS.items()):
+        for e1, e2 in segs:
+            x1, y1 = pt(e1)
+            x2, y2 = pt(e2)
+            arms.append(
+                f"SELECT tile_x, tile_y, {x1} AS gx1, {y1} AS gy1, "
+                f"{x2} AS gx2, {y2} AS gy2 FROM cells WHERE cse = {k}"
+            )
+    union = "\nUNION ALL\n".join(arms)
+
+    def v(ax: str, ay: str) -> str:
+        return f"((({ax}) * 13 + ({ay}) * 17 + 7) % 251)"
+
+    return f"""
+WITH g AS (
+  SELECT cx.range AS gx, cy.range AS gy FROM range(511) cx, range(511) cy
+), c0 AS (
+  SELECT gx, gy,
+         {v('gx', 'gy')} AS a, {v('gx + 1', 'gy')} AS b,
+         {v('gx + 1', 'gy + 1')} AS c, {v('gx', 'gy + 1')} AS d
+  FROM g
+), cells AS (
+  SELECT (gx // 64)::INT AS tile_x, (gy // 64)::INT AS tile_y,
+         gx, gy, a, b, c, d,
+         (CASE WHEN a >= {L} THEN 8 ELSE 0 END
+        + CASE WHEN b >= {L} THEN 4 ELSE 0 END
+        + CASE WHEN c >= {L} THEN 2 ELSE 0 END
+        + CASE WHEN d >= {L} THEN 1 ELSE 0 END) AS cse
+  FROM c0
+)
+{union}
+ORDER BY gx1, gy1, gx2, gy2
+"""
+
+
+Q_ISOLINES_SQL = _isolines_sql()
