@@ -3,7 +3,7 @@
 ``entry`` runs the flagship pipeline (point features -> groupBy(z,x,y) ->
 applyInArrow MVT encode) on sf0.001. ``queries``/``oracle_sql`` pair every
 implemented operator family from SURVEY.md §2 with a DuckDB-checkable oracle
-(110 queries, 110 value-checked — including byte-exact MVT blob sizes, the
+(111 queries, 111 value-checked — including byte-exact MVT blob sizes, the
 tileset/MBTiles/PMTiles ingest circles, the multi-zoom pyramid builder,
 trained-IVF and PQ/ADC ANN, as-of/interval joins, HLL/KMV/histogram-quantile
 sketches whose ESTIMATES replay in DuckDB bit-for-bit, the composed corpus
@@ -366,6 +366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hexbin": Q.q_hexbin,
         "q_label_points": Q.q_label_points,
         "q_line_labels": Q.q_line_labels,
+        "q_point_buffers": Q.q_point_buffers,
         "q_plan_shards": Q.q_plan_shards,
         "q_convex_hull": Q.q_convex_hull,
         # image codec gate (literal-expected oracle — see Q_IMAGE_INVARIANTS_SQL)
@@ -453,6 +454,7 @@ def oracle_sql() -> dict[str, str]:
         "q_hexbin": Q.Q_HEXBIN_SQL,
         "q_label_points": Q.Q_LABEL_POINTS_SQL,
         "q_line_labels": Q.Q_LINE_LABELS_SQL,
+        "q_point_buffers": Q.Q_POINT_BUFFERS_SQL,
         "q_plan_shards": Q.Q_PLAN_SHARDS_SQL,
         "q_convex_hull": Q.Q_CONVEX_HULL_SQL,
         "q_ivf_topk": QT.Q_IVF_TOPK_SQL,

@@ -315,3 +315,50 @@ def test_line_anchor_zero_length_drop_and_nonline_raise(spark):
     )
     with pytest.raises(Exception, match="non-linestring"):
         line_label_anchors(bad).collect()
+
+
+# --- point buffers --------------------------------------------------------
+
+from vectortiles_spark.operators.labels import buffer_cos_sin, point_buffers  # noqa: E402
+
+
+def test_point_buffers_roundtrip_and_winding(spark):
+    import numpy as np
+
+    from vectortiles_spark.mvt.geometry import surveyor
+    from vectortiles_spark.operators.tiling import decode_tiles, encode_tiles
+
+    pts = spark.createDataFrame(
+        [(3, 1, 2, 7, 1000, 2000), (3, 1, 2, 8, 300, 300)],
+        "tile_z int, tile_x int, tile_y int, feature_id bigint, px int, py int",
+    )
+    feats = point_buffers(pts, radius_px=50, n_vertices=12)
+    back = decode_tiles(encode_tiles(feats)).collect()
+    assert len(back) == 2
+    table = buffer_cos_sin(12)
+    by_id = {r.feature_id: r for r in back}
+    for fid, cx, cy in ((7, 1000, 2000), (8, 300, 300)):
+        polys = geom_from_stream(
+            GEOM_POLYGON, np.asarray(by_id[fid].geom_cmds, np.uint32)
+        )
+        assert len(polys) == 1 and len(polys[0]) == 1
+        ring = polys[0][0]
+        assert len(ring) == 13  # 12 + closing point
+        exp = [
+            (cx + int(np.floor(50.0 * c + 0.5)),
+             cy + int(np.floor(50.0 * s + 0.5)))
+            for c, s in table
+        ]
+        assert [tuple(p) for p in ring[:-1]] == exp
+        assert surveyor(ring) > 0  # exterior winding
+
+
+def test_point_buffers_validation(spark):
+    pts = spark.createDataFrame(
+        [(3, 1, 2, 7, 10, 10)],
+        "tile_z int, tile_x int, tile_y int, feature_id bigint, px int, py int",
+    )
+    with pytest.raises(ValueError, match="radius"):
+        point_buffers(pts, radius_px=1)
+    with pytest.raises(ValueError, match="n_vertices"):
+        point_buffers(pts, radius_px=8, n_vertices=2)

@@ -339,3 +339,70 @@ def line_label_anchors(
             yield pa.record_batch(cols)
 
     return feats.mapInArrow(run, out_schema)
+
+
+def buffer_cos_sin(n_vertices: int) -> list[tuple[float, float]]:
+    """The (cos, sin) table for ``point_buffers`` ring vertices — computed
+    ONCE here in Python and embedded as double literals in both the
+    Column plan and the SQL oracle (no engine trigonometry, the hexbin /
+    hillshade discipline)."""
+    import math
+
+    return [
+        (math.cos(2.0 * math.pi * k / n_vertices),
+         math.sin(2.0 * math.pi * k / n_vertices))
+        for k in range(n_vertices)
+    ]
+
+
+def point_buffers(
+    pts: DataFrame,
+    radius_px: int,
+    n_vertices: int = 16,
+    layer: str = "buffers",
+    px_col: str = "px",
+    py_col: str = "py",
+    feature_id_col: str = "feature_id",
+):
+    """Point rows -> regular-``n_vertices``-gon polygon BUFFER features
+    (tile-local pixels) — the "within R of the POI" layer every coverage/
+    catchment map renders. Vertex k sits at ``(px + floor(R*cos_k + 0.5),
+    py + floor(R*sin_k + 0.5))`` with the (cos_k, sin_k) doubles from
+    ``buffer_cos_sin`` — embedded literals, so the ONLY float ops are one
+    multiply + floor per coordinate and the ring replays bit-for-bit in
+    SQL. Increasing k traces the exterior winding (surveyor > 0 under
+    the top-left origin), so the rings group correctly at decode.
+
+    Pure Column construction into ``geom_features``'s nested-array door
+    (zero shuffle; the encode shuffle happens at the sink like every
+    other feature source). Rows must carry tile keys + integer pixel
+    coords; radius >= 2 px and n_vertices <= ~2*pi*radius keep adjacent
+    vertices distinct after rounding (validated loosely: radius >= 2,
+    3 <= n_vertices <= 64).
+    """
+    from pyspark.sql import functions as F
+
+    from .tiling import geom_features
+
+    if radius_px < 2:
+        raise ValueError(f"radius_px={radius_px} must be >= 2")
+    if not 3 <= n_vertices <= 64:
+        raise ValueError(f"n_vertices={n_vertices} outside [3, 64]")
+    R = float(radius_px)
+    px, py = F.col(px_col).cast("bigint"), F.col(py_col).cast("bigint")
+    verts = [
+        F.array(
+            px + F.floor(F.lit(R) * F.lit(c) + F.lit(0.5)),
+            py + F.floor(F.lit(R) * F.lit(s) + F.lit(0.5)),
+        )
+        for c, s in buffer_cos_sin(n_vertices)
+    ]
+    ring = F.array(*verts, verts[0])  # closed ring
+    base = pts.select(
+        F.col("tile_z"), F.col("tile_x"), F.col("tile_y"),
+        F.lit(layer).alias("layer"),
+        F.lit(GEOM_POLYGON).alias("geom_type"),
+        F.col(feature_id_col).cast("bigint").alias("feature_id"),
+        F.array(F.array(ring)).alias("geom"),
+    )
+    return geom_features(base)

@@ -4503,3 +4503,85 @@ ORDER BY gx1, gy1, gx2, gy2
 
 
 Q_ISOLINES_SQL = _isolines_sql()
+
+
+def q_point_buffers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point buffers under the value oracle THROUGH THE FULL MVT CODEC
+    (operators/labels.py:point_buffers): per customer an 8-gon buffer,
+    encoded by the distributed sink and decoded back; the per-feature
+    command-stream sum + length replay in SQL closed form (vertices are
+    "int + floor(R*cos_k + 0.5)" with the cos/sin table imported from
+    the operator — one source; deltas and zigzags are exact integer
+    algebra per the wire spec)."""
+    from vectortiles_spark.operators.labels import point_buffers
+    from vectortiles_spark.operators.tiling import decode_tiles, encode_tiles
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    k = F.col("c_custkey")
+    pts = cust.select(
+        F.lit(3).alias("tile_z"),
+        (k * 3 % 8).cast("int").alias("tile_x"),
+        (k * 5 % 8).cast("int").alias("tile_y"),
+        k.alias("feature_id"),
+        ((k * 131 % 3000) + 500).cast("int").alias("px"),
+        ((k * 197 % 3000) + 500).cast("int").alias("py"),
+    )
+    feats = point_buffers(pts, radius_px=40, n_vertices=8)
+    back = decode_tiles(encode_tiles(feats))
+    return back.select(
+        "feature_id",
+        F.size("geom_cmds").alias("stream_len"),
+        F.aggregate(
+            F.col("geom_cmds"), F.lit(0).cast("bigint"), lambda a, x: a + x
+        ).alias("stream_sum"),
+    ).orderBy("feature_id")
+
+
+def _point_buffers_sql() -> str:
+    from ..operators.labels import buffer_cos_sin
+
+    n = 8
+    table = buffer_cos_sin(n)
+    # 40.0 and the cos/sin literals must multiply as DOUBLEs (DuckDB
+    # types bare decimal literals as DECIMAL, which overflows and rounds
+    # differently)
+    vx = [
+        f"px + CAST(floor(CAST(40.0 AS DOUBLE) * CAST({c!r} AS DOUBLE) + 0.5)"
+        f" AS BIGINT)" for c, _ in table
+    ]
+    vy = [
+        f"py + CAST(floor(CAST(40.0 AS DOUBLE) * CAST({s!r} AS DOUBLE) + 0.5)"
+        f" AS BIGINT)" for _, s in table
+    ]
+
+    def zig(e: str) -> str:
+        return f"(CASE WHEN ({e}) >= 0 THEN 2 * ({e}) ELSE -2 * ({e}) - 1 END)"
+
+    cols = ", ".join(
+        f"{vx[i]} AS vx{i}, {vy[i]} AS vy{i}" for i in range(n)
+    )
+    zig0 = f"{zig('vx0')} + {zig('vy0')}"
+    deltas = " + ".join(
+        f"{zig(f'vx{i} - vx{i - 1}')} + {zig(f'vy{i} - vy{i - 1}')}"
+        for i in range(1, n)
+    )
+    # stream: MoveTo(1)=9, zig(v0); LineTo(n-1)=((n-1)<<3)|2; n-1 zigzag
+    # delta pairs; ClosePath(1)=15
+    lineto = ((n - 1) << 3) | 2
+    return f"""
+WITH p AS (
+  SELECT c_custkey AS feature_id,
+         (c_custkey * 131) % 3000 + 500 AS px,
+         (c_custkey * 197) % 3000 + 500 AS py
+  FROM customer
+), v AS (
+  SELECT feature_id, {cols} FROM p
+)
+SELECT feature_id,
+       {2 * n + 3} AS stream_len,
+       (9 + {lineto} + 15 + {zig0} + {deltas})::BIGINT AS stream_sum
+FROM v ORDER BY feature_id
+"""
+
+
+Q_POINT_BUFFERS_SQL = _point_buffers_sql()
