@@ -362,3 +362,11 @@ def test_point_buffers_validation(spark):
         point_buffers(pts, radius_px=1)
     with pytest.raises(ValueError, match="n_vertices"):
         point_buffers(pts, radius_px=8, n_vertices=2)
+
+
+def test_convex_hull_group_col_collision_raises(spark):
+    df = spark.createDataFrame(
+        [(1, 2, 3)], "px bigint, py bigint, g int"
+    )
+    with pytest.raises(ValueError, match="collide"):
+        convex_hull(df, ["px"], "px", "py")

@@ -115,3 +115,9 @@ def test_validation(spark):
         plan_shards(_tiles(spark, [(3, 1, 1, 1)]), 0)
     with pytest.raises(ValueError, match="prefix_depth"):
         plan_shards(_tiles(spark, [(3, 1, 1, 1)]), 2, prefix_depth=0)
+
+
+def test_null_weight_raises(spark):
+    rows = [(3, 1, 1, 5), (3, 2, 2, None)]
+    with pytest.raises(ValueError, match="NULL weight"):
+        plan_shards(_tiles(spark, rows), 4, weight_col="w").collect()

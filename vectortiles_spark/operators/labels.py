@@ -218,6 +218,12 @@ def convex_hull(
     """
     import pandas as pd
 
+    clash = set(group_cols) & {x_col, y_col, "hull_idx", "px", "py"}
+    if clash:
+        raise ValueError(
+            f"convex_hull: group columns {sorted(clash)} collide with the "
+            "coordinate/output names — rename them upstream"
+        )
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}"
         for f in pts.select(*group_cols).schema.fields

@@ -62,6 +62,11 @@ def plan_shards(
     Mixed zooms are legal: quadkey STRING order is hierarchical (a
     parent sorts immediately before its subtree), so a mixed-zoom plan
     keeps each subtree contiguous.
+
+    The planner scans ``tiles`` three times (distinct zooms, per-prefix
+    totals, the assignment pass) — if the relation is derived from an
+    expensive upstream, ``.persist()`` it first; the plan itself is
+    deterministic either way.
     """
     import pandas as pd
 
@@ -99,10 +104,18 @@ def plan_shards(
     ).withColumn("__pfx", F.substring("qk", 1, prefix_depth))
 
     stats = base.groupBy("__pfx").agg(
-        F.sum("weight").alias("__w"), F.min("weight").alias("__minw")
+        F.sum("weight").alias("__w"),
+        F.min("weight").alias("__minw"),
+        F.count(F.lit(1)).alias("__n"),
+        F.count("weight").alias("__nw"),
     ).collect()
     if any(s["__minw"] is not None and s["__minw"] < 0 for s in stats):
         raise ValueError("plan_shards: negative weight — weights must be >= 0")
+    if any(s["__n"] != s["__nw"] for s in stats):
+        raise ValueError(
+            "plan_shards: NULL weight — every tile needs a non-null, "
+            "non-negative weight"
+        )
     totals = {s["__pfx"]: int(s["__w"]) for s in stats}
     total = sum(totals.values())
     offsets = {}
