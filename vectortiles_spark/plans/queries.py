@@ -2909,12 +2909,38 @@ def q_knn_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN over cell-ring neighborhoods (D6): suppliers are queries,
     customers are candidates; candidate generation = explode of the 3x3
     neighbor tiles at z, refinement = squared equirect distance, top-k per
-    query via window. Semantics: k nearest WITHIN the ring-1 neighborhood
-    (bounded-radius kNN), identical on both sides by construction."""
+    query. Semantics: k nearest WITHIN the ring-1 neighborhood
+    (bounded-radius kNN), identical on both sides by construction.
+
+    Plan shape (r6, guide §2.3/§2.5): same join + top-k window as r5,
+    restructured around three measured costs at sf1.0 (BENCH_r05:
+    127s wall ≈ 127s executor CPU — the whole query ran on ONE core):
+
+    * both inputs are round-robin repartitioned before the fan-out: the
+      benchmark parquets are single-row-group files, so the scan (and
+      with it the |queries| x 9 x density ≈ 52M-row join fan-out) ran
+      inside a single task. The exchange of |input| id+lon/lat rows is
+      noise next to the 52M distance evaluations it parallelizes (and a
+      no-op cost on any real multi-file table).
+    * the window exchange carries only (s_suppkey, c_custkey, dk) — 24
+      bytes/row instead of the full probe+candidate row. dk is an
+      integer ranking key equivalent to the rounded distance (below).
+    * round(_, 8) on a DOUBLE is a per-row BigDecimal construction in
+      Spark; paying it 52M times before the window cost ~1s of 32-core
+      time. The window instead ranks on dk = cast(dist2_raw * 1e8 + 0.5
+      as bigint) and the rounded dist2 is recomputed from the ids for
+      the |queries| x k winners only. Equivalence: lon/lat are exact
+      multiples of 0.01, so every true dist2 is m * 1e-4 (integer m),
+      float error <= ~1e-10; dk lands within 1e-2 of m * 1e4 + 0.5's
+      floor target and round(_, 8) recovers exactly m * 1e-4 — both
+      keys order pairs identically, ties broken by c_custkey on both
+      sides (verified output-identical at sf1.0 and against the DuckDB
+      oracle at sf0.01/sf0.1)."""
     z = 4
     k = 5
     cust, supp = load(spark, sf_dir, "customer", "supplier")
-    cand = cust.select(
+    par = spark.sparkContext.defaultParallelism
+    cand = cust.repartition(par).select(
         F.col("c_custkey"),
         lon_of(F.col("c_custkey")),
         lat_of(F.col("c_custkey")),
@@ -2924,7 +2950,7 @@ def q_knn_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cand_ty": eq_tile_y(F.col("lat"), z),
         }
     )
-    queries = supp.select(
+    queries = supp.repartition(par).select(
         F.col("s_suppkey"),
         lon_of(F.col("s_suppkey")).alias("q_lon"),
         lat_of(F.col("s_suppkey")).alias("q_lat"),
@@ -2936,8 +2962,8 @@ def q_knn_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # the 3x3 ring as an ARRAY-LITERAL explode (matching
     # spatial_join.py's ring expansion): a generator inside the
-    # projection, not a local-relation crossJoin — one fewer stage, no
-    # BroadcastExchange, and the explode stays inside whole-stage codegen
+    # projection, not a local-relation crossJoin — one fewer stage and
+    # the explode stays inside whole-stage codegen
     ring = F.array(
         *[
             F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
@@ -2952,16 +2978,27 @@ def q_knn_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("q_tx") + F.col("o.dx")).alias("cand_tx"),
         (F.col("q_ty") + F.col("o.dy")).alias("cand_ty"),
     )
-    joined = probes.join(cand, ["cand_tx", "cand_ty"]).withColumn(
-        "dist2",
-        F.round(
-            (F.col("lon") - F.col("q_lon")) ** 2 + (F.col("lat") - F.col("q_lat")) ** 2, 8
-        ),
+    dlon = F.col("lon") - F.col("q_lon")
+    dlat = F.col("lat") - F.col("q_lat")
+    dk = ((dlon * dlon + dlat * dlat) * 1e8 + 0.5).cast("bigint")
+    joined = probes.join(cand, ["cand_tx", "cand_ty"]).select(
+        "s_suppkey", "c_custkey", dk.alias("dk")
     )
-    w = Window.partitionBy("s_suppkey").orderBy(F.col("dist2").asc(), F.col("c_custkey").asc())
-    return (
+    w = Window.partitionBy("s_suppkey").orderBy(F.col("dk").asc(), F.col("c_custkey").asc())
+    top = (
         joined.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+    )
+    # recompute + round the reported distance from the ids (winners only):
+    # lon/lat are pure functions of the keys, so nothing else needs to
+    # survive the window exchange
+    lon_c, lat_c = lon_of(F.col("c_custkey")), lat_of(F.col("c_custkey"))
+    lon_q, lat_q = lon_of(F.col("s_suppkey")), lat_of(F.col("s_suppkey"))
+    dist2 = F.round(
+        (lon_c - lon_q) * (lon_c - lon_q) + (lat_c - lat_q) * (lat_c - lat_q), 8
+    )
+    return (
+        top.withColumn("dist2", dist2)
         .select("s_suppkey", "c_custkey", "dist2", "rank")
         .orderBy("s_suppkey", "rank")
     )

@@ -530,7 +530,15 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("q_emb"),
         norm(F.col("embedding")).alias("q_norm"),
     )
-    cand = emb.select("vec_id", "embedding", norm(F.col("embedding")).alias("c_norm"))
+    # widen the candidate side before the Q-way fan-out: a single-row-group
+    # parquet scans as ONE task, and the |C| x Q dot-product folds would run
+    # serially inside it (measured 1.6s wall ~= 1.3s executor CPU at sf1.0);
+    # the round-robin exchange of |C| skinny rows is noise next to the folds
+    # and a no-op cost at real scale
+    par = spark.sparkContext.defaultParallelism
+    cand = emb.repartition(par).select(
+        "vec_id", "embedding", norm(F.col("embedding")).alias("c_norm")
+    )
     dot = F.aggregate(
         F.zip_with("q_emb", "embedding", lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),

@@ -79,6 +79,17 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # scan-split target, parameterised (guide §6): the benchmark inputs
+        # are single parquet files just under the 128m default, so a whole
+        # 6M-row table scans as ONE task and every scan-side stage
+        # serializes (BENCH_r05: q01/q03 map stages ran 1-way on lineitem's
+        # 126 MB file). 16m splits let row groups parallelize locally; at
+        # petabyte scale set SPARK_GRAFT_MAX_PARTITION_BYTES=512m..1g so
+        # big sequential scans keep few, large map tasks (guide §2.2/§6).
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.driver.memory", driver_mem)
