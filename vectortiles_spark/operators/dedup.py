@@ -218,22 +218,22 @@ def minhash_near_dups(
 
     Output: (doc_a, doc_b, est_jaccard) with doc_a < doc_b.
 
-    Note: the signature table is .cache()'d (it feeds the band join AND
-    both verify joins); the cache lives until the app ends or the caller
-    runs spark.catalog.clearCache() — relevant for long driver loops
-    deduping many corpora in one session.
+    Note: the signature table is materialized once and reused (it feeds
+    the band pass AND both verify joins). Batch inputs use
+    localCheckpoint(eager=True) — a plain block write, measured ~15
+    executor-CPU-seconds cheaper than the columnar .cache() build of the
+    65-column table at sf1.0 — and it doubles as the materialization
+    barrier that keeps the verify joins' broadcast-exchange jobs from
+    recomputing the whole shingle->signature DAG concurrently (the 6s
+    `withThreadLocalCaptured` rebuild in BENCH r4's attribution).
+    Streaming inputs keep .cache() (localCheckpoint is batch-only);
+    caches live until the app ends or spark.catalog.clearCache().
     """
-    sig = minhash_signatures(docs, id_col, text_col, k, hasher=hasher).cache()
-    # Materialization barrier: Spark submits the verify joins' broadcast-
-    # exchange builds as separate jobs at the START of the consuming action
-    # — before the lazy cache has populated — so without this count the
-    # full shingle->signature DAG computes up to 3x per action (two
-    # concurrent broadcast builds + the band side; the 6s
-    # `withThreadLocalCaptured` stage in BENCH r4's attribution was exactly
-    # one such rebuild). One eager count (pennies: it reuses the exchange)
-    # makes every consumer a cache read.
-    if not docs.isStreaming:
-        sig.count()
+    sig = minhash_signatures(docs, id_col, text_col, k, hasher=hasher)
+    if docs.isStreaming:
+        sig = sig.cache()
+    else:
+        sig = sig.localCheckpoint(eager=True)
     band_rows = [
         F.struct(
             F.lit(b).alias("band_id"),
@@ -244,17 +244,30 @@ def minhash_near_dups(
     banded = sig.select("doc_id", F.explode(F.array(*band_rows)).alias("band")).select(
         "doc_id", "band.band_id", "band.band_key"
     )
-    banded = _cap_buckets(banded, ["band_id", "band_key"], band_cap)
-    a = banded.alias("a")
-    b = banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    # bucket-grouped pair generation (guide §2.4): ONE aggregation per
+    # (band_id, band_key) bucket replaces the banded self-equi-join — the
+    # r5 shape computed the banded+capped relation twice (once per join
+    # side; ~12 executor-CPU-s at sf1.0, the exchanges were not reused)
+    # and then shuffled both copies. array_sort + slice reproduces
+    # _cap_buckets' deterministic "first `band_cap` docs by doc_id"
+    # truncation inside the aggregate, and the nested transform emits
+    # exactly the (doc_a < doc_b) pairs the self-join produced; pair
+    # count per bucket stays bounded by band_cap^2 as before.
+    bucket = banded.groupBy("band_id", "band_key").agg(
+        F.slice(F.array_sort(F.collect_list("doc_id")), 1, band_cap).alias("__ids")
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("__ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("__ids"), i + 2, F.size(F.col("__ids"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    cand = (
+        bucket.select(F.explode(pair_arr).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
     sa = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(_H)])
