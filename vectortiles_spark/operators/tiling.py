@@ -225,6 +225,7 @@ def cap_features_per_tile(
     max_per_tile: int,
     order_by: str = "feature_id",
     salt_buckets: int = 16,
+    pre_phase2=None,
 ) -> DataFrame:
     """Deterministic hot-tile bound: keep the first `max_per_tile` features
     per (tile, layer) by `order_by`, SALTED two-phase (SURVEY.md §2.D10).
@@ -240,15 +241,24 @@ def cap_features_per_tile(
     when `order_by` is a key (pinned by tests/test_tiling_e2e.py). The
     downstream encode of a capped tile is likewise bounded at
     max_per_tile rows per task. ``salt_buckets<=1`` keeps the one-window
-    path."""
+    path.
+
+    ``pre_phase2`` (optional, DataFrame -> DataFrame) is applied to the
+    phase-1 survivors BEFORE the exact phase-2 window. A caller that
+    immediately tile-partitions the output anyway (encode_tiles) passes
+    its repartition here: hash(tile) clusters every (tile[, layer])
+    window group, so phase 2 rides that exchange instead of adding its
+    own — one fewer full shuffle (guide §2.4), with the salted phase 1
+    still bounding what any post-exchange task sees of a hot tile."""
     part_cols = ["tile_z", "tile_x", "tile_y"] + (["layer"] if "layer" in features.columns else [])
     w = Window.partitionBy(*part_cols).orderBy(F.col(order_by))
     if not salt_buckets or salt_buckets <= 1:
-        return (
+        capped = (
             features.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") <= max_per_tile)
             .drop("__rn")
         )
+        return pre_phase2(capped) if pre_phase2 is not None else capped
     # salt from the order key itself: deterministic under retries and
     # independent of partition layout
     salt = F.pmod(F.xxhash64(F.col(order_by)), F.lit(salt_buckets))
@@ -259,6 +269,8 @@ def cap_features_per_tile(
         .filter(F.col("__rn") <= max_per_tile)
         .drop("__rn")
     )
+    if pre_phase2 is not None:
+        pre = pre_phase2(pre)
     return (
         pre.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= max_per_tile)
@@ -827,8 +839,6 @@ def encode_tiles(
                     f"{bounds.n - bounds.n_nonnull} NULLs; refusing to re-label"
                 )
         features = features.drop("layer")
-    if max_per_tile is not None:
-        features = cap_features_per_tile(features, max_per_tile)
     key = [F.col("tile_z"), F.col("tile_x"), F.col("tile_y")]
     if not partitions:
         # pin an explicit partition count: the encode stage is Python-CPU
@@ -845,7 +855,25 @@ def encode_tiles(
         ncpu = os.cpu_count() or partitions
         if sc.master.startswith("local[") and partitions >= ncpu:
             partitions = max(1, ncpu // 2)
-    features = features.repartition(partitions, *key)
+    if max_per_tile is not None:
+        # the cap's exact phase-2 window rides the encode repartition
+        # (hash(tile) clusters every window group): 2 cap exchanges + the
+        # encode exchange collapse to 2 total, while the salted phase 1
+        # still runs before anything is tile-partitioned (hot-tile guard).
+        # Partition by (tile_x, tile_y) only: a subset of the window's
+        # clustering keys still satisfies it, whereas tile_z is a literal
+        # in single-zoom pipelines — the optimizer prunes it from the
+        # window spec but NOT from the repartition expression, and that
+        # mismatch re-inserts the exchange this fold removes
+        features = cap_features_per_tile(
+            features,
+            max_per_tile,
+            pre_phase2=lambda df: df.repartition(
+                partitions, F.col("tile_x"), F.col("tile_y")
+            ),
+        )
+    else:
+        features = features.repartition(partitions, *key)
     sort_cols = [c for c in ("layer", "geom_type", "feature_id") if c in features.columns]
     ordered = features.sortWithinPartitions(*key, *[F.col(c) for c in sort_cols])
     return ordered.mapInArrow(
