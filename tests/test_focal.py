@@ -277,7 +277,6 @@ def test_isolines_saddle_pinned(spark):
     assert len(segs) == 2
     (x11, y11, x12, y12), (x21, y21, x22, y22) = segs
     # T-L: T = (0.5, 0), L = (0, 0.5); B-R: B = (0.5, 1), R = (1, 0.5)
-    assert (x11, y11, x12, y12) == (0.0, 0.5, 0.5, 1.0) or True
     assert {(x11, y11, x12, y12), (x21, y21, x22, y22)} == {
         (0.5, 0.0, 0.0, 0.5), (0.5, 1.0, 1.0, 0.5),
     }

@@ -118,6 +118,9 @@ def test_enrich_overwrite_and_errors(spark):
         enrich_tile_features(df, dup, on="segment").collect()
     with pytest.raises(ValueError, match="no columns besides"):
         enrich_tile_features(df, attrs.select("segment"), on="segment")
+    # a fact table mistakenly passed as attrs raises before collecting it
+    with pytest.raises(ValueError, match="dimension table"):
+        enrich_tile_features(df, dup, on="segment", max_attr_rows=1)
 
     def grades(rows):
         got = set()

@@ -281,8 +281,10 @@ def hexbin_points(
     bad = {fn for fn in (agg or {}).values() if fn not in _AGG_FNS}
     if bad:
         raise ValueError(f"unsupported agg fns {sorted(bad)}; use {_AGG_FNS}")
+    # only names the implementation actually creates (gx/gy exist solely as
+    # unnamed Column expressions, so they cannot clash)
     reserved = {"zoom", "hq", "hr", "point_count", "cx_px", "cy_px", "rep_id",
-                "_id", "_gx", "_gy"}
+                "_id"}
     clash = set(agg or {}) & reserved
     if clash:
         raise ValueError(

@@ -284,6 +284,17 @@ def phash_near_dups(
     verify_invariants/decode_stats to (re)compute phash from pixels when
     ingesting untrusted payloads. Output: (id_a, id_b, hamming), id_a <
     id_b, complete for pairs within max_hamming <= n_blocks - 2.
+
+    KNOWN MISS CLASS (codec-inconsistent fingerprints): if the stored
+    phash was computed on ORIGINAL pixels and the image was then pushed
+    through a lossy re-encode, DCT requantization flips near-tie bits —
+    measured up to hamming 22/64 on this repo's seeded corpus
+    (q_image_invariants' literal oracle pins it) — far outside the
+    default max_hamming=6 radius, so "same image, lossy re-encode" pairs
+    are NOT found unless the pipeline recomputes phash from DECODED
+    pixels for both sides (then re-encodes of one source agree and the
+    pair surfaces). Funnels that dedup across codec generations must
+    standardize on post-codec phash at ingest.
     """
     from .dedup import hamming_near_dups
 

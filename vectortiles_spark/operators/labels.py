@@ -33,6 +33,11 @@ Exactness contracts (both operators replay bit-for-bit in any SQL engine):
   standard monotone-chain convention), so a point is a hull VERTEX iff
   it is not inside-or-on any nondegenerate triangle of its peers — the
   property the DuckDB oracle checks directly (plans/queries.py).
+  Exception: a FULLY collinear group has no nondegenerate triangles, so
+  that characterization is vacuous there; monotone chain then keeps only
+  the two lexicographic extreme points (the degenerate 2-point hull),
+  while any interior collinear point is dropped as lying on the segment
+  between two peers.
 """
 
 from __future__ import annotations

@@ -81,6 +81,14 @@ def plan_shards(
     zs = sorted(r[0] for r in tiles.select(z_col).distinct().collect())
     if not zs:
         return tiles.sparkSession.createDataFrame([], out_schema)
+    if zs[0] < 1:
+        # z=0 has no quadkey digits, so prefix grouping is undefined for it
+        # — raise a planner-level error instead of quadkey()'s generic one
+        raise ValueError(
+            f"plan_shards: tile_z={zs[0]} — the planner needs tile_z >= 1 "
+            "(the z=0 root tile has an empty quadkey; shard it trivially or "
+            "start from its children)"
+        )
     w = (
         F.col(weight_col).cast("bigint")
         if weight_col
@@ -118,6 +126,15 @@ def plan_shards(
         )
     totals = {s["__pfx"]: int(s["__w"]) for s in stats}
     total = sum(totals.values())
+    if total > (1 << 62) // int(n_shards):
+        # the assignment multiplies int64 cume * n_shards — near 2^63/K it
+        # would silently wrap (and the clip(0, K-1) below would mask it);
+        # raise loudly (weights this large mean mis-scaled inputs anyway)
+        raise ValueError(
+            f"plan_shards: total weight {total} * n_shards={n_shards} would "
+            "overflow int64 — rescale the weights (relative balance is all "
+            "the planner uses)"
+        )
     offsets = {}
     run = 0
     for pfx in sorted(totals):

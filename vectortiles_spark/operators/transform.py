@@ -109,6 +109,7 @@ def enrich_tile_features(
     on: str,
     layers=None,
     overwrite: bool = False,
+    max_attr_rows: int = 1_000_000,
 ) -> DataFrame:
     """Join new metadata onto features: for each feature whose metadata
     carries ``on``, look its value up in ``attrs`` (a dimension table
@@ -120,11 +121,24 @@ def enrich_tile_features(
     blob rewrite itself is the same zero-shuffle mapInArrow pass as
     filter_tile_features. Unmatched features pass through unchanged.
     Supported attribute column types: string, integral, floating, bool.
+
+    ``max_attr_rows`` guards the collect: a fact table mistakenly passed
+    as ``attrs`` raises loudly (same policy as snap_join's cell guard and
+    tile_cover's max_tiles) instead of OOMing the driver. Raise it only
+    for genuinely larger dimensions that still fit driver memory.
     """
     want = None if layers is None else set(layers)
     cols = [c for c in attrs.columns if c != on]
     if not cols:
         raise ValueError("attrs carries no columns besides the join key")
+    n_attrs = attrs.limit(max_attr_rows + 1).count()
+    if n_attrs > max_attr_rows:
+        raise ValueError(
+            f"enrich_tile_features: attrs has more than {max_attr_rows} rows "
+            "— it is collected to the driver and broadcast, so it must be a "
+            "dimension table; pre-aggregate it or raise max_attr_rows if the "
+            "driver really has the memory"
+        )
 
     def _tagged(v):
         if isinstance(v, bool):
