@@ -878,6 +878,7 @@ def clip_features(
         "tile_z int, tile_x int, tile_y int, layer string, geom_type int, "
         "feature_id bigint, geom array<array<array<array<bigint>>>>"
     )
-    return df.select(layer_col, geom_type_col, feature_id_col, geom_col).mapInArrow(
-        run, schema
-    )
+    from ._fuse import tag
+
+    sel = df.select(layer_col, geom_type_col, feature_id_col, geom_col)
+    return tag(sel.mapInArrow(run, schema), sel, run)

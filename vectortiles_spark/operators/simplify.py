@@ -351,4 +351,14 @@ def simplify_geoms(
                 )
             yield pa.record_batch(cols)
 
-    return df.mapInArrow(run, df.schema)
+    from ._fuse import compose, tag, tagged
+
+    up = tagged(df)
+    if up is not None:
+        # fuse with the upstream mapInArrow (same parent, composed
+        # generators): one Python worker and zero intermediate JVM hops
+        # for e.g. clip -> simplify; df.schema is unchanged either way
+        parent, prev = up
+        fused = compose(prev, run)
+        return tag(parent.mapInArrow(fused, df.schema), parent, fused)
+    return tag(df.mapInArrow(run, df.schema), df, run)

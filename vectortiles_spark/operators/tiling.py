@@ -217,6 +217,19 @@ def geom_features(
             cols["geom_cmds"] = pa.array(streams, pa.list_(pa.int64()))
             yield pa.record_batch(cols)
 
+    from ._fuse import compose, tag, tagged
+
+    up = tagged(df)
+    if up is not None and [(f.name, f.dataType) for f in base.schema.fields] == [
+        (f.name, f.dataType) for f in df.schema.fields
+    ]:
+        # upstream is a fusable mapInArrow AND this call's select is an
+        # identity projection (default column names, no meta, types already
+        # canonical — the clip/simplify output shape): compose the kernels
+        # over the same parent instead of stacking another Python pass
+        parent, prev = up
+        fused = compose(prev, encode)
+        return tag(parent.mapInArrow(fused, out_schema), parent, fused)
     return base.mapInArrow(encode, out_schema)
 
 
