@@ -349,3 +349,35 @@ def test_plan_shards_bounded_exchanges(spark):
     # hash partitioning for applyInPandas — bounded, never data-volume-
     # dependent beyond the per-tile relation itself
     assert audit.count_shuffles(plan) <= 3
+
+
+def test_capped_encode_two_shuffles(spark):
+    """encode_tiles(max_per_tile=...) folds the cap's exact phase-2 window
+    into the encode repartition: exactly TWO shuffles total (the salted
+    phase-1 exchange + the tile repartition), not three — the r6 plan fix
+    (the literal tile_z must not re-insert an ENSURE_REQUIREMENTS
+    exchange between the repartition and the window)."""
+    cust = spark.read.parquet(f"{SF}/customer.parquet")
+    pts = cust.select("c_custkey", lon_of(F.col("c_custkey")), lat_of(F.col("c_custkey")))
+    feats = tiling.point_features(pts, z=6, layer="c")
+    capped = tiling.encode_tiles(feats, max_per_tile=100, single_layer="c")
+    assert audit.count_shuffles(capped) == 2
+
+
+def test_vector_chain_fuses_to_one_mapinarrow(spark):
+    """clip -> simplify -> geom_features composes into ONE MapInArrow node
+    (operators/_fuse): one Python worker per task, no JVM round trip for
+    the nested-geometry intermediates. encode_tiles adds the second node
+    after its shuffle."""
+    from vectortiles_spark.operators.clip import clip_features
+    from vectortiles_spark.operators.simplify import simplify_geoms
+
+    lines = spark.createDataFrame(
+        [("l", 2, 1, [[[[-10.0, 10.0], [10.0, -10.0]]]])],
+        "layer string, geom_type int, feature_id long, "
+        "geom array<array<array<array<double>>>>",
+    )
+    feats = tiling.geom_features(simplify_geoms(clip_features(lines, z=3), tolerance=1.0))
+    assert audit.plan_of(feats).count("MapInArrow") == 1
+    full = tiling.encode_tiles(feats)
+    assert audit.plan_of(full).count("MapInArrow") == 2

@@ -220,15 +220,39 @@ def geom_features(
     from ._fuse import compose, tag, tagged
 
     up = tagged(df)
-    if up is not None and [(f.name, f.dataType) for f in base.schema.fields] == [
-        (f.name, f.dataType) for f in df.schema.fields
-    ]:
+    base_sig = [(f.name, f.dataType) for f in base.schema.fields]
+    df_sig = [(f.name, f.dataType) for f in df.schema.fields]
+    _df_geom = next((s[1].simpleString() for s in df_sig if s[0] == "geom"), None)
+    geom_only_diff = (
+        [s for s in base_sig if s[0] != "geom"] == [s for s in df_sig if s[0] != "geom"]
+        and [s[0] for s in base_sig] == [s[0] for s in df_sig]
+        and _df_geom in (GEOM_NESTED_T, "array<array<array<array<bigint>>>>")
+    )
+    if up is not None and geom_only_diff:
         # upstream is a fusable mapInArrow AND this call's select is an
-        # identity projection (default column names, no meta, types already
-        # canonical — the clip/simplify output shape): compose the kernels
-        # over the same parent instead of stacking another Python pass
+        # identity projection (default column names, no meta, canonical
+        # types) up to the geom cast: compose the kernels over the same
+        # parent instead of stacking another Python pass. The clip/
+        # simplify chain emits bigint-nested geometry while the declared
+        # input contract is int-nested; replicate the JVM cast's
+        # two's-complement narrowing with an unsafe Arrow cast so fused
+        # and unfused plans stay value-identical even for out-of-range
+        # (already-corrupt) coordinates.
         parent, prev = up
-        fused = compose(prev, encode)
+        if base_sig != df_sig:
+            import pyarrow.compute as pc
+
+            geom_t = pa.list_(pa.list_(pa.list_(pa.list_(pa.int32()))))
+
+            def narrowed(batches, _prev=prev):
+                for b in _prev(batches):
+                    i = b.schema.get_field_index("geom")
+                    col = pc.cast(b.column(i), geom_t, safe=False)
+                    yield b.set_column(i, pa.field("geom", geom_t), col)
+
+            fused = compose(narrowed, encode)
+        else:
+            fused = compose(prev, encode)
         return tag(parent.mapInArrow(fused, out_schema), parent, fused)
     return base.mapInArrow(encode, out_schema)
 
