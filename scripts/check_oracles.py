@@ -8,6 +8,7 @@ names, and an order-insensitive value hash. Usage:
 from __future__ import annotations
 
 import hashlib
+import os
 import sys
 from pathlib import Path
 
@@ -56,6 +57,7 @@ def main():
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
     n_pass = n_fail = 0
+    results: dict[str, dict] = {}
     for name, fn in queries.items():
         if only and name not in only:
             continue
@@ -63,24 +65,32 @@ def main():
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
+            results[name] = {"status": "FAIL", "err": f"spark: {e}"[:200]}
             n_fail += 1
             continue
         if name not in oracles:
             print(f"ROWS-ONLY {name}: {len(sdf)} rows, cols={sorted(sdf.columns)}")
+            results[name] = {"status": "ROWS-ONLY", "rows": len(sdf)}
             continue
         try:
             odf = con.execute(oracles[name]).df()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
+            results[name] = {"status": "FAIL", "err": f"duckdb: {e}"[:200]}
             n_fail += 1
             continue
         sn, sc, sh = normalize(sdf)
         on, oc, oh = normalize(odf)
         if (sn, sc, sh) == (on, oc, oh):
             print(f"PASS {name}: {sn} rows")
+            results[name] = {"status": "PASS", "rows": sn}
             n_pass += 1
         else:
             print(f"FAIL {name}: spark=({sn} rows, {sc}, {sh}) oracle=({on} rows, {oc}, {oh})")
+            results[name] = {
+                "status": "FAIL", "spark_rows": sn, "oracle_rows": on,
+                "schema_match": sc == oc, "hash_match": sh == oh,
+            }
             if sn and on and sc == oc:
                 import pandas as pd
 
@@ -94,6 +104,14 @@ def main():
                     print("  oracle head:", o_sorted.head(2).tolist())
             n_fail += 1
     print(f"\n{n_pass} pass, {n_fail} fail")
+    # committable artifact (VERDICT r5 'next round' #2): $CHECK_ORACLES_JSON
+    # gets one row per query so the full-battery result is a checked-in,
+    # diffable fact instead of a session anecdote
+    out_path = os.environ.get("CHECK_ORACLES_JSON")
+    if out_path:
+        import json
+
+        Path(out_path).write_text(json.dumps(results, indent=1) + "\n")
     spark.stop()
 
 
