@@ -193,13 +193,28 @@ def downzoom_tiles(tiles: DataFrame, levels: int = 1) -> DataFrame:
             }
         )
 
+    # pin the group exchange's partition count (encode_tiles policy): the
+    # per-parent decode+merge is Python-CPU bound, and AQE's size-based
+    # coalescing folds a few MB of blob shuffle into 1-2 partitions and
+    # serializes the workers (measured 9.2 executor-CPU-s on 2 tasks for a
+    # 4096-tile input). repartition on the SAME parent-key expressions the
+    # groupBy uses, so applyInPandas' clustering requirement is satisfied
+    # by this exchange and no second one is inserted.
+    import os
+
+    sc = tiles.sparkSession.sparkContext
+    parts = sc.defaultParallelism
+    ncpu = os.cpu_count() or parts
+    if sc.master.startswith("local[") and parts >= ncpu:
+        parts = max(1, ncpu // 2)
+    pz = (F.col("tile_z") - levels).alias("_pz")
+    px = F.shiftright("tile_x", levels).alias("_px")
+    py = F.shiftright("tile_y", levels).alias("_py")
     return (
         tiles.select("tile_z", "tile_x", "tile_y", "mvt")
-        .groupBy(
-            (F.col("tile_z") - levels).alias("_pz"),
-            F.shiftright("tile_x", levels).alias("_px"),
-            F.shiftright("tile_y", levels).alias("_py"),
-        )
+        .repartition(parts, (F.col("tile_z") - levels),
+                     F.shiftright("tile_x", levels), F.shiftright("tile_y", levels))
+        .groupBy(pz, px, py)
         .applyInPandas(fn, TILE_SCHEMA)
     )
 

@@ -349,6 +349,15 @@ def ivf_topk(
     crossJoin+window argmax materialized n x n_cells rows and full-shuffled
     them). The only shuffle left is the final per-query top-k. At 10^12
     vectors this is the classic coarse-quantizer layout."""
+    if train_iters > 0 and not candidates.isStreaming:
+        # training runs train_iters + 2 separate jobs over the candidate
+        # table (seed collect, one stats collect per Lloyd iteration, the
+        # final assignment scan); without a materialization each job
+        # re-reads and re-shuffles the source (measured 8.5 executor-CPU-s
+        # PER iteration just re-deriving the input at bench scale). One
+        # block write amortizes all of them; only taken when training is
+        # requested, so the plain nprobe path never pays the storage.
+        candidates = candidates.localCheckpoint(eager=True)
     trained = (
         ivf_train(candidates, n_cells, train_iters, cand_id, emb, round_dp=train_round_dp)
         if train_iters > 0
