@@ -86,7 +86,14 @@ def _q_image_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vectortiles_spark.sources.synth import images_df
 
     n = 500 if "0.001" in sf_dir else 1200
-    imgs = images_df(spark, n, seed=42).select("image_id", "bytes", "fmt")
+    # materialize the generated table once: five augmentation lanes hang
+    # off it in one joined query, and each subtree would otherwise re-run
+    # the synthetic encode (deterministic either way — seed fixed)
+    imgs = (
+        images_df(spark, n, seed=42)
+        .select("image_id", "bytes", "fmt")
+        .localCheckpoint(eager=True)
+    )
     ident = augment_images(imgs, ops=("identity",)).select(
         "image_id", F.md5(F.hex("bytes")).alias("h0")
     )
